@@ -1,0 +1,201 @@
+package graft.core
+
+/** Query AST — the engine's logical query description.
+  *
+  * Mirrors the *shape* of the reference's immutable query descriptor
+  * (reference: include/query/query.hpp:469-521 — FROM SchemaRef + ordered
+  * clauses + optional TemporalSnapshot) but is deliberately tiny: all
+  * execution semantics live in [[graft.planner.Planner]], which compiles this
+  * AST to a Spark DataFrame plan and lets Catalyst do the optimization.
+  */
+object Ast {
+
+  /** Comparison operators (reference: include/query/query.hpp:74-84).
+    * The reference's vectorized path degrades string ops to equality
+    * (src/query/query.cpp:635-649) — we implement the *intended* semantics.
+    */
+  sealed trait CmpOp
+  object CmpOp {
+    case object Eq extends CmpOp
+    case object NotEq extends CmpOp
+    case object Gt extends CmpOp
+    case object Lt extends CmpOp
+    case object Gte extends CmpOp
+    case object Lte extends CmpOp
+    case object Contains extends CmpOp
+    case object StartsWith extends CmpOp
+    case object EndsWith extends CmpOp
+  }
+
+  /** `alias.field[.mapKey...]` — path beyond the first element addresses
+    * nested MAP keys (reference: src/query/execution.cpp:32-164). */
+  final case class FieldRef(alias: String, path: List[String]) {
+    require(path.nonEmpty, "FieldRef needs at least a field name")
+    def field: String = path.head
+    def mapPath: List[String] = path.tail
+    override def toString: String = (alias :: path).mkString(".")
+  }
+  object FieldRef {
+    /** Parse "u.age" / "u.props.role". */
+    def parse(s: String): FieldRef = {
+      val parts = s.split('.').toList
+      require(parts.length >= 2, s"field ref must be alias.field: $s")
+      FieldRef(parts.head, parts.tail)
+    }
+  }
+
+  /** WHERE expression tree (reference: include/query/query.hpp:374-428). */
+  sealed trait WhereExpr {
+    def &&(other: WhereExpr): WhereExpr = And(this, other)
+    def ||(other: WhereExpr): WhereExpr = Or(this, other)
+    /** All aliases referenced anywhere in this expression. */
+    def aliases: Set[String] = this match {
+      case Comparison(f, _, v: FieldRef) => Set(f.alias, v.alias)
+      case Comparison(f, _, _)           => Set(f.alias)
+      case And(l, r)                     => l.aliases ++ r.aliases
+      case Or(l, r)                      => l.aliases ++ r.aliases
+    }
+  }
+  /** rhs is a literal (Int/Long/Double/String/Boolean/null) or a FieldRef
+    * for cross-alias predicates (deferred post-WHERE, reference F7:
+    * src/query/filter_executor.cpp:10-47). */
+  final case class Comparison(field: FieldRef, op: CmpOp, rhs: Any)
+      extends WhereExpr
+  final case class And(l: WhereExpr, r: WhereExpr) extends WhereExpr
+  final case class Or(l: WhereExpr, r: WhereExpr) extends WhereExpr
+
+  /** Join semantics of a traversal hop (reference: src/query/join.cpp). */
+  sealed trait JoinKind
+  object JoinKind {
+    case object Inner extends JoinKind
+    case object Left extends JoinKind
+    case object Right extends JoinKind
+    case object Full extends JoinKind
+  }
+
+  sealed trait Clause
+  final case class WhereClause(expr: WhereExpr) extends Clause
+  /** One hop `(src)-[edgeAlias:edgeType KIND]->(dst:dstLabel)`.
+    * Direction reversal (`<-[..]-`) is normalized at build time by swapping
+    * ends, like the reference shell (apps/tundra_shell.cpp:568-579).
+    * `srcLabel` is only needed when the source alias is new (multi-pattern
+    * second chains, reference J8). */
+  final case class TraverseClause(
+      srcAlias: String,
+      edgeType: String,
+      edgeAlias: Option[String],
+      dstAlias: String,
+      dstLabel: String,
+      kind: JoinKind,
+      srcLabel: Option[String] = None
+  ) extends Clause
+
+  /** SELECT item: bare alias (expands to all its columns, reference P1:
+    * src/query/execution.cpp:585-635) or a field ref, optionally renamed. */
+  sealed trait SelectItem
+  final case class SelectAlias(alias: String) extends SelectItem
+  final case class SelectField(ref: FieldRef, as: Option[String] = None)
+      extends SelectItem
+
+  val INF: Long = Long.MaxValue
+
+  /** Bitemporal snapshot; INF means "now"/unconstrained on that axis
+    * (reference: include/query/temporal_context.hpp:20-39). */
+  final case class TemporalSnapshot(validTime: Long = INF, txTime: Long = INF)
+
+  final case class GraphQuery(
+      fromAlias: String,
+      fromLabel: String,
+      clauses: List[Clause] = Nil,
+      select: List[SelectItem] = Nil,
+      asOf: Option[TemporalSnapshot] = None
+  )
+
+  // --------------------------------------------------------------------
+  // Fluent builder — parity with the reference Query::Builder
+  // (include/query/query.hpp:524-682).
+  // --------------------------------------------------------------------
+
+  final class QueryBuilder private[core] (
+      fromAlias: String,
+      fromLabel: String
+  ) {
+    private var clauses = List.empty[Clause]
+    private var selectItems = List.empty[SelectItem]
+    private var snapshot: Option[TemporalSnapshot] = None
+
+    def where(expr: WhereExpr): QueryBuilder = {
+      clauses :+= WhereClause(expr); this
+    }
+    def traverse(
+        src: String,
+        edgeType: String,
+        dst: String,
+        kind: JoinKind = JoinKind.Inner,
+        edgeAlias: Option[String] = None
+    ): QueryBuilder = {
+      val (dstAlias, dstLabel) = splitTyped(dst)
+      val (srcAlias, srcLabel) = src.split(':') match {
+        case Array(a, l) => (a, Some(l))
+        case Array(a)    => (a, None)
+        case _ => throw new IllegalArgumentException(s"bad src: $src")
+      }
+      clauses :+= TraverseClause(srcAlias, edgeType, edgeAlias, dstAlias,
+        dstLabel, kind, srcLabel)
+      this
+    }
+    def select(items: String*): QueryBuilder = {
+      selectItems ++= items.map { s =>
+        if (s.contains('.')) SelectField(FieldRef.parse(s))
+        else SelectAlias(s)
+      }
+      this
+    }
+    def selectAs(ref: String, as: String): QueryBuilder = {
+      selectItems :+= SelectField(FieldRef.parse(ref), Some(as)); this
+    }
+    def asOfValidTime(vt: Long): QueryBuilder = {
+      snapshot = Some(snapshot.getOrElse(TemporalSnapshot()).copy(validTime = vt)); this
+    }
+    def asOfTxTime(tt: Long): QueryBuilder = {
+      snapshot = Some(snapshot.getOrElse(TemporalSnapshot()).copy(txTime = tt)); this
+    }
+    def asOf(vt: Long, tt: Long): QueryBuilder = {
+      snapshot = Some(TemporalSnapshot(vt, tt)); this
+    }
+    def build: GraphQuery =
+      GraphQuery(fromAlias, fromLabel, clauses, selectItems, snapshot)
+
+    private def splitTyped(s: String): (String, String) = s.split(':') match {
+      case Array(a, l) => (a, l)
+      case Array(a)    => (a, a)
+      case _ => throw new IllegalArgumentException(s"bad alias:label: $s")
+    }
+  }
+
+  object Q {
+    /** `Q.from("c:customer")` or `Q.from("c", "customer")`. */
+    def from(aliasLabel: String): QueryBuilder = aliasLabel.split(':') match {
+      case Array(a, l) => new QueryBuilder(a, l)
+      case Array(a)    => new QueryBuilder(a, a)
+      case _ => throw new IllegalArgumentException(s"bad from: $aliasLabel")
+    }
+    def from(alias: String, label: String): QueryBuilder =
+      new QueryBuilder(alias, label)
+  }
+
+  /** Predicate DSL: `ref("u.age") > 30`, `ref("u.name") contains "x"`. */
+  final case class RefOps(ref: FieldRef) {
+    def ===(v: Any): WhereExpr = Comparison(ref, CmpOp.Eq, v)
+    def =!=(v: Any): WhereExpr = Comparison(ref, CmpOp.NotEq, v)
+    def >(v: Any): WhereExpr = Comparison(ref, CmpOp.Gt, v)
+    def <(v: Any): WhereExpr = Comparison(ref, CmpOp.Lt, v)
+    def >=(v: Any): WhereExpr = Comparison(ref, CmpOp.Gte, v)
+    def <=(v: Any): WhereExpr = Comparison(ref, CmpOp.Lte, v)
+    def contains(v: String): WhereExpr = Comparison(ref, CmpOp.Contains, v)
+    def startsWith(v: String): WhereExpr =
+      Comparison(ref, CmpOp.StartsWith, v)
+    def endsWith(v: String): WhereExpr = Comparison(ref, CmpOp.EndsWith, v)
+  }
+  def ref(s: String): RefOps = RefOps(FieldRef.parse(s))
+}

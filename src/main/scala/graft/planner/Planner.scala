@@ -1,0 +1,325 @@
+package graft.planner
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Ast._
+import graft.store.GraphStore
+
+/** Compiles a [[graft.core.Ast.GraphQuery]] into a Spark DataFrame plan.
+  *
+  * This is the semantic-translation layer (reference: Database::query,
+  * src/main/database.cpp:202-216 + src/query/execution.cpp): alias
+  * registration/validation, clause-order join chaining, the reference's
+  * join-type algebra (src/query/join.cpp — INNER/LEFT/RIGHT/FULL with the
+  * RIGHT-self `all_targets − matched_sources` dedup), strict comparison
+  * typing, `alias.field` output naming, and bitemporal as-of scan
+  * parameterization. Execution machinery (pushdown, join placement, column
+  * pruning, parallelism) is Catalyst's job — single-alias predicates are
+  * attached to scans (reference F6 inline semantics) and cross-alias
+  * predicates run on the denormalized result (reference F7), which is
+  * exactly where the reference's own tests demand they be.
+  *
+  * Internal column naming: `alias__field`; the final projection renames to
+  * the reference's denormalized `alias.field` convention
+  * (src/query/execution.cpp:483-549) unless a SELECT item carries an
+  * explicit output name.
+  */
+final class Planner(store: GraphStore) {
+
+  private val SEP = "__"
+
+  def plan(q: GraphQuery): DataFrame = {
+    // ---- Phase 1-2: alias registration (reference prepare_query,
+    // src/query/execution.cpp:730-787)
+    val nodeAliases = mutable.LinkedHashMap[String, String]() // alias->label
+    val edgeAliases = mutable.LinkedHashMap[String, String]() // alias->type
+    val aliasOrder = mutable.ArrayBuffer[String]()
+    nodeAliases(q.fromAlias) = q.fromLabel
+    aliasOrder += q.fromAlias
+    q.clauses.foreach {
+      case TraverseClause(src, et, ea, dst, dstLabel, _, srcLabel) =>
+        srcLabel.foreach { l =>
+          if (!nodeAliases.contains(src)) { nodeAliases(src) = l; aliasOrder += src }
+          else require(nodeAliases(src) == l,
+            s"alias $src rebound to different label")
+        }
+        if (!nodeAliases.contains(dst)) {
+          nodeAliases(dst) = dstLabel; aliasOrder += dst
+        } else require(nodeAliases(dst) == dstLabel,
+          s"alias $dst rebound to different label")
+        ea.foreach { a =>
+          require(!nodeAliases.contains(a) && !edgeAliases.contains(a),
+            s"edge alias $a already bound")
+          edgeAliases(a) = et; aliasOrder += a
+        }
+        require(nodeAliases.contains(src),
+          s"unknown traverse source alias: $src")
+      case _ =>
+    }
+
+    // ---- Phase 3: WHERE resolution — split into per-alias pre-filters
+    // (reference F6) and cross-alias deferred filters (reference F7).
+    val preFilters = mutable.Map[String, List[WhereExpr]]().withDefaultValue(Nil)
+    val postFilters = mutable.ArrayBuffer[WhereExpr]()
+    def conjuncts(e: WhereExpr): List[WhereExpr] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => List(other)
+    }
+    q.clauses.collect { case WhereClause(e) => e }
+      .flatMap(conjuncts).foreach { c =>
+        c.aliases.toList match {
+          case a :: Nil => preFilters(a) = preFilters(a) :+ c
+          case _        => postFilters += c
+        }
+      }
+    (preFilters.keys ++ postFilters.flatMap(_.aliases)).foreach { a =>
+      require(nodeAliases.contains(a) || edgeAliases.contains(a),
+        s"WHERE references unknown alias: $a")
+    }
+
+    // ---- Scans with pre-filters attached
+    def scanNode(alias: String): DataFrame = {
+      val label = nodeAliases(alias)
+      val raw = store.nodes(label, q.asOf)
+      val renamed = raw.columns.foldLeft(raw)((d, c) =>
+        d.withColumnRenamed(c, s"$alias$SEP$c"))
+      preFilters(alias).foldLeft(renamed)((d, e) =>
+        d.filter(compile(e, d)))
+    }
+    def scanEdge(t: TraverseClause, alias: String,
+                 srcLabel: String): DataFrame = {
+      val dstLabel = nodeAliases(t.dstAlias)
+      val raw = store.edges(t.edgeType, srcLabel, dstLabel)
+      val renamed = raw.columns.foldLeft(raw)((d, c) =>
+        d.withColumnRenamed(c, s"$alias$SEP$c"))
+      preFilters(alias).foldLeft(renamed)((d, e) =>
+        d.filter(compile(e, d)))
+    }
+
+    // ---- Clause-order execution (reference: src/main/database.cpp:221-244)
+    var df = scanNode(q.fromAlias)
+    val bound = mutable.Set(q.fromAlias)
+    var anonCounter = 0
+
+    q.clauses.foreach {
+      case WhereClause(_) => // handled via pre/post filter split
+      case t: TraverseClause =>
+        val eAlias = t.edgeAlias.getOrElse { anonCounter += 1; s"__e$anonCounter" }
+        val srcBound = bound(t.srcAlias)
+        val dstBound = bound(t.dstAlias)
+        val srcLabel = nodeAliases(t.srcAlias)
+        val selfJoin = srcLabel == nodeAliases(t.dstAlias)
+        val eDf = scanEdge(t, eAlias, srcLabel)
+        val eSrc = col(s"$eAlias${SEP}src")
+        val eDst = col(s"$eAlias${SEP}dst")
+        val srcId = col(s"${t.srcAlias}${SEP}id")
+        val dstId = col(s"${t.dstAlias}${SEP}id")
+
+        df = (srcBound, dstBound) match {
+          case (true, false) =>
+            val tgt = scanNode(t.dstAlias)
+            t.kind match {
+              case JoinKind.Inner =>
+                df.join(eDf, srcId === eSrc)
+                  .join(tgt, eDst === dstId)
+              case JoinKind.Left =>
+                // match requires edge AND target present in target schema
+                df.join(eDf.join(tgt, eDst === dstId), srcId === eSrc,
+                  "left_outer")
+              case JoinKind.Right if !selfJoin =>
+                // all targets kept; unmatched sources pruned
+                // (reference: RightJoinCrossSchemaStrategy, join.cpp:243)
+                df.join(eDf, srcId === eSrc)
+                  .join(tgt, eDst === dstId, "right_outer")
+              case JoinKind.Right =>
+                // self-join: target_ids = all_targets − matched_sources
+                // (reference: RightJoinSelfStrategy, join.cpp:184-198)
+                val matched = df.join(eDf, srcId === eSrc)
+                  .join(tgt, eDst === dstId)
+                val covered = matched.select(srcId.as("__cov"))
+                  .union(matched.select(dstId.as("__cov"))).distinct()
+                val extras = tgt.join(covered, dstId === col("__cov"),
+                  "left_anti")
+                matched.unionByName(extras, allowMissingColumns = true)
+              case JoinKind.Full =>
+                // LEFT ∪ right-strategy extras (reference:
+                // FullJoinStrategy, join.cpp:315-331)
+                val leftPart = df.join(eDf.join(tgt, eDst === dstId),
+                  srcId === eSrc, "left_outer")
+                val matched = df.join(eDf, srcId === eSrc)
+                  .join(tgt, eDst === dstId)
+                val covered =
+                  if (selfJoin)
+                    matched.select(srcId.as("__cov"))
+                      .union(matched.select(dstId.as("__cov"))).distinct()
+                  else matched.select(dstId.as("__cov")).distinct()
+                val extras = tgt.join(covered, dstId === col("__cov"),
+                  "left_anti")
+                leftPart.unionByName(extras, allowMissingColumns = true)
+            }
+          case (true, true) =>
+            // both ends bound (cyclic pattern): edge-existence join
+            require(t.kind == JoinKind.Inner,
+              "only INNER supported when both traverse ends are bound")
+            df.join(eDf, srcId === eSrc && eDst === dstId)
+          case (false, true) =>
+            // multi-pattern second chain into a shared target alias
+            // (reference J8: intersection via shared target id-set,
+            // apps/tundra_shell.cpp:584-640 + join.cpp:51-76)
+            require(t.kind == JoinKind.Inner,
+              "shared-target multi-pattern supports INNER (reference " +
+                "LEFT-union semantics not yet ported)")
+            val srcDf = scanNode(t.srcAlias)
+            val side = srcDf.join(eDf, srcId === eSrc)
+            df.join(side, eDst === dstId)
+          case (false, false) =>
+            throw new IllegalArgumentException(
+              s"disconnected pattern at ${t.srcAlias}->${t.dstAlias}")
+        }
+        bound += t.srcAlias
+        bound += t.dstAlias
+        if (t.edgeAlias.isEmpty)
+          df = df.drop(df.columns.filter(_.startsWith(s"$eAlias$SEP")): _*)
+    }
+
+    // ---- Deferred cross-alias WHERE (reference F7:
+    // src/query/filter_executor.cpp:10-47)
+    postFilters.foreach(e => df = df.filter(compile(e, df)))
+
+    // ---- SELECT projection + alias.field output naming (reference P1/R1)
+    val outCols: Seq[Column] =
+      if (q.select.isEmpty)
+        df.columns.filterNot(_.startsWith("__e")).toIndexedSeq
+          .map(c => col(c).as(c.replaceFirst(SEP, ".")))
+      else q.select.flatMap {
+        case SelectAlias(a) =>
+          require(nodeAliases.contains(a) || edgeAliases.contains(a),
+            s"SELECT references unknown alias: $a")
+          df.columns.filter(_.startsWith(s"$a$SEP")).toIndexedSeq
+            .map(c => col(c).as(c.replaceFirst(SEP, ".")))
+        case SelectField(r, as) =>
+          val c = refColumn(r, df, castTo = None)
+          Seq(c.as(as.getOrElse(r.toString)))
+      }
+    df.select(outCols: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // WHERE compilation with strict typing (reference F3:
+  // compare_values, src/query/query.cpp:81-163 — no implicit coercion)
+  // ------------------------------------------------------------------
+
+  private def compile(e: WhereExpr, df: DataFrame): Column = e match {
+    case And(l, r) => compile(l, df) && compile(r, df)
+    case Or(l, r)  => compile(l, df) || compile(r, df)
+    case Comparison(f, op, rhs) =>
+      val lhsType = refType(f, df)
+      validateTypes(f, lhsType, op, rhs, df)
+      val lhs = refColumn(f, df, castTo = litTypeFor(rhs, lhsType))
+      rhs match {
+        case r: FieldRef =>
+          applyOp(lhs, op, refColumn(r, df, castTo = None))
+        case null => op match {
+          case CmpOp.Eq    => lhs.isNull
+          case CmpOp.NotEq => lhs.isNotNull
+          case _ => throw new IllegalArgumentException(
+            s"NULL only supports = / != (reference F3): $f $op")
+        }
+        case v => applyOp(lhs, op, lit(v))
+      }
+  }
+
+  private def applyOp(l: Column, op: CmpOp, r: Column): Column = op match {
+    case CmpOp.Eq         => l === r
+    case CmpOp.NotEq      => l =!= r
+    case CmpOp.Gt         => l > r
+    case CmpOp.Lt         => l < r
+    case CmpOp.Gte        => l >= r
+    case CmpOp.Lte        => l <= r
+    case CmpOp.Contains   => l.contains(r)
+    case CmpOp.StartsWith => l.startsWith(r)
+    case CmpOp.EndsWith   => l.endsWith(r)
+  }
+
+  /** Resolve `alias.field` (or nested map path) to a Column against either
+    * a renamed scan or the denormalized frame. */
+  private def refColumn(r: FieldRef, df: DataFrame,
+                        castTo: Option[DataType]): Column = {
+    val base = col(s"${r.alias}$SEP${r.field}")
+    val c =
+      if (r.mapPath.isEmpty) base
+      // nested MAP key access (reference P2/F5:
+      // src/query/execution.cpp:32-164 — native element_at in Spark)
+      else r.mapPath.foldLeft(base)((acc, k) => element_at(acc, k))
+    castTo match {
+      case Some(dt) if r.mapPath.nonEmpty => c.cast(dt)
+      case _                              => c
+    }
+  }
+
+  private def refType(r: FieldRef, df: DataFrame): DataType = {
+    val name = s"${r.alias}$SEP${r.field}"
+    val f = df.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown field: $r"))
+    if (r.mapPath.isEmpty) f.dataType
+    else f.dataType match {
+      case MapType(_, vt, _) => vt
+      case other => throw new IllegalArgumentException(
+        s"$r: nested path on non-MAP type $other")
+    }
+  }
+
+  /** For map-valued (string-stored) fields compared against typed literals,
+    * cast the extracted value to the literal's type — the analog of the
+    * reference's dominant-type inference (execution.cpp:74-79). */
+  private def litTypeFor(rhs: Any, lhsType: DataType): Option[DataType] =
+    rhs match {
+      case _: Int | _: Long      => Some(LongType)
+      case _: Double | _: Float  => Some(DoubleType)
+      case _: Boolean            => Some(BooleanType)
+      case _                     => None
+    }
+
+  private def validateTypes(f: FieldRef, lhsType: DataType, op: CmpOp,
+                            rhs: Any, df: DataFrame): Unit = {
+    val stringOps: Set[CmpOp] =
+      Set(CmpOp.Contains, CmpOp.StartsWith, CmpOp.EndsWith)
+    val eqOps: Set[CmpOp] = Set(CmpOp.Eq, CmpOp.NotEq)
+    def numeric(dt: DataType): Boolean = dt match {
+      case _: IntegerType | _: LongType | _: FloatType | _: DoubleType |
+           _: ShortType | _: ByteType | _: DecimalType => true
+      case _ => false
+    }
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"type error on $f $op: $msg")
+    val mapValued = f.mapPath.nonEmpty
+    rhs match {
+      case null => if (!eqOps(op)) fail("NULL only supports = / !=")
+      case r: FieldRef =>
+        val rt = refType(r, df)
+        if (!mapValued && !(numeric(lhsType) && numeric(rt)) &&
+          lhsType != rt) fail(s"incompatible types $lhsType vs $rt")
+      case _: Boolean =>
+        if (!eqOps(op)) fail("BOOL only supports = / != (reference F3)")
+        if (!mapValued && lhsType != BooleanType)
+          fail(s"BOOL literal vs $lhsType")
+      case _: String =>
+        if (!mapValued && lhsType != StringType &&
+          !lhsType.isInstanceOf[TimestampType])
+          fail(s"STRING literal vs $lhsType (no implicit coercion)")
+      case _: Int | _: Long | _: Double | _: Float =>
+        if (stringOps(op)) fail("string op needs string operands")
+        if (!mapValued && !numeric(lhsType))
+          fail(s"numeric literal vs $lhsType")
+      case other => fail(s"unsupported literal ${other.getClass}")
+    }
+    if (stringOps(op) && !mapValued && lhsType != StringType)
+      fail("string op on non-string field")
+    if (lhsType == BooleanType && !eqOps(op))
+      fail("BOOL only supports = / !=")
+  }
+}

@@ -1,0 +1,595 @@
+package graft.store
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.core.Ast.{INF, TemporalSnapshot}
+
+/** Version metadata columns appended to every node row when versioning is
+  * enabled. Full rows are stored per version (columnar-friendly) instead of
+  * the reference's sparse deltas (include/memory/node_arena.hpp:40-69) —
+  * deltas are an arena optimization, not semantics.
+  *
+  * Update rule (reference: NodeArena::apply_updates,
+  * src/memory/node_arena.cpp:250-275): a new version opens
+  * `valid=[now,INF) tx=[now,INF)`; the previous head's `valid_to` is closed
+  * at `now`. Visibility (include/query/temporal_context.hpp:113-144):
+  * `valid_from <= vt < valid_to && tx_from <= tt < tx_to`, an axis set to
+  * INF is unconstrained, newest visible version wins.
+  */
+object VersionCols {
+  val Ver = "_ver"; val Vf = "_vf"; val Vt = "_vt"; val Tf = "_tf"
+  val Tt = "_tt"
+  val all: Seq[String] = Seq(Ver, Vf, Vt, Tf, Tt)
+  val fields: Seq[StructField] =
+    all.map(StructField(_, LongType, nullable = false))
+}
+
+/** Graph store: per-label node tables + per-(type,src,dst) edge tables.
+  *
+  * Two storage planes per table, designed so interactive record-at-a-time
+  * use (the reference's embeddable-DB usage) and cluster-scale bulk use
+  * coexist:
+  *   - a driver-side row buffer for interactive createNode/connect/update —
+  *     cheap, exact reference CRUD semantics (no-op update detection,
+  *     APPEND, nested MAP paths);
+  *   - a lazy `base` DataFrame (Parquet-backed after restore/attach) —
+  *     all bulk mutations are expressed as distributed plan rewrites
+  *     (projection / union / anti-join), never driver collects.
+  */
+final class GraphStore(
+    val spark: SparkSession,
+    val versioningEnabled: Boolean = false,
+    val clock: Clock = SystemClock
+) {
+  val catalog = new Catalog
+
+  private val nodeTables = mutable.LinkedHashMap[String, NodeTable]()
+  private val edgeTables =
+    mutable.LinkedHashMap[(String, String, String), EdgeTable]()
+
+  // ------------------------------------------------------------------
+  // DDL
+  // ------------------------------------------------------------------
+
+  /** CREATE SCHEMA (reference D1: SchemaRegistry::create,
+    * include/schema/schema.hpp:168 — `id` auto-prepended). */
+  def createSchema(label: String, fields: (String, DataType)*): Unit = {
+    val st = catalog.createSchema(
+      label, fields.map { case (n, t) => StructField(n, t, nullable = true) })
+    nodeTables(label) = new NodeTable(label, st)
+  }
+
+  /** CREATE EDGE SCHEMA (reference D2: EdgeStore::register_edge_schema,
+    * src/core/edge_store.cpp:15). */
+  def createEdgeSchema(
+      name: String, srcLabel: String, dstLabel: String,
+      props: (String, DataType)*): Unit = {
+    val info = EdgeTypeInfo(name, srcLabel, dstLabel,
+      StructType(props.map { case (n, t) => StructField(n, t, nullable = true) }))
+    catalog.registerEdgeType(info)
+    edgeTables((name, srcLabel, dstLabel)) = new EdgeTable(info)
+  }
+
+  /** Register an existing DataFrame as a node label (bulk/cluster path —
+    * e.g. the TPC-H graph view). `idCol` becomes the node id. */
+  def attachNodes(label: String, df: DataFrame, idCol: String): Unit = {
+    val renamed = df.withColumnRenamed(idCol, "id")
+      .withColumn("id", col("id").cast(LongType))
+    val fields = renamed.schema.fields.filter(_.name != "id")
+    catalog.createSchema(label, fields.toIndexedSeq)
+    val st = catalog.schemaOf(label)
+    val ordered = renamed.select(st.fieldNames.map(col).toIndexedSeq: _*)
+    val t = new NodeTable(label, st)
+    t.base = Some(if (versioningEnabled) NodeTable.addV0(ordered, clock) else ordered)
+    t.counterInitialized = false
+    nodeTables(label) = t
+  }
+
+  /** Register an existing DataFrame as an edge set. Must have `src`/`dst`
+    * columns (LongType); `id`/`created_ts` are synthesized if absent. */
+  def attachEdges(
+      name: String, srcLabel: String, dstLabel: String, df: DataFrame): Unit = {
+    val info = EdgeTypeInfo(name, srcLabel, dstLabel,
+      StructType(df.schema.fields.filterNot(f =>
+        Seq("id", "src", "dst", "created_ts").contains(f.name)).toIndexedSeq))
+    catalog.registerEdgeType(info)
+    var e = df
+      .withColumn("src", col("src").cast(LongType))
+      .withColumn("dst", col("dst").cast(LongType))
+    if (!e.columns.contains("id"))
+      e = e.withColumn("id", xxhash64(lit(name), col("src"), col("dst")))
+    if (!e.columns.contains("created_ts"))
+      e = e.withColumn("created_ts", lit(0L))
+    val t = new EdgeTable(info)
+    t.base = Some(e.select(t.schema.fieldNames.map(col).toIndexedSeq: _*))
+    edgeTables((name, srcLabel, dstLabel)) = t
+  }
+
+  // ------------------------------------------------------------------
+  // DML — interactive (buffered, reference-CRUD semantics)
+  // ------------------------------------------------------------------
+
+  /** CREATE NODE (reference D3: Database::create_node,
+    * src/main/database.cpp:70-80) — per-schema auto-increment id. */
+  def createNode(label: String, values: Map[String, Any]): Long = {
+    val t = table(label)
+    t.ensureCounter()
+    val id = catalog.nextNodeId(label)
+    t.appendRow(id, values, clock.nowNanos, versioningEnabled)
+    id
+  }
+
+  /** Bulk ingest with contiguous per-label ids assigned distributively
+    * (no collect; never monotonically_increasing_id — ids must be dense,
+    * reference README.md:139). */
+  def createNodes(label: String, df: DataFrame): Unit = {
+    val t = table(label)
+    t.ensureCounter()
+    t.flush(spark)
+    val st = catalog.schemaOf(label)
+    val n = df.count()
+    val first = catalog.reserveNodeIds(label, n)
+    val fieldCols = st.fieldNames.filter(_ != "id")
+    val withId = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((first + i) +: fieldCols.map(f =>
+        if (r.schema.fieldNames.contains(f)) r.getAs[Any](f) else null).toSeq)
+    }
+    var appended = spark.createDataFrame(withId, StructType(
+      StructField("id", LongType, nullable = false) +:
+        st.fields.filter(_.name != "id").toIndexedSeq))
+    if (versioningEnabled) appended = NodeTable.addV0(appended, clock)
+    t.base = Some(t.base.map(_.unionByName(appended)).getOrElse(appended))
+  }
+
+  /** CREATE EDGE (reference D4: Database::connect,
+    * src/main/database.cpp:122-139). Returns edge id, or -1 when `unique`
+    * and the edge already exists in the buffer. */
+  def connect(
+      srcLabel: String, srcId: Long, edgeType: String,
+      dstLabel: String, dstId: Long,
+      props: Map[String, Any] = Map.empty, unique: Boolean = false): Long = {
+    val key = (edgeType, srcLabel, dstLabel)
+    val t = edgeTables.getOrElseUpdate(key, {
+      val info = EdgeTypeInfo(edgeType, srcLabel, dstLabel)
+      catalog.registerEdgeType(info)
+      new EdgeTable(info)
+    })
+    if (unique && t.existsBuffered(srcId, dstId)) return -1L
+    val id = catalog.nextEdgeId()
+    t.appendRow(id, srcId, dstId, clock.nowNanos, props)
+    id
+  }
+
+  /** UPDATE by id (reference D5: src/update/update_executor.cpp:23-81).
+    * `sets` keys may be nested MAP paths ("props.score"). `append` fields
+    * get ARRAY append semantics (reference D7). Returns false for a no-op
+    * (versioned no-op creates no version —
+    * tests/temporal_query_test.cpp:823). */
+  def updateNode(
+      label: String, id: Long, sets: Map[String, Any],
+      append: Set[String] = Set.empty): Boolean = {
+    val t = table(label)
+    t.updateBuffered(id, sets, append, clock.nowNanos, versioningEnabled) match {
+      case Some(changed) => changed
+      case None => // row lives in the base DataFrame — distributed rewrite
+        val cols = sets.map { case (k, v) => k -> lit(v) }
+        updateWhere(label, col("id") === id, cols, append); true
+    }
+  }
+
+  /** Bulk UPDATE (reference D6 shape): distributed projection rewrite; with
+    * versioning, closes matched heads and appends new version rows.
+    * `validFrom` in the past makes the update a retroactive correction
+    * (reference: docs/README_temporal_versioning.md §6.2 — tx_from is
+    * always commit time; valid_from may be back-dated). */
+  def updateWhere(
+      label: String, cond: Column, sets: Map[String, Column],
+      append: Set[String] = Set.empty,
+      validFrom: Option[Long] = None): Unit = {
+    val t = table(label)
+    t.flush(spark)
+    val base = t.base.getOrElse(return)
+    val now = clock.nowNanos
+    def applied(df: DataFrame): DataFrame =
+      sets.foldLeft(df) { case (d, (k, v)) =>
+        val nv = if (append.contains(k)) concat(col(k), array(v)) else v
+        d.withColumn(k, nv)
+      }
+    if (!versioningEnabled) {
+      t.base = Some(
+        sets.foldLeft(base) { case (d, (k, v)) =>
+          val nv = if (append.contains(k)) concat(col(k), array(v)) else v
+          d.withColumn(k, when(cond, nv).otherwise(col(k)))
+        })
+    } else {
+      val isHead = col(VersionCols.Vt) === INF
+      val hit = cond && isHead
+      val newVersions = applied(base.filter(hit))
+        .withColumn(VersionCols.Ver, col(VersionCols.Ver) + 1)
+        .withColumn(VersionCols.Vf, lit(validFrom.getOrElse(now)))
+        .withColumn(VersionCols.Vt, lit(INF))
+        .withColumn(VersionCols.Tf, lit(now))
+        .withColumn(VersionCols.Tt, lit(INF))
+      val closed = base.withColumn(VersionCols.Vt,
+        when(hit, lit(now)).otherwise(col(VersionCols.Vt)))
+      t.base = Some(closed.unionByName(newVersions))
+    }
+  }
+
+  /** DELETE nodes matching `cond` + their incident edges (reference D8:
+    * src/main/database.cpp:107-114, DELETE_SYNTAX.md). Distributed:
+    * anti-join rewrites, no collect. */
+  def deleteWhere(label: String, cond: Column): Unit = {
+    val t = table(label)
+    t.flush(spark)
+    t.base.foreach { base =>
+      val doomed = base.filter(cond).select(col("id").as("__gone"))
+      t.base = Some(base.filter(!coalesce(cond, lit(false))))
+      edgeTables.values.foreach { e =>
+        if (e.info.srcLabel == label)
+          e.antiJoin(spark, doomed, "src")
+        if (e.info.dstLabel == label)
+          e.antiJoin(spark, doomed, "dst")
+      }
+    }
+  }
+
+  def deleteNode(label: String, id: Long): Unit =
+    deleteWhere(label, col("id") === id)
+
+  /** DELETE EDGE variants (reference D9: by type / FROM / TO / FROM+TO). */
+  def deleteEdges(
+      edgeType: String, srcLabel: String, dstLabel: String,
+      from: Option[Long] = None, to: Option[Long] = None): Unit = {
+    edgeTables.get((edgeType, srcLabel, dstLabel)).foreach { e =>
+      e.flush(spark)
+      val cond = (from, to) match {
+        case (Some(s), Some(d)) => col("src") === s && col("dst") === d
+        case (Some(s), None)    => col("src") === s
+        case (None, Some(d))    => col("dst") === d
+        case (None, None)       => lit(true)
+      }
+      e.base = e.base.map(_.filter(!cond))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Scans
+  // ------------------------------------------------------------------
+
+  /** Node scan (reference S1: Database::get_table,
+    * src/main/database.cpp:153-172) with optional bitemporal as-of (T1/T2).
+    * Version metadata columns are resolved and dropped. */
+  def nodes(label: String,
+            asOf: Option[TemporalSnapshot] = None): DataFrame = {
+    val t = table(label)
+    val df = t.materialize(spark)
+    if (!versioningEnabled) df
+    else {
+      val snap = asOf.getOrElse(TemporalSnapshot())
+      val visible =
+        if (snap.validTime == INF && snap.txTime == INF)
+          df.filter(col(VersionCols.Vt) === INF) // current = head version
+        else {
+          val vOk =
+            if (snap.validTime == INF) lit(true)
+            else col(VersionCols.Vf) <= snap.validTime &&
+              lit(snap.validTime) < col(VersionCols.Vt)
+          val tOk =
+            if (snap.txTime == INF) lit(true)
+            else col(VersionCols.Tf) <= snap.txTime &&
+              lit(snap.txTime) < col(VersionCols.Tt)
+          // newest visible version wins (chain walk newest->oldest)
+          val w = Window.partitionBy("id").orderBy(col(VersionCols.Ver).desc)
+          df.filter(vOk && tOk)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
+      visible.drop(VersionCols.all: _*)
+    }
+  }
+
+  /** Edge scan (reference S3: EdgeStore::get_table,
+    * src/core/edge_store.cpp:568): `(id, src, dst, created_ts, props…)`. */
+  def edges(edgeType: String, srcLabel: String, dstLabel: String): DataFrame =
+    edgeTables.get((edgeType, srcLabel, dstLabel)) match {
+      case Some(t) => t.materialize(spark)
+      case None =>
+        throw new IllegalArgumentException(
+          s"unknown edge type: $edgeType ($srcLabel->$dstLabel)")
+    }
+
+  /** All edges named `edgeType` regardless of endpoints (SHOW EDGES t,
+    * reference D11). */
+  def edgesNamed(edgeType: String): DataFrame = {
+    val dfs = edgeTables.collect {
+      case ((n, _, _), t) if n == edgeType =>
+        t.materialize(spark).select("id", "src", "dst", "created_ts")
+    }.toSeq
+    require(dfs.nonEmpty, s"unknown edge type: $edgeType")
+    dfs.reduce(_ unionByName _)
+  }
+
+  def edgeTypeFor(edgeType: String, srcLabel: String): Option[EdgeTypeInfo] =
+    catalog.edgeTypesNamed(edgeType).find(_.srcLabel == srcLabel)
+
+  // ------------------------------------------------------------------
+  // Persistence (reference S4/S5/D10: snapshot commit + restore,
+  // src/storage/snapshot_manager.cpp:315 / :26)
+  // ------------------------------------------------------------------
+
+  def commit(path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("versioning", versioningEnabled)
+    root.put("edgeCounter", catalog.edgeIdCounter.get())
+    val labelsNode = root.putArray("labels")
+    nodeTables.foreach { case (label, t) =>
+      t.flush(spark)
+      t.base.foreach(_.write.mode("overwrite")
+        .parquet(s"$path/nodes/$label"))
+      val ln = labelsNode.addObject()
+      ln.put("label", label)
+      ln.put("schema", catalog.schemaOf(label).json)
+      ln.put("counter", catalog.nodeCounter(label))
+    }
+    val edgesNode = root.putArray("edges")
+    edgeTables.foreach { case ((name, s, d), t) =>
+      t.flush(spark)
+      t.base.foreach(_.write.mode("overwrite")
+        .parquet(s"$path/edges/${name}__${s}__$d"))
+      val en = edgesNode.addObject()
+      en.put("name", name); en.put("src", s); en.put("dst", d)
+      en.put("props", t.info.props.json)
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/manifest.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
+  private def table(label: String): NodeTable =
+    nodeTables.getOrElse(label,
+      throw new IllegalArgumentException(s"unknown schema: $label"))
+}
+
+object GraphStore {
+  /** Restore a snapshot written by [[GraphStore.commit]]. */
+  def restore(spark: SparkSession, path: String,
+              clock: Clock = SystemClock): GraphStore = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/manifest.json")))
+    val store =
+      new GraphStore(spark, root.get("versioning").asBoolean(), clock)
+    root.get("labels").elements().asScala.foreach { ln =>
+      val label = ln.get("label").asText()
+      val st = DataType.fromJson(ln.get("schema").asText())
+        .asInstanceOf[StructType]
+      store.createSchema(label,
+        st.fields.filter(_.name != "id")
+          .map(f => f.name -> f.dataType).toIndexedSeq: _*)
+      store.catalog.setNodeCounter(label, ln.get("counter").asLong())
+      val t = store.nodeTables(label)
+      t.base = Some(spark.read.parquet(s"$path/nodes/$label"))
+      t.counterInitialized = true
+    }
+    root.get("edges").elements().asScala.foreach { en =>
+      val (name, s, d) =
+        (en.get("name").asText(), en.get("src").asText(),
+          en.get("dst").asText())
+      val props = DataType.fromJson(en.get("props").asText())
+        .asInstanceOf[StructType]
+      val info = EdgeTypeInfo(name, s, d, props)
+      store.catalog.registerEdgeType(info)
+      val t = new EdgeTable(info)
+      t.base = Some(spark.read.parquet(s"$path/edges/${name}__${s}__$d"))
+      store.edgeTables((name, s, d)) = t
+    }
+    store.catalog.edgeIdCounter.set(root.get("edgeCounter").asLong())
+    store
+  }
+}
+
+// ====================================================================
+// Table states
+// ====================================================================
+
+private[store] final class NodeTable(
+    val label: String, val schema: StructType) {
+  /** Schema including version columns (only meaningful when versioning). */
+  def fullSchema(versioned: Boolean): StructType =
+    if (versioned) StructType(schema.fields ++ VersionCols.fields) else schema
+
+  var base: Option[DataFrame] = None
+  var counterInitialized: Boolean = true
+  val buffer = mutable.ArrayBuffer[Array[Any]]()
+  /** id -> buffer index of the current head version row. */
+  private val headIdx = mutable.LongMap[Int]()
+  private var buffered = false
+
+  def ensureCounter(): Unit = ()
+
+  def appendRow(id: Long, values: Map[String, Any], now: Long,
+                versioned: Boolean): Unit = {
+    val unknown = values.keySet.diff(schema.fieldNames.toSet)
+    require(unknown.isEmpty, s"unknown fields for $label: $unknown")
+    val fieldVals = schema.fields.filter(_.name != "id").map { f =>
+      TypeCoercion.coerce(values.getOrElse(f.name, null), f.dataType,
+        s"$label.${f.name}")
+    }
+    val row: Array[Any] =
+      if (versioned) (id +: fieldVals) ++ Array[Any](0L, now, INF, now, INF)
+      else (id +: fieldVals).toArray[Any]
+    buffer += row
+    headIdx(id) = buffer.length - 1
+    buffered = true
+  }
+
+  /** Buffered update; None if the id is not in the buffer. Some(false) when
+    * the update was a no-op (versioned: creates no version). */
+  def updateBuffered(id: Long, sets: Map[String, Any], append: Set[String],
+                     now: Long, versioned: Boolean): Option[Boolean] =
+    headIdx.get(id).map { idx =>
+      val row = buffer(idx)
+      val updated = row.clone()
+      var changed = false
+      sets.foreach { case (key, v) =>
+        val parts = key.split('.')
+        val fi = schema.fieldIndex(parts.head)
+        val dt = schema.fields(fi).dataType
+        val nv: Any =
+          if (parts.length > 1) {
+            // nested MAP path update (reference:
+            // src/update/update_executor.cpp:23-81, MAP value stringified)
+            val m = Option(updated(fi)).map(_.asInstanceOf[Map[String, String]])
+              .getOrElse(Map.empty[String, String])
+            m.updated(parts(1), if (v == null) null else v.toString)
+          } else if (append.contains(key)) {
+            val cur = Option(updated(fi)).map(_.asInstanceOf[Seq[Any]])
+              .getOrElse(Seq.empty)
+            val et = dt.asInstanceOf[ArrayType].elementType
+            v match {
+              case s: Seq[_] => cur ++ s.map(TypeCoercion.coerce(_, et, key))
+              case one       => cur :+ TypeCoercion.coerce(one, et, key)
+            }
+          } else TypeCoercion.coerce(v, dt, s"$label.$key")
+        if (updated(fi) != nv) changed = true
+        updated(fi) = nv
+      }
+      if (!changed) false
+      else if (!versioned) { buffer(idx) = updated; true }
+      else {
+        val verIdx = schema.fields.length + VersionCols.all.indexOf(VersionCols.Ver)
+        // close old head's valid_to, open a new version at `now`
+        row(schema.fields.length + 2) = now // _vt
+        updated(verIdx) = updated(verIdx).asInstanceOf[Long] + 1
+        updated(schema.fields.length + 1) = now // _vf
+        updated(schema.fields.length + 2) = INF // _vt
+        updated(schema.fields.length + 3) = now // _tf
+        updated(schema.fields.length + 4) = INF // _tt
+        buffer += updated
+        headIdx(id) = buffer.length - 1
+        true
+      }
+    }
+
+  /** Merge the buffer into `base` (lazy union; no action triggered). */
+  def flush(spark: SparkSession): Unit = if (buffered) {
+    val df = bufferDf(spark)
+    base = Some(base.map(_.unionByName(df)).getOrElse(df))
+    buffer.clear(); headIdx.clear(); buffered = false
+  }
+
+  def materialize(spark: SparkSession): DataFrame = {
+    val parts = base.toSeq ++ (if (buffered) Seq(bufferDf(spark)) else Nil)
+    if (parts.isEmpty) {
+      val versioned = base.exists(_.columns.contains(VersionCols.Ver))
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](), fullSchema(versioned))
+    } else parts.reduce(_ unionByName _)
+  }
+
+  private def bufferDf(spark: SparkSession): DataFrame = {
+    val versioned = buffer.headOption.exists(_.length > schema.fields.length)
+    val rows = buffer.map(a => Row.fromSeq(a.toIndexedSeq)).asJava
+    spark.createDataFrame(rows, fullSchema(versioned))
+  }
+}
+
+private[store] object NodeTable {
+  /** Wrap a plain DataFrame as version-0 rows created "at the beginning of
+    * time" (attach path). */
+  def addV0(df: DataFrame, clock: Clock): DataFrame = df
+    .withColumn(VersionCols.Ver, lit(0L))
+    .withColumn(VersionCols.Vf, lit(0L))
+    .withColumn(VersionCols.Vt, lit(INF))
+    .withColumn(VersionCols.Tf, lit(0L))
+    .withColumn(VersionCols.Tt, lit(INF))
+}
+
+private[store] final class EdgeTable(val info: EdgeTypeInfo) {
+  val schema: StructType = StructType(
+    Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("src", LongType, nullable = false),
+      StructField("dst", LongType, nullable = false),
+      StructField("created_ts", LongType, nullable = false)
+    ) ++ info.props.fields)
+
+  var base: Option[DataFrame] = None
+  val buffer = mutable.ArrayBuffer[Array[Any]]()
+  private val pairIndex = mutable.HashSet[(Long, Long)]()
+  private var buffered = false
+
+  def appendRow(id: Long, src: Long, dst: Long, ts: Long,
+                props: Map[String, Any]): Unit = {
+    val unknown = props.keySet.diff(info.props.fieldNames.toSet)
+    require(unknown.isEmpty, s"unknown edge props for ${info.name}: $unknown")
+    val propVals = info.props.fields.map(f =>
+      TypeCoercion.coerce(props.getOrElse(f.name, null), f.dataType,
+        s"${info.name}.${f.name}"))
+    buffer += (Array[Any](id, src, dst, ts) ++ propVals)
+    pairIndex += ((src, dst))
+    buffered = true
+  }
+
+  def existsBuffered(src: Long, dst: Long): Boolean = pairIndex((src, dst))
+
+  def antiJoin(spark: SparkSession, doomed: DataFrame, side: String): Unit = {
+    flush(spark)
+    base = base.map(_.join(doomed, col(side) === col("__gone"), "left_anti"))
+  }
+
+  def flush(spark: SparkSession): Unit = if (buffered) {
+    val df = bufferDf(spark)
+    base = Some(base.map(_.unionByName(df)).getOrElse(df))
+    buffer.clear(); buffered = false
+  }
+
+  def materialize(spark: SparkSession): DataFrame = {
+    val parts = base.toSeq ++ (if (buffered) Seq(bufferDf(spark)) else Nil)
+    if (parts.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else parts.reduce(_ unionByName _)
+  }
+
+  private def bufferDf(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      buffer.map(a => Row.fromSeq(a.toIndexedSeq)).asJava, schema)
+}
+
+/** Loose-but-checked scala-value -> Spark-type coercion for the interactive
+  * row paths. (Query-time comparisons are *strict* per reference F3 — that
+  * check lives in the planner.) */
+private[graft] object TypeCoercion {
+  def coerce(v: Any, dt: DataType, ctx: String): Any = (v, dt) match {
+    case (null, _)                      => null
+    case (i: Int, LongType)             => i.toLong
+    case (l: Long, LongType)            => l
+    case (i: Int, IntegerType)          => i
+    case (l: Long, IntegerType)         => l.toInt
+    case (f: Float, DoubleType)         => f.toDouble
+    case (d: Double, DoubleType)        => d
+    case (i: Int, DoubleType)           => i.toDouble
+    case (f: Float, FloatType)          => f
+    case (d: Double, FloatType)         => d.toFloat
+    case (s: String, StringType)        => s
+    case (b: Boolean, BooleanType)      => b
+    case (m: Map[_, _], MapType(StringType, StringType, _)) =>
+      m.map { case (k, mv) =>
+        k.toString -> (if (mv == null) null else mv.toString)
+      }
+    case (s: Seq[_], ArrayType(et, _))  => s.map(coerce(_, et, ctx))
+    case _ =>
+      throw new IllegalArgumentException(
+        s"type mismatch at $ctx: ${v.getClass.getSimpleName} vs $dt")
+  }
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Reads each query's parquet dump from the Verify output dir, runs the
+corresponding oracle SQL in DuckDB over the same testdata, canonicalizes
+both (columns sorted by name, rows sorted lexicographically, values
+rendered as strings), and diffs.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def render(v):
+        if v is None:
+            return "\0NULL"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, list):
+            return "[" + ",".join(render(x) for x in v) + "]"
+        return str(v)
+
+    out = [tuple(render(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            eng = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            ecols = [d[0] for d in eng.description]
+            erows = eng.fetchall()
+            ora = con.execute(sql)
+            ocols = [d[0] for d in ora.description]
+            orows = ora.fetchall()
+            ec, er = canon(erows, ecols)
+            oc, orr = canon(orows, ocols)
+            if ec != oc:
+                print(f"FAIL {name}: columns {ec} vs {oc}")
+                n_fail += 1
+            elif er != orr:
+                diff = [(a, b) for a, b in zip(er, orr) if a != b][:3]
+                only_e = [r for r in er if r not in set(orr)][:3]
+                only_o = [r for r in orr if r not in set(er)][:3]
+                print(f"FAIL {name}: rows {len(er)} vs {len(orr)}; "
+                      f"first diffs {diff} | only-engine {only_e} | "
+                      f"only-oracle {only_o}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(er)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
