@@ -1,24 +1,109 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Ast._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.planner.Planner
+import graft.streaming.EventStreams
+import graft.tpch.TpchGraph
+
+/** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON line.
+  *
+  * Discipline mirrors the reference bench
+  * (/root/reference/bench/README.md + tundra_runner.cpp): data loaded and
+  * cached before timing, one untimed warmup per query (JIT + codegen),
+  * median over 5 repetitions.
+  */
 object Bench {
+  private val Reps = 5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val store = TpchGraph.store(spark, sfDir, cache = true)
+    // Load once (not timed), like the reference
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "events",
+      "documents", "embeddings").foreach(l => store.nodes(l).count())
+    val planner = new Planner(store)
+
+    def friendJoin: DataFrame = planner.plan(Q.from("c:customer")
+      .where(ref("c.acctbal") > 1000.0 &&
+        ref("c.mktsegment") === "BUILDING")
+      .traverse("c", "placed", "o:orders")
+      .where(ref("o.totalprice") > 50000.0)
+      .select("c.id", "o.id").build)
+
+    val benchmarks: Seq[(String, () => DataFrame)] = Seq(
+      "full_scan" -> (() => planner.plan(
+        Q.from("l:lineitem").select("l.id", "l.quantity").build)),
+      "filtered_query" -> (() => planner.plan(Q.from("c:customer")
+        .where(ref("c.acctbal") > 1000.0).select("c.id").build)),
+      "simple_join" -> (() => planner.plan(Q.from("c:customer")
+        .traverse("c", "placed", "o:orders")
+        .select("c.id", "o.id").build)),
+      "complex_join" -> (() => planner.plan(Q.from("c:customer")
+        .where(ref("c.mktsegment") === "BUILDING")
+        .traverse("c", "placed", "o:orders")
+        .traverse("o", "contains", "l:lineitem")
+        .where(ref("l.quantity") > 40.0)
+        .select("c.id", "o.id", "l.linenumber").build)),
+      "friend_join" -> (() => friendJoin),
+      "agg_pricing" -> (() => store.nodes("lineitem")
+        .groupBy(col("returnflag"), col("linestatus"))
+        .agg(sum(col("quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+      "window_agg" -> (() => EventStreams.windowedStats(
+        store.nodes("events").withColumn("ts",
+          timestamp_micros((col("ts") / 1000L).cast("long"))))),
+      "dedup_exact" -> (() => Dedup.exact(store.nodes("documents"), "id",
+        Seq("text"))),
+      "text_quality" -> (() => TextAnalysis.annotate(
+        store.nodes("documents"), "text")
+        .select("id", "n_tokens", "quality", "fingerprint")),
+      "minhash_lsh" -> (() => Dedup.minhashLsh(
+        store.nodes("documents").filter(col("id") < 10000),
+        "id", "text", numHashes = 32, bands = 8, shingleK = 3,
+        threshold = 0.5)),
+      "ann_topk" -> (() => {
+        val vecs = store.nodes("embeddings").withColumnRenamed("id", "vec_id")
+        Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),
+          k = 10)
+      })
+    )
+
+    def timeOnce(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = benchmarks.map { case (name, f) =>
+      try {
+        timeOnce(f) // warmup, untimed
+        val times = (1 to Reps).map(_ => timeOnce(f)).sorted
+        name -> times(Reps / 2)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

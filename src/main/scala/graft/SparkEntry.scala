@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.analytics.GraphAnalytics
 import graft.core.Ast._
 import graft.core.MockClock
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.planner.Planner
 import graft.store.GraphStore
+import graft.streaming.EventStreams
 import graft.tpch.TpchGraph
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -50,7 +53,13 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    referenceQueries ++ relationalQueries ++ pipelineQueries ++
+      analyticsQueries
+
+  /** Reference-parity operators (SURVEY.md §2.1-2.5). */
+  private def referenceQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S1 scan + P1 projection
     "q01_scan" -> ((s, dir) =>
       planner(s, dir).plan(Q.from("c:customer")
@@ -181,9 +190,256 @@ object SparkEntry {
         .selectAs("s.id", "s_id").build))
   )
 
+  /** Beyond-reference relational surface ([ABSENT] in the reference,
+    * native in Spark — SURVEY.md §2 exposes them as engine operators). */
+  private def relationalQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation with exact (decimal) sums
+    "a20_agg_pricing" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("lineitem")
+        .groupBy(col("returnflag"), col("linestatus"))
+        .agg(sum(col("quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n"))),
+    // ---- ORDER BY + LIMIT (deterministic tie-break on id)
+    "a21_topk" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("customer")
+        .orderBy(col("acctbal").desc, col("id").asc).limit(10)
+        .select(col("id").as("c_id"), col("acctbal"))),
+    // ---- window function: top-3 suppliers by acctbal per nation
+    "a22_window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("nationkey")
+        .orderBy(col("acctbal").desc, col("id").asc)
+      TpchGraph.store(s, dir).nodes("supplier")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("id").as("s_id"), col("nationkey"), col("rn"))
+    }),
+    // ---- set operation: nations with customers but no suppliers
+    "a23_setops" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.nodes("customer").select(col("nationkey").as("n_id")).distinct()
+        .except(st.nodes("supplier").select(col("nationkey").as("n_id"))
+          .distinct())
+    }),
+    // ---- grouped DISTINCT aggregation
+    "a24_distinct_count" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("customer")
+        .groupBy(col("nationkey"))
+        .agg(countDistinct(col("mktsegment")).as("n_seg"))),
+    // ---- HLL approx-distinct (approximate → rows-only check, no oracle)
+    "a25_approx_distinct" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("orders")
+        .agg(approx_count_distinct(col("custkey")).as("approx_customers"))),
+    // ---- tumbling-window aggregation (batch path of the streaming op)
+    "s26_window_agg" -> ((s, dir) => {
+      val ev = TpchGraph.store(s, dir).nodes("events")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      EventStreams.windowedStats(ev).select("win_start", "etype", "n")
+    })
+  )
+
+  /** LLM-training-data pipeline operators (north star, SURVEY.md §2.10). */
+  private def pipelineQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p30_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(TpchGraph.store(s, dir).nodes("documents"), "id",
+        Seq("text")).select(col("id").as("doc_id"), col("cnt"))),
+    // approximate LSH candidate generation → rows-only check
+    // (8 bands of r=8 keep buckets selective — the synthetic corpus has a
+    // tiny vocabulary, so loose bands would explode the candidate set)
+    "p31_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLsh(
+        TpchGraph.store(s, dir).nodes("documents").filter(col("id") < 1000),
+        "id", "text", numHashes = 64, bands = 8, shingleK = 2,
+        threshold = 0.6)),
+    "p32_jaccard_block" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(TpchGraph.store(s, dir).nodes("documents"),
+        "id", "text", blockCol = "source", k = 3, threshold = 0.01)),
+    // xxhash-based signature → rows-only check
+    "p33_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(TpchGraph.store(s, dir).nodes("documents"), "id",
+        "text", maxHamming = 10)),
+    "p34_cosine_pairs" -> ((s, dir) =>
+      Dedup.cosinePairs(
+        TpchGraph.store(s, dir).nodes("embeddings").filter(col("id") < 500),
+        "id", "embedding", threshold = 0.4)),
+    // LSH-bucketed variant (recall < 1 by design) → rows-only check
+    "p35_cosine_lsh" -> ((s, dir) =>
+      Dedup.cosinePairsLsh(TpchGraph.store(s, dir).nodes("embeddings"),
+        "id", "embedding", threshold = 0.4, planes = 8)),
+    "p36_ann_topk" -> ((s, dir) => {
+      val vecs = TpchGraph.store(s, dir).nodes("embeddings")
+        .withColumnRenamed("id", "vec_id")
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),
+        k = 10).select("q_id", "nn_id", "rank", "cosine")
+    }),
+    // IVF probing is approximate → rows-only check
+    "p37_ann_ivf" -> ((s, dir) => {
+      val vecs = TpchGraph.store(s, dir).nodes("embeddings")
+        .withColumnRenamed("id", "vec_id")
+      val centroids = vecs.filter(col("vec_id") < 16)
+      val assigned = Similarity.ivfAssign(vecs, centroids)
+      Similarity.ivfTopK(assigned, centroids,
+        vecs.filter(col("vec_id") < 5), k = 10, nProbe = 4)
+        .select("q_id", "nn_id", "rank", "cosine")
+    }),
+    "p38_text_quality" -> ((s, dir) =>
+      TextAnalysis.annotate(
+        TpchGraph.store(s, dir).nodes("documents"), "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_tokens_bpe"), col("stopword_ratio"), col("avg_word_len"),
+          col("quality"))),
+    "p39_langid" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "p40_fingerprint" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "p41_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.attachBinary(
+        TpchGraph.store(s, dir).nodes("documents"), "id", "text"))
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height")))
+  )
+
+  /** GraphX-lifted batch analytics (SURVEY.md §2.10). */
+  private def analyticsQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g42_components" -> ((s, dir) =>
+      GraphAnalytics.connectedComponents(TpchGraph.store(s, dir),
+        Seq(("same_nation", "supplier", "supplier")))),
+    "g43_triangles" -> ((s, dir) =>
+      GraphAnalytics.triangleCounts(TpchGraph.store(s, dir),
+        Seq(("same_nation", "supplier", "supplier")))
+        .select(col("id"), col("triangles").cast("long").as("triangles"))),
+    // iterative float fixpoint → rows-only check
+    "g44_pagerank" -> ((s, dir) =>
+      GraphAnalytics.pageRank(TpchGraph.store(s, dir),
+        Seq(("same_nation", "supplier", "supplier")), iters = 5))
+  )
+
+  /** DuckDB dialect: sequential float64 dot-product fold — bit-for-bit
+    * identical to [[graft.functions.VectorFunctions.dot]]. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (x,y) -> x+y)"
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+  /** DuckDB dialect: word-3-shingles matching [[Dedup.shingles]]. */
+  private val duckShingles: String =
+    "list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+      "ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)] " +
+      "END)"
+  private val duckStops: String =
+    TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = referenceOracles ++ Map(
+    "a20_agg_pricing" ->
+      ("SELECT l_returnflag AS returnflag, l_linestatus AS linestatus, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, " +
+        "count(*) AS n FROM lineitem GROUP BY 1, 2"),
+    "a21_topk" ->
+      ("SELECT c_custkey AS c_id, c_acctbal AS acctbal FROM customer " +
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 10"),
+    "a22_window_rank" ->
+      ("SELECT s_suppkey AS s_id, s_nationkey AS nationkey, rn FROM " +
+        "(SELECT s_suppkey, s_nationkey, row_number() OVER " +
+        "(PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) " +
+        "AS rn FROM supplier) WHERE rn <= 3"),
+    "a23_setops" ->
+      ("SELECT DISTINCT c_nationkey AS n_id FROM customer EXCEPT " +
+        "SELECT DISTINCT s_nationkey AS n_id FROM supplier"),
+    "a24_distinct_count" ->
+      ("SELECT c_nationkey AS nationkey, " +
+        "count(DISTINCT c_mktsegment) AS n_seg FROM customer GROUP BY 1"),
+    "s26_window_agg" ->
+      ("SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, " +
+        "event_type AS etype, count(*) AS n FROM events GROUP BY 1, 2"),
+    "p30_dedup_exact" ->
+      ("SELECT min(doc_id) AS doc_id, count(*) AS cnt FROM documents " +
+        "GROUP BY text"),
+    "p32_jaccard_block" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+        "FROM documents), " +
+        s"sh AS (SELECT doc_id, source, $duckShingles AS sh FROM t) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.sh, b.sh)) * 1.0 / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.source = b.source " +
+        "AND a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.01"),
+    "p34_cosine_pairs" ->
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id < 500) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${duckCos("a.embedding", "b.embedding")} AS cosine " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        s"WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.4"),
+    "p36_ann_topk" ->
+      ("SELECT q.vec_id AS q_id, v.vec_id AS nn_id, " +
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        s"${duckCos("q.embedding", "v.embedding")} DESC, v.vec_id) " +
+        "AS INT) AS rank, " +
+        s"${duckCos("q.embedding", "v.embedding")} AS cosine " +
+        "FROM embeddings q JOIN embeddings v ON q.vec_id < 5 " +
+        "AND v.vec_id <> q.vec_id " +
+        "QUALIFY rank <= 10"),
+    "p38_text_quality" ->
+      ("WITH t AS (SELECT doc_id, text, " +
+        "regexp_split_to_array(trim(text), '\\s+') AS w, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS wl " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, len(w) AS n_tokens, " +
+        "len(regexp_extract_all(text, " +
+        "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens_bpe, " +
+        s"len(list_filter(wl, t -> t IN $duckStops)) * 1.0 / " +
+        "greatest(len(w) * 1.0, 1.0) AS stopword_ratio, " +
+        "CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / " +
+        "greatest(len(w) * 1.0, 1.0) AS avg_word_len, " +
+        "len(regexp_extract_all(text, '[.,;:!?()-]')) AS n_punct, " +
+        "length(text) AS n_chars FROM t) " +
+        "SELECT doc_id, n_tokens, n_tokens_bpe, stopword_ratio, " +
+        "avg_word_len, stopword_ratio * 0.5 + " +
+        "(CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.3 " +
+        "ELSE 0.0 END) + " +
+        "(CASE WHEN n_punct * 1.0 / greatest(n_chars * 1.0, 1.0) < 0.1 " +
+        "THEN 0.2 ELSE 0.0 END) AS quality FROM m"),
+    "p39_langid" ->
+      ("SELECT doc_id, CASE WHEN " +
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), " +
+        s"'\\s+'), t -> t IN $duckStops)) * 1.0 / " +
+        "greatest(len(regexp_split_to_array(trim(text), '\\s+')) * 1.0, " +
+        "1.0) >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred " +
+        "FROM documents"),
+    "p40_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+        "list_transform(string_split(lower(text), ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents"),
+    "p41_multimodal_decode" ->
+      ("SELECT doc_id, 'fake/raw' AS format, " +
+        "CAST(octet_length(CAST(text AS BLOB)) % 1024 + 1 AS INT) " +
+        "AS width, " +
+        "CAST(octet_length(CAST(text AS BLOB)) % 768 + 1 AS INT) " +
+        "AS height FROM documents"),
+    "g42_components" ->
+      ("SELECT s_suppkey AS id, min(s_suppkey) OVER " +
+        "(PARTITION BY s_nationkey) AS component FROM supplier"),
+    "g43_triangles" ->
+      ("SELECT s_suppkey AS id, (cnt - 1) * (cnt - 2) // 2 AS triangles " +
+        "FROM (SELECT s_suppkey, count(*) OVER " +
+        "(PARTITION BY s_nationkey) AS cnt FROM supplier)")
+  )
+
+  private def referenceOracles: Map[String, String] = Map(
     "q01_scan" ->
       "SELECT c_custkey AS c_id, c_name FROM customer",
     "q02_filter_numeric" ->

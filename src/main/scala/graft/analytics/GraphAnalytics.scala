@@ -1,0 +1,84 @@
+package graft.analytics
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.store.GraphStore
+
+/** Batch graph analytics over the store, lifted into GraphX.
+  *
+  * GraphX requires globally-unique VertexIds while the engine keeps
+  * per-label id namespaces (reference README.md:139) — vertex ids are
+  * namespaced as `labelIndex << 40 | nodeId` (same pitfall the reference's
+  * RIGHT-self-join handles, SURVEY.md §2.10).
+  */
+object GraphAnalytics {
+
+  private def namespaced(labelIdx: Long, id: org.apache.spark.sql.Column) =
+    lit(labelIdx << 40).bitwiseOR(id)
+
+  /** Build a GraphX graph from one or more (edgeType, srcLabel, dstLabel)
+    * edge sets of the store. */
+  def lift(store: GraphStore,
+           edgeSets: Seq[(String, String, String)]): Graph[Long, Int] = {
+    val labels = edgeSets.flatMap(e => Seq(e._2, e._3)).distinct
+    val labelIdx = labels.zipWithIndex.toMap
+    val vertexDfs = labels.map { l =>
+      store.nodes(l).select(
+        namespaced(labelIdx(l).toLong, col("id")).as("vid"))
+    }
+    val vertices = vertexDfs.reduce(_ union _)
+      .rdd.map(r => (r.getLong(0): VertexId, r.getLong(0)))
+    val edgeRdds = edgeSets.map { case (t, s, d) =>
+      store.edges(t, s, d).select(
+        namespaced(labelIdx(s).toLong, col("src")).as("s"),
+        namespaced(labelIdx(d).toLong, col("dst")).as("d"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    }
+    Graph(vertices, edgeRdds.reduce(_ union _),
+      defaultVertexAttr = 0L,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def denamespace(vid: org.apache.spark.sql.Column) =
+    vid.bitwiseAND((1L << 40) - 1)
+
+  /** Connected components → (id, component) with the engine's node ids
+    * (component = min namespaced vertex id, denamespaced). */
+  def connectedComponents(store: GraphStore,
+                          edgeSets: Seq[(String, String, String)]): DataFrame = {
+    val g = lift(store, edgeSets)
+    val spark = store.spark
+    import spark.implicits._
+    g.connectedComponents().vertices
+      .toDF("vid", "component")
+      .select(denamespace(col("vid")).as("id"),
+        denamespace(col("component")).as("component"))
+  }
+
+  /** Per-vertex triangle counts. Edges are canonicalized (srcId < dstId)
+    * as triangleCount requires. */
+  def triangleCounts(store: GraphStore,
+                     edgeSets: Seq[(String, String, String)]): DataFrame = {
+    val g = lift(store, edgeSets)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    val spark = store.spark
+    import spark.implicits._
+    g.triangleCount().vertices.toDF("vid", "triangles")
+      .select(denamespace(col("vid")).as("id"), col("triangles"))
+  }
+
+  /** PageRank → (id, rank). Iterative float algorithm: verified
+    * rows-only (no closed-form oracle). */
+  def pageRank(store: GraphStore, edgeSets: Seq[(String, String, String)],
+               iters: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val g = lift(store, edgeSets)
+    val spark = store.spark
+    import spark.implicits._
+    g.staticPageRank(iters, resetProb).vertices.toDF("vid", "rank")
+      .select(denamespace(col("vid")).as("id"), col("rank"))
+  }
+}

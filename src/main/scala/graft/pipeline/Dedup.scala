@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its 100 TB shape:
+  *
+  *  - exact:        one hash-aggregate shuffle on the content key
+  *  - minhash LSH:  signatures are a pure projection; only the banded
+  *                  buckets shuffle, so candidate generation is O(n·bands)
+  *                  rows instead of O(n²) pairs
+  *  - simhash:      64-bit signature projection + chunk-bucket join
+  *  - n-gram Jaccard: exact verification, meant to run on LSH candidates
+  *                  or within small blocks — never the full cross product
+  *  - embedding cosine: brute-force verified variant plus a random-
+  *                  hyperplane-bucketed scale path
+  */
+object Dedup {
+
+  /** Exact dedup: representative (min id) + multiplicity per distinct key.
+    * Map-side partial aggregation makes this one shuffle of distinct keys.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("cnt"))
+
+  /** Word k-shingles of a text column, distinct, lowercased. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** MinHash signature: for each of `numHashes` hash families, the min
+    * xxhash64(shingle, familyIndex) over the shingle set. Pure projection,
+    * codegen'd, no shuffle. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * numHashes must be divisible by bands; r = numHashes/bands rows per
+    * band. Pairs sharing any band bucket are candidates; candidates are
+    * verified with exact Jaccard over the shingle sets and filtered at
+    * `threshold`. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+                 threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    // Shingle sets hashed to longs once — Jaccard over hashed shingles is
+    // (collision-negligibly) identical and far cheaper to shuffle than
+    // string arrays.
+    val base = df
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__shh", array_distinct(
+        transform(shingles(col("__text"), shingleK), s => xxhash64(s))))
+    val sig = minhashSignature(col("__shh"), numHashes)
+    // Candidate generation carries ONLY (id, bucket): with skewed corpora
+    // a bucket can hold O(n) rows, and duplicating shingle arrays into
+    // that join is the scale killer. Arrays are re-joined afterwards, per
+    // deduped pair.
+    val buckets = base
+      .select(col("__id"), explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat(b.cast("string"), lit(":"),
+            concat_ws(",", slice(sig, b * r + 1, lit(r))))))).as("__b"))
+    val cand = buckets.select(col("__id").as("id_a"), col("__b"))
+      .join(buckets.select(col("__id").as("id_b"), col("__b")), "__b")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val sa = base.select(col("__id").as("id_a"), col("__shh").as("sh_a"))
+    val sb = base.select(col("__id").as("id_b"), col("__shh").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token multiset: bit b is 1 when more token
+    * hashes have bit b set than not. Pure projection. */
+  def simhash(text: Column): Column = {
+    val hs = transform(split(lower(trim(text)), "\\s+"),
+      t => xxhash64(t))
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, b) => acc.bitwiseOR(
+        when(aggregate(hs, lit(0L),
+          (a2, h) => a2 + when(call_function("shiftright", h, b).bitwiseAND(1) === 1L, 1L)
+            .otherwise(-1L)) > 0, lit(1L)).otherwise(lit(0L))
+          .cast("long") * call_function("shiftleft", lit(1L), b)))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
+    * chunks (guarantees recall for hamming distance <= 3), verified with
+    * bit_count(xor) <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"),
+      simhash(col(textCol)).as("__sig"))
+    val chunked = sigs.select(col("__id"), col("__sig"),
+      explode(transform(sequence(lit(0), lit(3)), c =>
+        concat(c.cast("string"), lit(":"),
+          call_function("shiftright", col("__sig"), c * 16).bitwiseAND(0xFFFFL)
+            .cast("string")))).as("__chunk"))
+    val a = chunked.select(col("__id").as("id_a"),
+      col("__sig").as("sig_a"), col("__chunk"))
+    val b = chunked.select(col("__id").as("id_b"),
+      col("__sig").as("sig_b"), col("__chunk"))
+    a.join(b, a("__chunk") === b("__chunk") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs within `blockCol` blocks (never
+    * run unblocked at scale — the block join bounds the pair count). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, k: Int = 3,
+                        threshold: Double = 0.1): DataFrame = {
+    val p = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+      shingles(col(textCol), k).as("__sh"))
+    val a = p.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
+      col("__blk"))
+    val b = p.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
+      col("__blk"))
+    a.join(b, a("__blk") === b("__blk") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force embedding near-dup pairs (cosine >= threshold). O(n²)
+    * verification baseline — gate-able bit-for-bit; use
+    * [[cosinePairsLsh]] at scale. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Scale path: random-hyperplane LSH. Deterministic pseudo-random
+    * hyperplanes derived from xxhash64(plane, dim); vectors sharing a
+    * sign-pattern bucket over `planes` hyperplanes are candidates, then
+    * exact-verified. Recall < 1 by construction (document the trade). */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, planes: Int = 12): DataFrame = {
+    val v = col(vecCol)
+    // component d of plane p = (xxhash64(p,d) mod 2001 - 1000) / 1000
+    val bucket = aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, p) => acc.bitwiseOR(
+        when(aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, d) => x.cast("double") *
+              ((pmod(xxhash64(p, d), lit(2001L)) - 1000L)
+                .cast("double") / 1000.0)),
+          lit(0.0), (a2, t) => a2 + t) > 0.0, lit(1L)).otherwise(lit(0L))
+          .cast("long") * call_function("shiftleft", lit(1L), p)))
+    val withB = df.select(col(idCol).as("__id"), v.as("__v"),
+      bucket.as("__bkt"))
+    val a = withB.select(col("__id").as("id_a"), col("__v").as("v_a"),
+      col("__bkt"))
+    val b = withB.select(col("__id").as("id_b"), col("__v").as("v_b"),
+      col("__bkt"))
+    a.join(b, a("__bkt") === b("__bkt") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set
+  *   against the vector table, one shuffle for the per-query top-k.
+  * - [[ivfAssign]] / [[ivfTopK]] — IVF-style scale path: vectors are
+  *   partitioned by nearest centroid once (pure projection vs a broadcast
+  *   centroid table); queries probe only `nProbe` nearest centroid
+  *   partitions, cutting the scanned fraction to ~nProbe/nCentroids.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast). Ties break on vec_id ascending for determinism. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("nn_id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val scored = v.join(broadcast(q), col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        cosine(col("qv"), col("v")).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Assign every vector to its nearest centroid (L2). `centroids` is
+    * broadcast; assignment is a single pass, no shuffle. Deterministic
+    * given deterministic centroids (e.g. the first nCentroids vectors —
+    * a stand-in for a k-means fit, which would need sampled init). */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val v = vectors.select(col(idCol), col(vecCol))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist").asc, col("c_id").asc)
+    v.join(broadcast(c))
+      .select(col(idCol), col(vecCol), col("c_id"),
+        l2sq(col(vecCol), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("c_id").as("cluster"))
+  }
+
+  /** IVF top-k: probe the `nProbe` nearest clusters per query, then exact
+    * cosine within the probed partitions. Approximate: recall depends on
+    * nProbe/nCentroids. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame,
+              queries: DataFrame, k: Int, nProbe: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("qdist").asc, col("c_id").asc)
+    val probed = q.join(broadcast(c))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        l2sq(col("qv"), col("cv")).as("qdist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("c_id").as("cluster"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    assigned
+      .select(col(idCol).as("nn_id"), col(vecCol).as("v"), col("cluster"))
+      .join(broadcast(probed), Seq("cluster"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        cosine(col("qv"), col("v")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

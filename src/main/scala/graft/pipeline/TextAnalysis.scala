@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * Everything is a pure column expression (whole-stage codegen, no UDFs,
+  * no shuffles) so each operator scales linearly with the scan.
+  */
+object TextAnalysis {
+
+  /** Small English stopword list used by the quality/langid heuristics. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "this", "be", "or", "are")
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols — a cheap proxy for subword tokenizer load. */
+  def tokenCountBpe(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(lower(text)),
+      t => t.isInCollection(EnStopwords)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") /
+      greatest(tokenCountWs(text).cast("double"), lit(1.0))
+
+  def punctCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[.,;:!?()-]"), lit(0)))
+
+  def avgWordLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+      .cast("double") /
+      greatest(tokenCountWs(text).cast("double"), lit(1.0))
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence and
+    * moderate word length, penalizes punctuation soup. Deterministic
+    * arithmetic over ints → oracle-checkable. */
+  def qualityScore(text: Column): Column =
+    stopwordRatio(text) * 0.5 +
+      when(avgWordLen(text).between(3.0, 8.0), 0.3).otherwise(0.0) +
+      when(punctCount(text).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0)) < 0.1, 0.2)
+        .otherwise(0.0)
+
+  /** N-gram-free language ID heuristic: English if the stopword ratio
+    * clears a threshold. (A real system would score character n-grams per
+    * language; the testdata is pseudo-English so one signal suffices —
+    * the operator shape is what matters.) */
+  def langId(text: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(text) >= threshold, "en").otherwise("und")
+
+  /** Document fingerprint: polynomial rolling hash over the characters of
+    * the lowercased text, mod 1e9+7 — identical formula is expressible in
+    * DuckDB (list_reduce + ascii) for the oracle gate. */
+  def fingerprint(text: Column): Column =
+    aggregate(split(lower(text), ""), lit(7L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+
+  /** Convenience: annotate a document DataFrame with all signals. */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCountWs(t))
+      .withColumn("n_tokens_bpe", tokenCountBpe(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("avg_word_len", avgWordLen(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -130,12 +130,15 @@ final class Planner(store: GraphStore) {
                 // match requires edge AND target present in target schema
                 df.join(eDf.join(tgt, eDst === dstId), srcId === eSrc,
                   "left_outer")
-              case JoinKind.Right if !selfJoin =>
-                // all targets kept; unmatched sources pruned
-                // (reference: RightJoinCrossSchemaStrategy, join.cpp:243)
+              case JoinKind.Right if !selfJoin && t.srcAlias == q.fromAlias =>
+                // all targets kept; unmatched FROM roots are dropped —
+                // the FROM alias row pass uses INNER gating unless FROM
+                // sources a LEFT/FULL hop (reference:
+                // RightJoinCrossSchemaStrategy join.cpp:243 + FROM gating
+                // src/query/result_builder.cpp:263-278)
                 df.join(eDf, srcId === eSrc)
                   .join(tgt, eDst === dstId, "right_outer")
-              case JoinKind.Right =>
+              case JoinKind.Right if selfJoin && t.srcAlias == q.fromAlias =>
                 // self-join: target_ids = all_targets − matched_sources
                 // (reference: RightJoinSelfStrategy, join.cpp:184-198)
                 val matched = df.join(eDf, srcId === eSrc)
@@ -145,13 +148,24 @@ final class Planner(store: GraphStore) {
                 val extras = tgt.join(covered, dstId === col("__cov"),
                   "left_anti")
                 matched.unionByName(extras, allowMissingColumns = true)
-              case JoinKind.Full =>
-                // LEFT ∪ right-strategy extras (reference:
-                // FullJoinStrategy, join.cpp:315-331)
+              case JoinKind.Right | JoinKind.Full =>
+                // FULL, and RIGHT from an *intermediate* alias: sources
+                // already reached by earlier hops are never pruned — an
+                // unmatched one NULL-extends (reference: BFS row
+                // population emits the chain with NULL target columns,
+                // result_builder.cpp:196-221 — pinned by the
+                // CombinedJoinTypes expectation alex->jeff->NULL under a
+                // RIGHT hop, tests/join_test.cpp:742). Unreached targets
+                // appear as NULL-source rows per the right-side strategy.
                 val leftPart = df.join(eDf.join(tgt, eDst === dstId),
                   srcId === eSrc, "left_outer")
                 val matched = df.join(eDf, srcId === eSrc)
                   .join(tgt, eDst === dstId)
+                // extras = target-alias id-set minus nodes already emitted
+                // *under the target alias* (the reference's global_visited
+                // is keyed by alias: utils.hpp:58 + SchemaRef::value) —
+                // i.e. all − matched_sources (J5, self only) − matched
+                // targets (BFS-visited)
                 val covered =
                   if (selfJoin)
                     matched.select(srcId.as("__cov"))

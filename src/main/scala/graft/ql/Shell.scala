@@ -1,0 +1,238 @@
+package graft.ql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Ast._
+import graft.planner.Planner
+import graft.store.GraphStore
+import graft.ql.TundraQL._
+
+/** Executes parsed TundraQL statements against a [[GraphStore]] — the
+  * analog of the reference's interactive shell visitor
+  * (apps/tundra_shell.cpp). Returns a DataFrame for statements that
+  * produce rows (MATCH / SHOW), None otherwise.
+  */
+final class Shell(store: GraphStore,
+                  snapshotPath: Option[String] = None) {
+  private val planner = new Planner(store)
+  /** CREATE EDGE SCHEMA registers props by type name only (the grammar
+    * carries no endpoint labels — TundraQL.g4:8); applied lazily on the
+    * first CREATE EDGE of that type, when the endpoints are known. */
+  private val pendingEdgeSchemas =
+    scala.collection.mutable.Map[String, Seq[(String, DataType)]]()
+
+  def execute(sql: String): Option[DataFrame] =
+    TundraQL.parseScript(sql).map(executeStmt).last
+
+  def executeStmt(st: Statement): Option[DataFrame] = st match {
+    case CreateSchemaStmt(label, fields) =>
+      store.createSchema(label, fields.map { case (n, t) =>
+        n -> dataType(t)
+      }: _*)
+      None
+
+    case CreateEdgeSchemaStmt(name, fields) =>
+      pendingEdgeSchemas(name) = fields.map { case (n, t) =>
+        n -> dataType(t)
+      }
+      None
+
+    case CreateNodeStmt(label, props, returnId) =>
+      val id = store.createNode(label, props)
+      if (returnId) {
+        import store.spark.implicits._
+        Some(Seq(id).toDF("id"))
+      } else None
+
+    case CreateEdgeStmt(unique, etype, from, to, props) =>
+      val (srcLabel, srcId) = resolve(from)
+      val (dstLabel, dstId) = resolve(to)
+      if (store.edgeTypeFor(etype, srcLabel).isEmpty)
+        pendingEdgeSchemas.get(etype).foreach { fields =>
+          store.createEdgeSchema(etype, srcLabel, dstLabel, fields: _*)
+        }
+      store.connect(srcLabel, srcId, etype, dstLabel, dstId, props, unique)
+      None
+
+    case m: MatchStmt => Some(planner.plan(toQuery(m)))
+
+    case DeleteNodeByIdStmt(label, id) =>
+      store.deleteNode(label, id); None
+
+    case DeletePatternStmt(PathPattern(NodePat(alias, label) :: Nil, Nil),
+        where) =>
+      val cond = where.map(compileSingleAlias(_, alias))
+        .getOrElse(lit(true))
+      store.deleteWhere(label.getOrElse(alias), cond)
+      None
+    case DeletePatternStmt(_, _) =>
+      throw new UnsupportedOperationException(
+        "DELETE over multi-hop patterns is not supported yet")
+
+    case DeleteEdgeStmt(etype, from, to) =>
+      val f = from.map(resolve)
+      val t = to.map(resolve)
+      val srcLabel = f.map(_._1)
+      store.catalog.edgeTypesNamed(etype)
+        .filter(i => srcLabel.forall(_ == i.srcLabel))
+        .filter(i => t.forall(_._1 == i.dstLabel))
+        .foreach { i =>
+          store.deleteEdges(etype, i.srcLabel, i.dstLabel,
+            from = f.map(_._2), to = t.map(_._2))
+        }
+      None
+
+    case UpdateByIdStmt(label, id, sets) =>
+      store.updateNode(label, id, sets); None
+
+    case UpdateMatchStmt(
+        List(PathPattern(NodePat(alias, label) :: Nil, Nil)), sets, where) =>
+      // single-node pattern: one distributed conditional rewrite
+      val l = label.getOrElse(alias)
+      val cond = where.map(compileSingleAlias(_, alias)).getOrElse(lit(true))
+      store.updateWhere(l, cond, sets.map { case (k, v) =>
+        val field = stripAlias(k, alias)
+        // nested MAP paths rewrite the base map column
+        field.split('.')(0) -> setColumn(l, field, v)
+      })
+      None
+
+    case UpdateMatchStmt(patterns, sets, where) =>
+      // run the MATCH once, then per SET alias update the matched ids
+      // (reference: update_by_match, src/update/update_executor.cpp:85-213)
+      val m = MatchStmt(patterns, where, List.empty)
+      val aliasLabel = patterns.flatMap(p => p.nodes)
+        .map(n => n.alias -> n.label.getOrElse(n.alias)).toMap
+      sets.groupBy(_._1.split('.').head).foreach { case (alias, aliasSets) =>
+        val label = aliasLabel.getOrElse(alias,
+          throw new IllegalArgumentException(s"unknown SET alias $alias"))
+        val ids = planner.plan(toQuery(
+          m.copy(select = List(SelectField(FieldRef(alias, List("id")))))))
+          .toDF("id")
+        store.updateMatched(label, ids, aliasSets.map { case (k, v) =>
+          val field = k.split('.').drop(1).mkString(".")
+          field.split('.')(0) -> setColumn(label, field, v)
+        })
+      }
+      None
+
+    case CommitStmt =>
+      store.commit(snapshotPath.getOrElse(
+        throw new IllegalStateException("no snapshot path configured")))
+      None
+
+    case ShowEdgesStmt(etype) => Some(store.edgesNamed(etype))
+
+    case ShowEdgeTypesStmt =>
+      import store.spark.implicits._
+      Some(store.catalog.allEdgeTypes.map { i =>
+        (i.name, i.srcLabel, i.dstLabel,
+          store.edges(i.name, i.srcLabel, i.dstLabel).count())
+      }.toDF("edge_type", "src_label", "dst_label", "n"))
+  }
+
+  /** MATCH AST → engine query (direction reversal normalized here, like
+    * the reference shell — apps/tundra_shell.cpp:568-579). */
+  private def toQuery(m: MatchStmt): GraphQuery = {
+    val labels = scala.collection.mutable.Map[String, String]()
+    m.patterns.flatMap(_.nodes).foreach { n =>
+      n.label.foreach { l =>
+        require(labels.getOrElse(n.alias, l) == l,
+          s"alias ${n.alias} bound to two labels")
+        labels(n.alias) = l
+      }
+    }
+    def labelOf(a: String): String = labels.getOrElse(a, a)
+    val first = m.patterns.head.nodes.head
+    var clauses = List.empty[Clause]
+    m.patterns.foreach { p =>
+      p.edges.zipWithIndex.foreach { case (e, i) =>
+        val (srcPat, dstPat) =
+          if (e.reversed) (p.nodes(i + 1), p.nodes(i))
+          else (p.nodes(i), p.nodes(i + 1))
+        clauses :+= TraverseClause(srcPat.alias, e.edgeType, e.alias,
+          dstPat.alias, labelOf(dstPat.alias), e.kind,
+          Some(labelOf(srcPat.alias)))
+      }
+    }
+    m.where.foreach(w => clauses :+= WhereClause(w))
+    GraphQuery(first.alias, labelOf(first.alias), clauses, m.select)
+  }
+
+  private def resolve(s: Selector): (String, Long) = s match {
+    case ById(label, id) => (label, id)
+    case ByProps(label, props) =>
+      // property-selector lookup (apps/tundra_shell.cpp:385-462); an
+      // interactive single-row resolution by design
+      val cond = props.map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _)
+      val rows = store.nodes(label).filter(cond).select("id").limit(2)
+        .collect()
+      require(rows.length == 1,
+        s"selector ($label{...}) matched ${rows.length} nodes, need exactly 1")
+      (label, rows(0).getLong(0))
+  }
+
+  private def stripAlias(key: String, alias: String): String =
+    if (key.startsWith(alias + ".")) key.drop(alias.length + 1) else key
+
+  /** SET value → column; nested MAP paths rebuild the map entry. */
+  private def setColumn(label: String, field: String, v: Any): Column = {
+    val parts = field.split('.')
+    if (parts.length == 1) lit(v)
+    else {
+      val base = col(parts(0))
+      val k = parts(1)
+      val nv = if (v == null) lit(null) else lit(v.toString)
+      when(base.isNull, map(lit(k), nv))
+        .otherwise(map_concat(
+          map_filter(base, (mk, _) => mk =!= k), map(lit(k), nv)))
+    }
+  }
+
+  /** Compile a single-alias WHERE to a Column over the label's raw
+    * columns (for delete/update rewrites). */
+  private def compileSingleAlias(e: WhereExpr, alias: String): Column =
+    e match {
+      case And(l, r) =>
+        compileSingleAlias(l, alias) && compileSingleAlias(r, alias)
+      case Or(l, r) =>
+        compileSingleAlias(l, alias) || compileSingleAlias(r, alias)
+      case Comparison(f, op, rhs) =>
+        require(f.alias == alias, s"alias ${f.alias} not in scope")
+        val base = f.mapPath.foldLeft(col(f.field))((c, k) => element_at(c, k))
+        val lhs = rhs match {
+          case _: Int | _: Long if f.mapPath.nonEmpty => base.cast("long")
+          case _: Double | _: Float if f.mapPath.nonEmpty =>
+            base.cast("double")
+          case _ => base
+        }
+        op match {
+          case CmpOp.Eq if rhs == null    => lhs.isNull
+          case CmpOp.NotEq if rhs == null => lhs.isNotNull
+          case CmpOp.Eq                   => lhs === lit(rhs)
+          case CmpOp.NotEq                => lhs =!= lit(rhs)
+          case CmpOp.Gt                   => lhs > lit(rhs)
+          case CmpOp.Lt                   => lhs < lit(rhs)
+          case CmpOp.Gte                  => lhs >= lit(rhs)
+          case CmpOp.Lte                  => lhs <= lit(rhs)
+          case CmpOp.Contains             => lhs.contains(rhs)
+          case CmpOp.StartsWith           => lhs.startsWith(rhs.toString)
+          case CmpOp.EndsWith             => lhs.endsWith(rhs.toString)
+        }
+    }
+
+  private def dataType(t: String): DataType = t match {
+    case "STRING"  => StringType
+    case "INT64"   => LongType
+    case "INT32"   => IntegerType
+    case "FLOAT64" => DoubleType
+    case "FLOAT"   => FloatType
+    case "BOOL"    => BooleanType
+    case "MAP"     => MapType(StringType, StringType)
+    case other     => throw new IllegalArgumentException(
+      s"unknown type $other (grammar TundraQL.g4:11)")
+  }
+}

@@ -1,0 +1,451 @@
+package graft.ql
+
+import scala.collection.mutable
+
+import graft.core.Ast._
+
+/** Hand-rolled lexer + recursive-descent parser for TundraQL
+  * (reference grammar: /root/reference/antlr/TundraQL.g4; the reference
+  * generates an ANTLR visitor — apps/tundra_shell.cpp:463-581 — but the
+  * language is small enough that a direct parser is simpler and
+  * dependency-free).
+  */
+object TundraQL {
+
+  // ---------------- statement AST ----------------
+  sealed trait Statement
+  final case class CreateSchemaStmt(label: String,
+      fields: Seq[(String, String)]) extends Statement
+  final case class CreateEdgeSchemaStmt(name: String,
+      fields: Seq[(String, String)]) extends Statement
+  final case class CreateNodeStmt(label: String, props: Map[String, Any],
+      returnId: Boolean) extends Statement
+  sealed trait Selector
+  final case class ById(label: String, id: Long) extends Selector
+  final case class ByProps(label: String, props: Map[String, Any])
+      extends Selector
+  final case class CreateEdgeStmt(unique: Boolean, edgeType: String,
+      from: Selector, to: Selector, props: Map[String, Any])
+      extends Statement
+  final case class NodePat(alias: String, label: Option[String])
+  final case class EdgePat(alias: Option[String], edgeType: String,
+      kind: JoinKind, reversed: Boolean)
+  final case class PathPattern(nodes: List[NodePat], edges: List[EdgePat])
+  final case class MatchStmt(patterns: List[PathPattern],
+      where: Option[WhereExpr], select: List[SelectItem]) extends Statement
+  final case class DeleteNodeByIdStmt(label: String, id: Long)
+      extends Statement
+  final case class DeletePatternStmt(pattern: PathPattern,
+      where: Option[WhereExpr]) extends Statement
+  final case class DeleteEdgeStmt(edgeType: String, from: Option[Selector],
+      to: Option[Selector]) extends Statement
+  final case class UpdateByIdStmt(label: String, id: Long,
+      sets: Map[String, Any]) extends Statement
+  final case class UpdateMatchStmt(patterns: List[PathPattern],
+      sets: Map[String, Any], where: Option[WhereExpr]) extends Statement
+  case object CommitStmt extends Statement
+  final case class ShowEdgesStmt(edgeType: String) extends Statement
+  case object ShowEdgeTypesStmt extends Statement
+
+  // ---------------- lexer ----------------
+  private sealed trait Tok
+  private case class Id(s: String) extends Tok
+  private case class StrLit(s: String) extends Tok
+  private case class IntLit(v: Long) extends Tok
+  private case class FloatLit(v: Double) extends Tok
+  private case class Sym(s: String) extends Tok
+
+  private def lex(input: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
+    var i = 0
+    val n = input.length
+    while (i < n) {
+      val c = input(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < n && input(i + 1) == '/') {
+        while (i < n && input(i) != '\n') i += 1
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (input(i).isLetterOrDigit || input(i) == '_')) i += 1
+        toks += Id(input.substring(start, i))
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && input(i).isDigit) i += 1
+        if (i + 1 < n && input(i) == '.' && input(i + 1).isDigit) {
+          i += 1
+          while (i < n && input(i).isDigit) i += 1
+          toks += FloatLit(input.substring(start, i).toDouble)
+        } else toks += IntLit(input.substring(start, i).toLong)
+      } else if (c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && input(i) != '"') {
+          if (input(i) == '\\' && i + 1 < n) { sb += input(i + 1); i += 2 }
+          else { sb += input(i); i += 1 }
+        }
+        require(i < n, "unterminated string literal")
+        i += 1
+        toks += StrLit(sb.toString)
+      } else {
+        val two = if (i + 1 < n) input.substring(i, i + 2) else ""
+        if (Set("!=", ">=", "<=", "<-", "->").contains(two)) {
+          toks += Sym(two); i += 2
+        } else {
+          toks += Sym(c.toString); i += 1
+        }
+      }
+    }
+    toks.result()
+  }
+
+  /** Parse a script (one or more `;`-terminated statements). */
+  def parseScript(input: String): List[Statement] = {
+    val p = new Parser(lex(input))
+    val out = mutable.ListBuffer[Statement]()
+    while (!p.atEnd) out += p.statement()
+    out.toList
+  }
+
+  def parse(input: String): Statement = parseScript(input) match {
+    case s :: Nil => s
+    case other =>
+      throw new IllegalArgumentException(
+        s"expected one statement, got ${other.length}")
+  }
+
+  // ---------------- parser ----------------
+  private final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    def atEnd: Boolean = pos >= toks.length
+    private def peek: Tok = toks(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def expectSym(s: String): Unit = next() match {
+      case Sym(`s`) =>
+      case other => fail(s"expected '$s', got $other")
+    }
+    private def expectKw(kw: String): Unit = next() match {
+      case Id(`kw`) =>
+      case other => fail(s"expected $kw, got $other")
+    }
+    private def ident(): String = next() match {
+      case Id(s) => s
+      case other => fail(s"expected identifier, got $other")
+    }
+    private def isKw(kw: String): Boolean = peek match {
+      case Id(`kw`) => true
+      case _        => false
+    }
+    private def eatKw(kw: String): Boolean =
+      if (isKw(kw)) { pos += 1; true } else false
+    private def eatSym(s: String): Boolean = peek match {
+      case Sym(`s`) => pos += 1; true
+      case _        => false
+    }
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"parse error at token $pos: $msg")
+
+    def statement(): Statement = {
+      val st = peek match {
+        case Id("CREATE") => createStatement()
+        case Id("MATCH")  => matchStatement()
+        case Id("DELETE") => deleteStatement()
+        case Id("UPDATE") => updateStatement()
+        case Id("COMMIT") => next(); CommitStmt
+        case Id("SHOW")   => showStatement()
+        case other        => fail(s"unexpected $other")
+      }
+      expectSym(";")
+      st
+    }
+
+    private def createStatement(): Statement = {
+      expectKw("CREATE")
+      if (eatKw("SCHEMA")) {
+        val label = ident()
+        expectSym("(")
+        val fields = schemaFields()
+        expectSym(")")
+        CreateSchemaStmt(label, fields)
+      } else if (eatKw("UNIQUE")) {
+        expectKw("EDGE")
+        createEdgeRest(unique = true)
+      } else if (eatKw("EDGE")) {
+        if (eatKw("SCHEMA")) {
+          val name = ident()
+          expectSym("(")
+          val fields = schemaFields()
+          expectSym(")")
+          CreateEdgeSchemaStmt(name, fields)
+        } else createEdgeRest(unique = false)
+      } else if (eatKw("NODE")) {
+        val label = ident()
+        expectSym("(")
+        val props = propertyList()
+        expectSym(")")
+        val ret = eatKw("RETURN") && { expectKw("id"); true }
+        CreateNodeStmt(label, props, ret)
+      } else fail("expected SCHEMA/EDGE/NODE/UNIQUE after CREATE")
+    }
+
+    private def createEdgeRest(unique: Boolean): Statement = {
+      val etype = ident()
+      expectKw("FROM")
+      val from = nodeSelector()
+      expectKw("TO")
+      val to = nodeSelector()
+      val props =
+        if (eatKw("WITH")) {
+          expectSym("(")
+          val p = propertyList()
+          expectSym(")")
+          p
+        } else Map.empty[String, Any]
+      CreateEdgeStmt(unique, etype, from, to, props)
+    }
+
+    private def nodeSelector(): Selector =
+      if (eatSym("(")) { // (Label{props})
+        val label = ident()
+        expectSym("{")
+        val props = propertyList()
+        expectSym("}")
+        expectSym(")")
+        ByProps(label, props)
+      } else {
+        val label = ident()
+        expectSym("(")
+        val id = next() match {
+          case IntLit(v) => v
+          case other     => fail(s"expected id literal, got $other")
+        }
+        expectSym(")")
+        ById(label, id)
+      }
+
+    private def schemaFields(): Seq[(String, String)] = {
+      val out = mutable.ListBuffer[(String, String)]()
+      do {
+        val name = ident()
+        expectSym(":")
+        out += name -> ident()
+      } while (eatSym(","))
+      out.toSeq
+    }
+
+    private def propertyList(): Map[String, Any] = {
+      val out = mutable.LinkedHashMap[String, Any]()
+      do {
+        val name = ident()
+        if (!eatSym("=")) expectSym(":")
+        out(name) = value()
+      } while (eatSym(","))
+      out.toMap
+    }
+
+    private def value(): Any = next() match {
+      case StrLit(s)   => s
+      case IntLit(v)   => v
+      case FloatLit(v) => v
+      case Sym("{") => // map literal
+        val m =
+          if (eatSym("}")) Map.empty[String, Any]
+          else { val p = propertyList(); expectSym("}"); p }
+        m.map { case (k, v) => k -> (if (v == null) null else v.toString) }
+      case Sym("-") => next() match { // negative numbers
+        case IntLit(v)   => -v
+        case FloatLit(v) => -v
+        case other       => fail(s"expected number after -, got $other")
+      }
+      case other => fail(s"expected value, got $other")
+    }
+
+    private def matchStatement(): Statement = {
+      expectKw("MATCH")
+      val pats = patternList()
+      val where = if (eatKw("WHERE")) Some(expression()) else None
+      val select =
+        if (eatKw("SELECT")) selectClause() else List.empty[SelectItem]
+      MatchStmt(pats, where, select)
+    }
+
+    private def patternList(): List[PathPattern] = {
+      val pats = mutable.ListBuffer(pathPattern())
+      while (eatSym(",")) pats += pathPattern()
+      pats.toList
+    }
+
+    private def pathPattern(): PathPattern = {
+      val nodes = mutable.ListBuffer(nodePattern())
+      val edges = mutable.ListBuffer[EdgePat]()
+      while (peek == Sym("-") || peek == Sym("<-")) {
+        edges += edgePattern()
+        nodes += nodePattern()
+      }
+      PathPattern(nodes.toList, edges.toList)
+    }
+
+    private def nodePattern(): NodePat = {
+      expectSym("(")
+      val alias = ident()
+      val label = if (eatSym(":")) Some(ident()) else None
+      expectSym(")")
+      NodePat(alias, label)
+    }
+
+    private def edgePattern(): EdgePat = {
+      val reversed = peek == Sym("<-")
+      if (reversed) { expectSym("<-"); expectSym("[") }
+      else { expectSym("-"); expectSym("[") }
+      val (alias, etype) =
+        if (eatSym(":")) (None, ident())
+        else {
+          val a = ident()
+          expectSym(":")
+          (Some(a), ident())
+        }
+      val kind =
+        if (eatKw("INNER")) JoinKind.Inner
+        else if (eatKw("LEFT")) JoinKind.Left
+        else if (eatKw("RIGHT")) JoinKind.Right
+        else if (eatKw("FULL")) JoinKind.Full
+        else JoinKind.Inner
+      expectSym("]")
+      if (reversed) expectSym("-")
+      else expectSym("->") // lexed as one token
+      EdgePat(alias, etype, kind, reversed)
+    }
+
+    private def deleteStatement(): Statement = {
+      expectKw("DELETE")
+      if (eatKw("EDGE")) {
+        val etype = ident()
+        val from = if (eatKw("FROM")) Some(nodeSelector()) else None
+        val to = if (eatKw("TO")) Some(nodeSelector()) else None
+        DeleteEdgeStmt(etype, from, to)
+      } else peek match {
+        case Sym("(") =>
+          val pat = pathPattern()
+          val where = if (eatKw("WHERE")) Some(expression()) else None
+          DeletePatternStmt(pat, where)
+        case Id(_) =>
+          val label = ident()
+          expectSym("(")
+          val id = next() match {
+            case IntLit(v) => v
+            case other     => fail(s"expected id, got $other")
+          }
+          expectSym(")")
+          DeleteNodeByIdStmt(label, id)
+        case other => fail(s"unexpected $other after DELETE")
+      }
+    }
+
+    private def updateStatement(): Statement = {
+      expectKw("UPDATE")
+      if (eatKw("MATCH")) {
+        val pats = patternList()
+        expectKw("SET")
+        val sets = setClause()
+        val where = if (eatKw("WHERE")) Some(expression()) else None
+        UpdateMatchStmt(pats, sets, where)
+      } else peek match {
+        case Sym("(") =>
+          val pat = pathPattern()
+          expectKw("SET")
+          val sets = setClause()
+          val where = if (eatKw("WHERE")) Some(expression()) else None
+          UpdateMatchStmt(List(pat), sets, where)
+        case Id(_) =>
+          val label = ident()
+          expectSym("(")
+          val id = next() match {
+            case IntLit(v) => v
+            case other     => fail(s"expected id, got $other")
+          }
+          expectSym(")")
+          expectKw("SET")
+          val sets = setClause()
+          if (isKw("WHERE")) fail("WHERE not allowed on UPDATE by id")
+          UpdateByIdStmt(label, id, sets)
+        case other => fail(s"unexpected $other after UPDATE")
+      }
+    }
+
+    /** `a.b.c = v, x = v2` — keys keep their dotted paths. */
+    private def setClause(): Map[String, Any] = {
+      val out = mutable.LinkedHashMap[String, Any]()
+      do {
+        val path = mutable.ListBuffer(ident())
+        while (eatSym(".")) path += ident()
+        expectSym("=")
+        out(path.mkString(".")) = value()
+      } while (eatSym(","))
+      out.toMap
+    }
+
+    private def showStatement(): Statement = {
+      expectKw("SHOW")
+      if (eatKw("EDGES")) ShowEdgesStmt(ident())
+      else if (eatKw("EDGE")) { expectKw("TYPES"); ShowEdgeTypesStmt }
+      else fail("expected EDGES or EDGE TYPES after SHOW")
+    }
+
+    // WHERE expression, precedence OR < AND < comparison
+    // (grammar TundraQL.g4:87-99)
+    private def expression(): WhereExpr = {
+      var left = andExpression()
+      while (eatKw("OR")) left = Or(left, andExpression())
+      left
+    }
+    private def andExpression(): WhereExpr = {
+      var left = primaryExpression()
+      while (eatKw("AND")) left = And(left, primaryExpression())
+      left
+    }
+    private def primaryExpression(): WhereExpr =
+      if (eatSym("(")) {
+        val e = expression()
+        expectSym(")")
+        e
+      } else term()
+
+    private def term(): WhereExpr = {
+      val lhs = factorRef()
+      val op = next() match {
+        case Sym("=")  => CmpOp.Eq
+        case Sym("!=") => CmpOp.NotEq
+        case Sym(">")  => CmpOp.Gt
+        case Sym(">=") => CmpOp.Gte
+        case Sym("<")  => CmpOp.Lt
+        case Sym("<=") => CmpOp.Lte
+        case other     => fail(s"expected comparison op, got $other")
+      }
+      val rhs: Any = peek match {
+        case Id("NULL") => next(); null
+        case Id(_)      => factorRef()
+        case _          => value()
+      }
+      Comparison(lhs, op, rhs)
+    }
+
+    private def factorRef(): FieldRef = {
+      val parts = mutable.ListBuffer(ident())
+      while (eatSym(".")) parts += ident()
+      require(parts.length >= 2, s"expected alias.field, got $parts")
+      FieldRef(parts.head, parts.tail.toList)
+    }
+
+    private def selectClause(): List[SelectItem] = {
+      val out = mutable.ListBuffer[SelectItem]()
+      do {
+        val parts = mutable.ListBuffer(ident())
+        while (eatSym(".")) parts += ident()
+        val as = if (eatKw("AS")) Some(ident()) else None
+        out +=
+          (if (parts.length == 1) SelectAlias(parts.head)
+           else SelectField(FieldRef(parts.head, parts.tail.toList), as))
+      } while (eatSym(","))
+      out.toList
+    }
+  }
+}

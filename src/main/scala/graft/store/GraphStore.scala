@@ -223,6 +223,23 @@ final class GraphStore(
     }
   }
 
+  /** UPDATE the rows whose ids appear in `ids` (one column, any name) —
+    * join-based distributed rewrite, used by UPDATE-by-MATCH (reference
+    * D6) so matched ids never surface on the driver. */
+  def updateMatched(label: String, ids: DataFrame,
+                    sets: Map[String, Column]): Unit = {
+    val t = table(label)
+    t.flush(spark)
+    t.base.foreach { base =>
+      val hits = ids.toDF("id").distinct().withColumn("__hit", lit(true))
+      val joined = base.join(hits, Seq("id"), "left_outer")
+      val updated = sets.foldLeft(joined) { case (d, (k, v)) =>
+        d.withColumn(k, when(col("__hit"), v).otherwise(col(k)))
+      }.drop("__hit")
+      t.base = Some(updated.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
   /** DELETE nodes matching `cond` + their incident edges (reference D8:
     * src/main/database.cpp:107-114, DELETE_SYNTAX.md). Distributed:
     * anti-join rewrites, no collect. */

@@ -26,7 +26,13 @@ object TpchGraph {
       "l_linenumber, l_partkey, l_suppkey, epoch_ns(l_shipdate))),1,15)) " +
       "AS BIGINT)"
 
-  def store(spark: SparkSession, dir: String): GraphStore = {
+  def store(spark: SparkSession, dir: String): GraphStore =
+    store(spark, dir, cache = false)
+
+  /** `cache = true` marks every attached table for in-memory caching —
+    * used by the bench harness to exclude load time like the reference
+    * does (bench/tundra_runner.cpp:168 "Load data once (not timed)"). */
+  def store(spark: SparkSession, dir: String, cache: Boolean): GraphStore = {
     // testdata timestamps are TIMESTAMP(NANOS), which Spark's reader
     // rejects; read them as epoch-nano longs instead
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -37,7 +43,7 @@ object TpchGraph {
     // legacy nanosAsLong conf) LongType.
     def read(t: String): DataFrame = {
       val raw = spark.read.parquet(s"$dir/$t.parquet")
-      raw.schema.fields.foldLeft(raw) { (d, f) =>
+      val normed = raw.schema.fields.foldLeft(raw) { (d, f) =>
         // covers TimestampType and TimestampNTZType (TIMESTAMP(NANOS,false)
         // arrives as NTZ); session TZ is UTC so the cast is value-preserving
         if (f.dataType.typeName.startsWith("timestamp"))
@@ -45,6 +51,7 @@ object TpchGraph {
             unix_micros(col(f.name).cast("timestamp")) * 1000L)
         else d
       }
+      if (cache) normed.cache() else normed
     }
 
     val region = read("region")
@@ -105,6 +112,13 @@ object TpchGraph {
         map(lit("type"), col("event_type"),
           lit("k"), get_json_object(col("props"), "$.k")).as("props")),
       "id")
+
+    s.attachNodes("documents",
+      read("documents").select(col("doc_id").as("id"), col("text"),
+        col("lang"), col("source"), col("n_chars")), "id")
+    s.attachNodes("embeddings",
+      read("embeddings").select(col("vec_id").as("id"), col("embedding"),
+        col("label")), "id")
 
     s.attachEdges("placed", "customer", "orders",
       orders.select(col("o_custkey").as("src"),

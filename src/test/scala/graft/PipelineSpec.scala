@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+/** Smoke + behavior tests for the training-data pipeline operators and the
+  * streaming path (north star, SURVEY.md §2.10 / §2.7).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "a"),
+      (1L, "the quick brown fox jumps over the lazy cat", "a"), // near-dup of 0
+      (2L, "completely different content about spark engines", "a"),
+      (3L, "the quick brown fox jumps over the lazy dog", "b")  // exact dup of 0
+    ).toDF("doc_id", "text", "src")
+  }
+
+  test("exact dedup groups identical texts") {
+    val res = Dedup.exact(docs, "doc_id", Seq("text")).collect()
+    assert(res.length === 3)
+    val byCnt = res.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(byCnt(0L) === 2) // doc 0 and 3 merge, min id 0 representative
+  }
+
+  test("minhash LSH finds planted near-dup, skips distinct") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 32,
+      bands = 16, shingleK = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // near-dup found
+    assert(pairs.contains((0L, 3L))) // exact dup found
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // distinct text out
+  }
+
+  test("simhash: identical texts have distance 0, near-dups small") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2).toLong)).toMap
+    assert(pairs((0L, 3L)) === 0L) // identical
+    assert(pairs.contains((0L, 1L))) // near-dup within hamming budget
+  }
+
+  test("blocked n-gram jaccard respects blocks") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "src",
+      k = 2, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L))) // 0-3 cross-block, 2 dissimilar
+  }
+
+  test("cosine pairs: brute force and LSH agree on found pairs") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val bf = Dedup.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf === Set((0L, 1L)))
+    val lsh = Dedup.cosinePairsLsh(vecs, "vec_id", "embedding", 0.9,
+      planes = 6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(bf)) // LSH may miss, never invents
+  }
+
+  test("brute-force ANN top-k ranks by cosine") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      k = 2).collect().sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Long]("nn_id")).toSeq
+    assert(res === Seq(1L, 3L))
+  }
+
+  test("IVF assigns to nearest centroid and probes") {
+    import spark.implicits._
+    val vecs = (0L to 19L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i, base.map(_ + (i / 100.0f)))
+    }.toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") < 2)
+    val assigned = Similarity.ivfAssign(vecs, centroids)
+    assert(assigned.count() === 20)
+    val top = Similarity.ivfTopK(assigned, centroids,
+      vecs.filter(col("vec_id") === 0), k = 3, nProbe = 1).collect()
+    assert(top.length === 3)
+    // probing cluster 0 only → all neighbors share vec 0's parity
+    assert(top.forall(_.getAs[Long]("nn_id") % 2 === 0))
+  }
+
+  test("text analysis signals") {
+    val r = TextAnalysis.annotate(docs, "text")
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(r.getAs[Int]("n_tokens") === 9)
+    assert(r.getAs[String]("lang_pred") === "en")
+    assert(r.getAs[Double]("stopword_ratio") > 0.2)
+    val fp = TextAnalysis.annotate(docs, "text").select("doc_id", "fingerprint")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fp(0L) === fp(3L)) // identical text, identical fingerprint
+    assert(fp(0L) !== fp(1L))
+  }
+
+  test("multimodal decode: deterministic stub over binary payloads") {
+    val media = Multimodal.attachBinary(docs, "doc_id", "text")
+    val dec = Multimodal.decode(media).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    val len0 = "the quick brown fox jumps over the lazy dog".length
+    assert(dec(0L) === (len0 % 1024 + 1, len0 % 768 + 1))
+    val frames = Multimodal.sampleFrames(media, n = 3, frameBytes = 8)
+    assert(frames.count() === docs.count() * 3)
+  }
+
+  test("streaming: windowed stats with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "etype", "value")
+    val q = EventStreams.windowedStats(events, "10 minutes", Some("5 minutes"))
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+        (ts(11), "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("win_agg").collect()
+        .map(r => (r.getAs[String]("etype"), r.getAs[Long]("n"),
+          r.getAs[Double]("total"))).toSet
+      assert(out === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+}

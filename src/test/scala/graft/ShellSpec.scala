@@ -1,0 +1,160 @@
+package graft
+
+import graft.ql.{Shell, TundraQL}
+import graft.store.GraphStore
+
+/** End-to-end TundraQL statements through parser + shell + planner —
+  * mirrors the reference shell flows (apps/tundra_shell.cpp, README.md
+  * examples).
+  */
+class ShellSpec extends SparkSpec {
+
+  private def shell(): Shell = new Shell(new GraphStore(spark))
+
+  test("README flow: schemas, nodes, edges, match") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, age: INT64);
+      CREATE SCHEMA Company (name: STRING);
+      CREATE NODE User (name = "Alice", age = 30);
+      CREATE NODE User (name = "Bob", age = 25);
+      CREATE NODE Company (name = "Acme");
+      CREATE EDGE WORKS_AT FROM User(0) TO Company(0);
+    """)
+    val res = sh.execute(
+      """MATCH (u:User)-[:WORKS_AT]->(c:Company) SELECT u.name, c.name;""")
+      .get
+    assert(rowBag(res) === Map(Seq("Alice", "Acme") -> 1))
+    // LEFT join via QL
+    val left = sh.execute(
+      "MATCH (u:User)-[:WORKS_AT LEFT]->(c:Company) SELECT u.name, c.name;")
+      .get
+    assert(rowBag(left) === Map(
+      Seq("Alice", "Acme") -> 1, Seq("Bob", null) -> 1))
+  }
+
+  test("WHERE with AND/OR and comparison ops") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, age: INT64);
+      CREATE NODE User (name = "a", age = 20);
+      CREATE NODE User (name = "b", age = 30);
+      CREATE NODE User (name = "c", age = 40);
+    """)
+    val res = sh.execute(
+      """MATCH (u:User) WHERE u.age >= 30 AND u.name != "c" SELECT u.name;""")
+      .get
+    assert(rowBag(res) === Map(Seq("b") -> 1))
+    val res2 = sh.execute(
+      """MATCH (u:User) WHERE u.age < 25 OR u.age > 35 SELECT u.name;""").get
+    assert(rowBag(res2) === Map(Seq("a") -> 1, Seq("c") -> 1))
+  }
+
+  test("reversed edge pattern <-[..]- swaps endpoints") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING);
+      CREATE SCHEMA Company (name: STRING);
+      CREATE NODE User (name = "Alice");
+      CREATE NODE Company (name = "Acme");
+      CREATE EDGE WORKS_AT FROM User(0) TO Company(0);
+    """)
+    val res = sh.execute(
+      "MATCH (c:Company)<-[:WORKS_AT]-(u:User) SELECT c.name, u.name;").get
+    assert(rowBag(res) === Map(Seq("Acme", "Alice") -> 1))
+  }
+
+  test("property-based node selector and UNIQUE edges") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING);
+      CREATE NODE User (name = "Alice");
+      CREATE NODE User (name = "Bob");
+      CREATE UNIQUE EDGE FRIEND FROM (User{name = "Alice"}) TO (User{name = "Bob"});
+      CREATE UNIQUE EDGE FRIEND FROM (User{name = "Alice"}) TO (User{name = "Bob"});
+    """)
+    val res = sh.execute("SHOW EDGES FRIEND;").get
+    assert(res.count() === 1)
+  }
+
+  test("edge schema with properties via QL") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING);
+      CREATE SCHEMA Company (name: STRING);
+      CREATE EDGE SCHEMA WORKS_AT (since: INT64, role: STRING);
+      CREATE NODE User (name = "Alice");
+      CREATE NODE Company (name = "Acme");
+      CREATE EDGE WORKS_AT FROM User(0) TO Company(0) WITH (since = 2020, role = "eng");
+    """)
+    val res = sh.execute(
+      "MATCH (u:User)-[e:WORKS_AT]->(c:Company) " +
+        "WHERE e.since >= 2020 SELECT u.name, e.role;").get
+    assert(rowBag(res) === Map(Seq("Alice", "eng") -> 1))
+  }
+
+  test("UPDATE by id, by pattern, and by MATCH") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, age: INT64, props: MAP);
+      CREATE NODE User (name = "a", age = 20);
+      CREATE NODE User (name = "b", age = 70);
+      UPDATE User(0) SET age = 21;
+      UPDATE (u:User) SET u.name = "senior" WHERE u.age > 65;
+      UPDATE (u:User) SET u.props.level = "vip" WHERE u.age > 65;
+    """)
+    val res = sh.execute(
+      "MATCH (u:User) SELECT u.name, u.age, u.props.level;").get
+    assert(rowBag(res) === Map(
+      Seq("a", 21L, null) -> 1, Seq("senior", 70L, "vip") -> 1))
+  }
+
+  test("UPDATE MATCH over a traversal") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, vip: STRING);
+      CREATE SCHEMA Company (name: STRING);
+      CREATE NODE User (name = "Alice");
+      CREATE NODE User (name = "Bob");
+      CREATE NODE Company (name = "Acme");
+      CREATE EDGE WORKS_AT FROM User(0) TO Company(0);
+      UPDATE MATCH (u:User)-[:WORKS_AT]->(c:Company) SET u.vip = "yes" WHERE c.name = "Acme";
+    """)
+    val res = sh.execute("MATCH (u:User) SELECT u.name, u.vip;").get
+    assert(rowBag(res) === Map(
+      Seq("Alice", "yes") -> 1, Seq("Bob", null) -> 1))
+  }
+
+  test("DELETE by id, by pattern, edges") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, age: INT64);
+      CREATE NODE User (name = "a", age = 10);
+      CREATE NODE User (name = "b", age = 70);
+      CREATE NODE User (name = "c", age = 80);
+      CREATE EDGE FRIEND FROM User(0) TO User(1);
+      DELETE (u:User) WHERE u.age > 75;
+      DELETE User(1);
+    """)
+    val res = sh.execute("MATCH (u:User) SELECT u.name;").get
+    assert(rowBag(res) === Map(Seq("a") -> 1))
+    assert(sh.execute("SHOW EDGES FRIEND;").get.count() === 0)
+    val types = sh.execute("SHOW EDGE TYPES;").get
+    assert(rowBag(types) === Map(Seq("FRIEND", "User", "User", 0L) -> 1))
+  }
+
+  test("CREATE NODE RETURN id") {
+    val sh = shell()
+    sh.execute("CREATE SCHEMA User (name: STRING);")
+    val r = sh.execute("""CREATE NODE User (name = "x") RETURN id;""").get
+    assert(r.collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
+  test("parse errors are informative") {
+    val sh = shell()
+    val e = intercept[IllegalArgumentException] {
+      sh.execute("MATCHH (u:User);")
+    }
+    assert(e.getMessage.contains("unexpected"))
+  }
+}

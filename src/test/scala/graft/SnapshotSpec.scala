@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.core.Ast._
+import graft.planner.Planner
+import graft.store.GraphStore
+
+/** Ports /root/reference/tests/snapshot_test.cpp semantics: commit/restore
+  * round-trip incl. id counters (S4/S5/D10,
+  * src/storage/snapshot_manager.cpp:315 / :26).
+  */
+class SnapshotSpec extends SparkSpec {
+
+  test("commit + restore round-trips nodes, edges, schemas, counters") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType, "age" -> LongType)
+    s.createSchema("Company", "name" -> StringType)
+    s.createEdgeSchema("WORKS_AT", "User", "Company", "since" -> LongType)
+    val u0 = s.createNode("User", Map("name" -> "alice", "age" -> 30L))
+    val u1 = s.createNode("User", Map("name" -> "bob", "age" -> 40L))
+    val c0 = s.createNode("Company", Map("name" -> "acme"))
+    s.connect("User", u0, "WORKS_AT", "Company", c0, Map("since" -> 2020L))
+    s.commit(dir)
+
+    val r = GraphStore.restore(spark, dir)
+    assert(rowBag(r.nodes("User")) ===
+      Map(Seq(0L, "alice", 30L) -> 1, Seq(1L, "bob", 40L) -> 1))
+    assert(r.nodes("Company").count() === 1)
+    val res = new Planner(r).plan(Q.from("u:User")
+      .traverse("u", "WORKS_AT", "c:Company", edgeAlias = Some("e"))
+      .select("u.name", "c.name", "e.since").build)
+    assert(rowBag(res) === Map(Seq("alice", "acme", 2020L) -> 1))
+    // per-label counters continue after restore (metadata.hpp:124-300)
+    assert(r.createNode("User", Map("name" -> "carol", "age" -> 22L)) === 2L)
+    assert(r.createNode("Company", Map("name" -> "globex")) === 1L)
+  }
+
+  test("versioned store round-trips version metadata") {
+    val dir = Files.createTempDirectory("graft-snap-v").toString
+    val clock = new graft.core.MockClock(1000L)
+    val s = new GraphStore(spark, versioningEnabled = true, clock = clock)
+    s.createSchema("User", "age" -> IntegerType)
+    val id = s.createNode("User", Map("age" -> 1))
+    clock.set(2000L)
+    s.updateNode("User", id, Map("age" -> 2))
+    s.commit(dir)
+
+    val r = GraphStore.restore(spark, dir, clock)
+    def ageAt(vt: Long) = new Planner(r).plan(GraphQuery("u", "User",
+      select = List(SelectField(FieldRef.parse("u.age"))),
+      asOf = Some(TemporalSnapshot(validTime = vt))))
+      .collect().toSeq.map(_.get(0))
+    assert(ageAt(1500L) === Seq(1))
+    assert(ageAt(2500L) === Seq(2))
+  }
+}

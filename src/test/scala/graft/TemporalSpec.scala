@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.core.Ast._
+import graft.core.MockClock
+import graft.planner.Planner
+import graft.store.GraphStore
+
+/** Ports the semantics of /root/reference/tests/temporal_query_test.cpp
+  * (T1-T6): visibility rule include/query/temporal_context.hpp:113-144,
+  * update rule src/memory/node_arena.cpp:250-275, MockClock
+  * include/common/clock.hpp:24-60.
+  */
+class TemporalSpec extends SparkSpec {
+
+  private def fixture(): (GraphStore, MockClock) = {
+    val clock = new MockClock(0L)
+    val s = new GraphStore(spark, versioningEnabled = true, clock = clock)
+    s.createSchema("User", "name" -> StringType, "age" -> IntegerType)
+    (s, clock)
+  }
+
+  private def ageAt(s: GraphStore, snap: Option[TemporalSnapshot]): Seq[Any] =
+    new Planner(s).plan(GraphQuery("u", "User",
+      select = List(SelectField(FieldRef.parse("u.age"))), asOf = snap))
+      .collect().toSeq.map(_.get(0))
+
+  test("as-of valid time sees the version live at that instant") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    val id = s.createNode("User", Map("name" -> "alice", "age" -> 25))
+    clock.set(2000L)
+    assert(s.updateNode("User", id, Map("age" -> 26)))
+    clock.set(3000L)
+    assert(s.updateNode("User", id, Map("age" -> 27)))
+
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 1500L))) === Seq(25))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 2500L))) === Seq(26))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 3500L))) === Seq(27))
+    // current read = head version
+    assert(ageAt(s, None) === Seq(27))
+  }
+
+  test("before creation: invisible") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    s.createNode("User", Map("name" -> "alice", "age" -> 25))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 500L))) === Seq())
+  }
+
+  test("no-op update creates no version (temporal_query_test.cpp:823)") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    val id = s.createNode("User", Map("name" -> "alice", "age" -> 25))
+    clock.set(2000L)
+    assert(!s.updateNode("User", id, Map("age" -> 25))) // same value
+    // v0 must still be visible right up to "now" (no closed interval)
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 1500L))) === Seq(25))
+    assert(ageAt(s, None) === Seq(25))
+  }
+
+  test("bitemporal: tx axis hides later-recorded corrections") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    val id = s.createNode("User", Map("name" -> "alice", "age" -> 25))
+    clock.set(2000L)
+    s.updateNode("User", id, Map("age" -> 26))
+    // At tx=1500 the update (tx_from=2000) was not yet known
+    assert(ageAt(s, Some(TemporalSnapshot(1500L, 1500L))) === Seq(25))
+    // At tx=2500 it is known
+    assert(ageAt(s, Some(TemporalSnapshot(2500L, 2500L))) === Seq(26))
+    // Valid axis still wins for historical reads at current tx
+    assert(ageAt(s, Some(TemporalSnapshot(1500L, 2500L))) === Seq(25))
+  }
+
+  test("multiple entities version independently") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    val a = s.createNode("User", Map("name" -> "a", "age" -> 1))
+    val b = s.createNode("User", Map("name" -> "b", "age" -> 10))
+    clock.set(2000L)
+    s.updateNode("User", a, Map("age" -> 2))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 2500L)))
+      .toSet === Set(2, 10))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 1500L)))
+      .toSet === Set(1, 10))
+  }
+}
