@@ -73,8 +73,8 @@ object Bench {
         .select("id", "n_tokens", "quality", "fingerprint")),
       "minhash_lsh" -> (() => Dedup.minhashLsh(
         store.nodes("documents").filter(col("id") < 10000),
-        "id", "text", numHashes = 32, bands = 8, shingleK = 3,
-        threshold = 0.5)),
+        "id", "text", numHashes = 64, bands = 8, shingleK = 3,
+        threshold = 0.5, maxBucketSize = 100)),
       "ann_topk" -> (() => {
         val vecs = store.nodes("embeddings").withColumnRenamed("id", "vec_id")
         Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),

@@ -53,7 +53,8 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7,
+                 maxBucketSize: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // Shingle sets hashed to longs once — Jaccard over hashed shingles is
@@ -63,16 +64,34 @@ object Dedup {
       .select(col(idCol).as("__id"), col(textCol).as("__text"))
       .withColumn("__shh", array_distinct(
         transform(shingles(col("__text"), shingleK), s => xxhash64(s))))
-    val sig = minhashSignature(col("__shh"), numHashes)
+    // Signatures as grouped min-aggregates over exploded shingles instead
+    // of nested higher-order functions: every expression stays inside
+    // whole-stage codegen and map-side partial aggregation shrinks the
+    // shuffle to one row per document.
+    val exploded = base.select(col("__id"), explode(col("__shh")).as("__s"))
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("__s"), lit(i))).as(s"__h$i"))
+    val sigDf = exploded.groupBy("__id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws(",", (lit(b.toString) +:
+        (b * r until (b + 1) * r).map(i => col(s"__h$i"))): _*))
+    }
     // Candidate generation carries ONLY (id, bucket): with skewed corpora
     // a bucket can hold O(n) rows, and duplicating shingle arrays into
     // that join is the scale killer. Arrays are re-joined afterwards, per
     // deduped pair.
-    val buckets = base
-      .select(col("__id"), explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat(b.cast("string"), lit(":"),
-            concat_ws(",", slice(sig, b * r + 1, lit(r))))))).as("__b"))
+    val rawBuckets = sigDf
+      .select(col("__id"), explode(array(bandCols: _*)).as("__b"))
+    // Drop oversized buckets: a bucket with O(n) members is a
+    // low-information band (degenerate/skewed corpus) and would explode
+    // the pair count quadratically; capping bounds candidates to
+    // bands·n·maxBucketSize. Standard LSH practice — recall on pathological
+    // corpora is traded for a hard cost bound.
+    val buckets = rawBuckets.withColumn("__cnt",
+      count(lit(1)).over(Window.partitionBy("__b")))
+      .filter(col("__cnt") <= maxBucketSize)
+      .drop("__cnt")
     val cand = buckets.select(col("__id").as("id_a"), col("__b"))
       .join(buckets.select(col("__id").as("id_b"), col("__b")), "__b")
       .filter(col("id_a") < col("id_b"))
