@@ -101,20 +101,40 @@ final class Shell(store: GraphStore,
 
     case UpdateMatchStmt(patterns, sets, where) =>
       // run the MATCH once, then per SET alias update the matched ids
-      // (reference: update_by_match, src/update/update_executor.cpp:85-213)
+      // (reference: update_by_match, src/update/update_executor.cpp:85-213;
+      // an edge-alias SET updates that edge type's properties, :177-209)
       val m = MatchStmt(patterns, where, List.empty)
       val aliasLabel = patterns.flatMap(p => p.nodes)
         .map(n => n.alias -> n.label.getOrElse(n.alias)).toMap
+      // edge alias -> (type, srcLabel, dstLabel) from its pattern position
+      val edgeAliases = patterns.flatMap { p =>
+        p.edges.zipWithIndex.collect {
+          case (e, i) if e.alias.isDefined =>
+            val (s, d) =
+              if (e.reversed) (p.nodes(i + 1), p.nodes(i))
+              else (p.nodes(i), p.nodes(i + 1))
+            e.alias.get -> (e.edgeType,
+              s.label.getOrElse(aliasLabel(s.alias)),
+              d.label.getOrElse(aliasLabel(d.alias)))
+        }
+      }.toMap
       sets.groupBy(_._1.split('.').head).foreach { case (alias, aliasSets) =>
-        val label = aliasLabel.getOrElse(alias,
-          throw new IllegalArgumentException(s"unknown SET alias $alias"))
         val ids = planner.plan(toQuery(
           m.copy(select = List(SelectField(FieldRef(alias, List("id")))))))
           .toDF("id")
-        store.updateMatched(label, ids, aliasSets.map { case (k, v) =>
+        val colSets = aliasSets.map { case (k, v) =>
           val field = k.split('.').drop(1).mkString(".")
-          field.split('.')(0) -> setColumn(label, field, v)
-        })
+          field.split('.')(0) ->
+            setColumn(aliasLabel.getOrElse(alias, alias), field, v)
+        }
+        edgeAliases.get(alias) match {
+          case Some((etype, s, d)) =>
+            store.updateEdgesMatched(etype, s, d, ids, colSets)
+          case None =>
+            val label = aliasLabel.getOrElse(alias,
+              throw new IllegalArgumentException(s"unknown SET alias $alias"))
+            store.updateMatched(label, ids, colSets)
+        }
       }
       None
 

@@ -223,6 +223,79 @@ final class GraphStore(
     }
   }
 
+  /** CSV bulk node load (reference S6: bench/tundra_runner.cpp:15-115).
+    * Columns are cast to the registered schema; if the CSV carries an `id`
+    * column those ids are kept (and the counter advanced past the max),
+    * otherwise dense per-label ids are assigned. */
+  def loadNodesCsv(label: String, path: String,
+                   header: Boolean = true): Unit = {
+    val st = catalog.schemaOf(label)
+    val raw = spark.read.option("header", header.toString).csv(path)
+    if (raw.columns.contains("id")) {
+      val casted = raw.select(st.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      val t = table(label)
+      t.flush(spark)
+      val withV =
+        if (versioningEnabled) NodeTable.addV0(casted, clock) else casted
+      t.base = Some(t.base.map(_.unionByName(withV)).getOrElse(withV))
+      val maxId = casted.agg(max("id")).head().getLong(0)
+      if (maxId >= catalog.nodeCounter(label))
+        catalog.setNodeCounter(label, maxId + 1)
+    } else createNodes(label, raw.select(
+      st.fields.filter(_.name != "id").map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
+  }
+
+  /** CSV bulk edge load: needs `src`,`dst` columns; props cast to the
+    * registered edge schema when present. */
+  def loadEdgesCsv(edgeType: String, srcLabel: String, dstLabel: String,
+                   path: String, header: Boolean = true): Unit = {
+    val key = (edgeType, srcLabel, dstLabel)
+    val t = edgeTables.getOrElseUpdate(key, {
+      val info = EdgeTypeInfo(edgeType, srcLabel, dstLabel)
+      catalog.registerEdgeType(info)
+      new EdgeTable(info)
+    })
+    val raw = spark.read.option("header", header.toString).csv(path)
+    var e = raw
+      .withColumn("src", col("src").cast(LongType))
+      .withColumn("dst", col("dst").cast(LongType))
+    t.info.props.fields.foreach { f =>
+      e =
+        if (raw.columns.contains(f.name))
+          e.withColumn(f.name, col(f.name).cast(f.dataType))
+        else e.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    if (!e.columns.contains("id"))
+      e = e.withColumn("id", xxhash64(lit(edgeType), col("src"), col("dst")))
+    if (!e.columns.contains("created_ts"))
+      e = e.withColumn("created_ts", lit(0L))
+    val ordered = e.select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+    t.flush(spark)
+    t.base = Some(t.base.map(_.unionByName(ordered)).getOrElse(ordered))
+  }
+
+  /** UPDATE edge properties for the edge ids in `ids` (reference D6 edge
+    * path: src/update/update_executor.cpp:177-209 — matched edges deduped
+    * by edge id, then their props rewritten). Join-based, distributed. */
+  def updateEdgesMatched(edgeType: String, srcLabel: String,
+                         dstLabel: String, ids: DataFrame,
+                         sets: Map[String, Column]): Unit = {
+    val t = edgeTables.getOrElse((edgeType, srcLabel, dstLabel),
+      throw new IllegalArgumentException(
+        s"unknown edge type: $edgeType ($srcLabel->$dstLabel)"))
+    t.flush(spark)
+    t.base.foreach { base =>
+      val hits = ids.toDF("id").distinct().withColumn("__hit", lit(true))
+      val joined = base.join(hits, Seq("id"), "left_outer")
+      val updated = sets.foldLeft(joined) { case (d, (k, v)) =>
+        d.withColumn(k, when(col("__hit"), v).otherwise(col(k)))
+      }.drop("__hit")
+      t.base = Some(updated.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
   /** UPDATE the rows whose ids appear in `ids` (one column, any name) —
     * join-based distributed rewrite, used by UPDATE-by-MATCH (reference
     * D6) so matched ids never surface on the driver. */

@@ -1,0 +1,92 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.types._
+
+import graft.core.Ast._
+import graft.planner.Planner
+import graft.store.GraphStore
+
+/** Property-style checks of the join-strategy algebra (SURVEY.md §5):
+  * on seeded random graphs, the reference's set identities must hold
+  * between join kinds.
+  */
+class JoinAlgebraPropertySpec extends SparkSpec {
+
+  private def randomGraph(seed: Int): (GraphStore, Int) = {
+    val rnd = new Random(seed)
+    val s = new GraphStore(spark)
+    s.createSchema("users", "name" -> StringType)
+    s.createSchema("companies", "name" -> StringType)
+    val nU = 4 + rnd.nextInt(4)
+    val nC = 2 + rnd.nextInt(3)
+    (0 until nU).foreach(i => s.createNode("users", Map("name" -> s"u$i")))
+    (0 until nC).foreach(i =>
+      s.createNode("companies", Map("name" -> s"c$i")))
+    (0 until nU + nC).foreach { _ =>
+      if (rnd.nextBoolean())
+        s.connect("users", rnd.nextInt(nU), "friend", "users",
+          rnd.nextInt(nU))
+      if (rnd.nextBoolean())
+        s.connect("users", rnd.nextInt(nU), "works", "companies",
+          rnd.nextInt(nC))
+    }
+    // guarantee at least one edge of each type so scans resolve
+    s.connect("users", 0, "friend", "users", nU - 1)
+    s.connect("users", 0, "works", "companies", 0)
+    (s, nU)
+  }
+
+  private def rows(s: GraphStore, kind: JoinKind, edge: String,
+                   dst: String): Map[Seq[Any], Int] =
+    rowBag(new Planner(s).plan(Q.from("u:users")
+      .traverse("u", edge, dst, kind)
+      .select("u.id", s"${dst.split(':')(0)}.id").build))
+
+  test("INNER = LEFT minus null rows; FULL superset of LEFT (seeded)") {
+    (1 to 5).foreach { seed =>
+      val (s, _) = randomGraph(seed)
+      for ((edge, dst) <- Seq(("friend", "f:users"), ("works", "c:companies"))) {
+        val inner = rows(s, JoinKind.Inner, edge, dst)
+        val left = rows(s, JoinKind.Left, edge, dst)
+        val full = rows(s, JoinKind.Full, edge, dst)
+        val leftMatched = left.filter(_._1(1) != null)
+        assert(leftMatched === inner, s"seed=$seed $edge")
+        // FULL contains every LEFT row
+        left.foreach { case (r, n) =>
+          assert(full.getOrElse(r, 0) >= n, s"seed=$seed $edge FULL ⊉ LEFT: $r")
+        }
+      }
+    }
+  }
+
+  test("RIGHT-self formula: extras = all − matched_sources − matched_targets") {
+    (1 to 5).foreach { seed =>
+      val (s, nU) = randomGraph(seed)
+      val inner = rows(s, JoinKind.Inner, "friend", "f:users")
+      val right = rows(s, JoinKind.Right, "friend", "f:users")
+      val matchedSrc = inner.keys.map(_(0)).toSet
+      val matchedTgt = inner.keys.map(_(1)).toSet
+      val expectedExtras =
+        (0L until nU).map(x => x: Any).toSet -- matchedSrc -- matchedTgt
+      val actualExtras = right.filter(_._1(0) == null).keys.map(_(1)).toSet
+      assert(actualExtras === expectedExtras, s"seed=$seed")
+      assert(right.filter(_._1(0) != null) === inner, s"seed=$seed matched")
+    }
+  }
+
+  test("RIGHT cross-schema: null-src rows are exactly unreached targets") {
+    (1 to 5).foreach { seed =>
+      val (s, _) = randomGraph(seed)
+      val nC = s.nodes("companies").count()
+      val inner = rows(s, JoinKind.Inner, "works", "c:companies")
+      val right = rows(s, JoinKind.Right, "works", "c:companies")
+      val matchedTgt = inner.keys.map(_(1)).toSet
+      val expected = (0L until nC).map(x => x: Any).toSet -- matchedTgt
+      assert(right.filter(_._1(0) == null).keys.map(_(1)).toSet === expected,
+        s"seed=$seed")
+      assert(right.filter(_._1(0) != null) === inner, s"seed=$seed")
+    }
+  }
+}

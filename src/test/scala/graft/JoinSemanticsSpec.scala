@@ -248,4 +248,19 @@ class JoinSemanticsSpec extends SparkSpec {
       .select("u.id", "f.id").build)
     assert(rowBag(res) === Map(Seq(0L, 1L) -> 1, Seq(1L, 0L) -> 1))
   }
+
+  test("MultiPatternWithSharedVars (join_test.cpp:1646): cyclic INNER") {
+    val s = db()
+    s.connect("users", 0, "FRIEND", "users", 1)
+    s.connect("users", 0, "FRIEND", "users", 2)
+    s.connect("users", 0, "WORKS_AT", "companies", 1)
+    s.connect("users", 2, "WORKS_AT", "companies", 1)
+    s.connect("users", 1, "WORKS_AT", "companies", 0)
+    val res = q(s, Q.from("u:users")
+      .traverse("u", "FRIEND", "f:users")
+      .traverse("f", "WORKS_AT", "c:companies")
+      .traverse("u", "WORKS_AT", "c:companies")
+      .select("u.name", "f.name", "c.name").build)
+    assert(rowBag(res) === Map(Seq("alex", "jeff", "google") -> 1))
+  }
 }

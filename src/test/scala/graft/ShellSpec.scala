@@ -157,4 +157,23 @@ class ShellSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unexpected"))
   }
+
+  test("UPDATE MATCH on an edge alias rewrites edge properties (D6)") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING);
+      CREATE SCHEMA Company (name: STRING);
+      CREATE EDGE SCHEMA WORKS_AT (role: STRING);
+      CREATE NODE User (name = "Alice");
+      CREATE NODE User (name = "Bob");
+      CREATE NODE Company (name = "Acme");
+      CREATE EDGE WORKS_AT FROM User(0) TO Company(0) WITH (role = "eng");
+      CREATE EDGE WORKS_AT FROM User(1) TO Company(0) WITH (role = "eng");
+      UPDATE MATCH (u:User)-[e:WORKS_AT]->(c:Company) SET e.role = "mgr" WHERE u.name = "Alice";
+    """)
+    val res = sh.execute(
+      "MATCH (u:User)-[e:WORKS_AT]->(c:Company) SELECT u.name, e.role;").get
+    assert(rowBag(res) === Map(
+      Seq("Alice", "mgr") -> 1, Seq("Bob", "eng") -> 1))
+  }
 }

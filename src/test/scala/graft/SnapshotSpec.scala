@@ -57,4 +57,29 @@ class SnapshotSpec extends SparkSpec {
     assert(ageAt(1500L) === Seq(1))
     assert(ageAt(2500L) === Seq(2))
   }
+
+  test("CSV bulk load with and without ids (S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/users.csv"),
+      "id,name,age\n0,alex,25\n1,bob,31\n2,jeff,33\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/friend.csv"), "src,dst\n0,1\n1,2\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/extra.csv"), "name,age\nzed,50\n")
+    val s = new GraphStore(spark)
+    s.createSchema("users", "name" -> StringType, "age" -> LongType)
+    s.loadNodesCsv("users", s"$dir/users.csv")
+    s.loadEdgesCsv("friend", "users", "users", s"$dir/friend.csv")
+    // counter continues past CSV-provided ids
+    s.loadNodesCsv("users", s"$dir/extra.csv")
+    assert(rowBag(s.nodes("users")) === Map(
+      Seq(0L, "alex", 25L) -> 1, Seq(1L, "bob", 31L) -> 1,
+      Seq(2L, "jeff", 33L) -> 1, Seq(3L, "zed", 50L) -> 1))
+    val res = new Planner(s).plan(Q.from("u:users")
+      .traverse("u", "friend", "f:users")
+      .select("u.name", "f.name").build)
+    assert(rowBag(res) === Map(
+      Seq("alex", "bob") -> 1, Seq("bob", "jeff") -> 1))
+  }
 }
