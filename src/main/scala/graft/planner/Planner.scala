@@ -93,7 +93,7 @@ final class Planner(store: GraphStore) {
     def scanEdge(t: TraverseClause, alias: String,
                  srcLabel: String): DataFrame = {
       val dstLabel = nodeAliases(t.dstAlias)
-      val raw = store.edges(t.edgeType, srcLabel, dstLabel)
+      val raw = store.edges(t.edgeType, srcLabel, dstLabel, q.asOf)
       val renamed = raw.columns.foldLeft(raw)((d, c) =>
         d.withColumnRenamed(c, s"$alias$SEP$c"))
       preFilters(alias).foldLeft(renamed)((d, e) =>

@@ -74,7 +74,8 @@ final class GraphStore(
     val info = EdgeTypeInfo(name, srcLabel, dstLabel,
       StructType(props.map { case (n, t) => StructField(n, t, nullable = true) }))
     catalog.registerEdgeType(info)
-    edgeTables((name, srcLabel, dstLabel)) = new EdgeTable(info)
+    edgeTables((name, srcLabel, dstLabel)) =
+      new EdgeTable(info, versioningEnabled)
   }
 
   /** Register an existing DataFrame as a node label (bulk/cluster path —
@@ -107,7 +108,8 @@ final class GraphStore(
       e = e.withColumn("id", xxhash64(lit(name), col("src"), col("dst")))
     if (!e.columns.contains("created_ts"))
       e = e.withColumn("created_ts", lit(0L))
-    val t = new EdgeTable(info)
+    val t = new EdgeTable(info, versioningEnabled)
+    if (versioningEnabled) e = NodeTable.addV0(e, clock)
     t.base = Some(e.select(t.schema.fieldNames.map(col).toIndexedSeq: _*))
     edgeTables((name, srcLabel, dstLabel)) = t
   }
@@ -159,7 +161,7 @@ final class GraphStore(
     val t = edgeTables.getOrElseUpdate(key, {
       val info = EdgeTypeInfo(edgeType, srcLabel, dstLabel)
       catalog.registerEdgeType(info)
-      new EdgeTable(info)
+      new EdgeTable(info, versioningEnabled)
     })
     if (unique && t.existsBuffered(srcId, dstId)) return -1L
     val id = catalog.nextEdgeId()
@@ -255,7 +257,7 @@ final class GraphStore(
     val t = edgeTables.getOrElseUpdate(key, {
       val info = EdgeTypeInfo(edgeType, srcLabel, dstLabel)
       catalog.registerEdgeType(info)
-      new EdgeTable(info)
+      new EdgeTable(info, versioningEnabled)
     })
     val raw = spark.read.option("header", header.toString).csv(path)
     var e = raw
@@ -271,6 +273,7 @@ final class GraphStore(
       e = e.withColumn("id", xxhash64(lit(edgeType), col("src"), col("dst")))
     if (!e.columns.contains("created_ts"))
       e = e.withColumn("created_ts", lit(0L))
+    if (versioningEnabled) e = NodeTable.addV0(e, clock)
     val ordered = e.select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
     t.flush(spark)
     t.base = Some(t.base.map(_.unionByName(ordered)).getOrElse(ordered))
@@ -320,13 +323,22 @@ final class GraphStore(
     val t = table(label)
     t.flush(spark)
     t.base.foreach { base =>
-      val doomed = base.filter(cond).select(col("id").as("__gone"))
-      t.base = Some(base.filter(!coalesce(cond, lit(false))))
+      val isHead =
+        if (versioningEnabled) col(VersionCols.Vt) === INF else lit(true)
+      val doomed = base.filter(cond && isHead).select(col("id").as("__gone"))
+      t.base = Some(
+        if (!versioningEnabled) base.filter(!coalesce(cond, lit(false)))
+        else
+          // interval-end deletion (reference spec §10.6): close the head's
+          // valid interval so as-of reads still see the node
+          base.withColumn(VersionCols.Vt,
+            when(coalesce(cond, lit(false)) && isHead, clock.nowNanos)
+              .otherwise(col(VersionCols.Vt))))
       edgeTables.values.foreach { e =>
         if (e.info.srcLabel == label)
-          e.antiJoin(spark, doomed, "src")
+          e.antiJoin(spark, doomed, "src", clock.nowNanos)
         if (e.info.dstLabel == label)
-          e.antiJoin(spark, doomed, "dst")
+          e.antiJoin(spark, doomed, "dst", clock.nowNanos)
       }
     }
   }
@@ -346,13 +358,51 @@ final class GraphStore(
         case (None, Some(d))    => col("dst") === d
         case (None, None)       => lit(true)
       }
-      e.base = e.base.map(_.filter(!cond))
+      if (!versioningEnabled) e.base = e.base.map(_.filter(!cond))
+      else {
+        // versioned delete = close the valid interval (interval-end
+        // deletion, reference spec §10.6) so as-of reads still see it
+        val now = clock.nowNanos
+        e.base = e.base.map(_.withColumn(VersionCols.Vt,
+          when(cond && col(VersionCols.Vt) === INF, now)
+            .otherwise(col(VersionCols.Vt))))
+      }
     }
   }
 
   // ------------------------------------------------------------------
   // Scans
   // ------------------------------------------------------------------
+
+  /** Bitemporal visibility (reference:
+    * include/query/temporal_context.hpp:113-144): interval filter on both
+    * axes (an INF axis is unconstrained), newest visible version per
+    * entity wins; a fully-current snapshot short-circuits to the head
+    * version. Version metadata columns are dropped. */
+  private def applyAsOf(df: DataFrame, asOf: Option[TemporalSnapshot],
+                        entityCol: String): DataFrame = {
+    val snap = asOf.getOrElse(TemporalSnapshot())
+    val visible =
+      if (snap.validTime == INF && snap.txTime == INF)
+        df.filter(col(VersionCols.Vt) === INF) // current = head version
+      else {
+        val vOk =
+          if (snap.validTime == INF) lit(true)
+          else col(VersionCols.Vf) <= snap.validTime &&
+            lit(snap.validTime) < col(VersionCols.Vt)
+        val tOk =
+          if (snap.txTime == INF) lit(true)
+          else col(VersionCols.Tf) <= snap.txTime &&
+            lit(snap.txTime) < col(VersionCols.Tt)
+        // newest visible version wins (chain walk newest->oldest)
+        val w = Window.partitionBy(entityCol)
+          .orderBy(col(VersionCols.Ver).desc)
+        df.filter(vOk && tOk)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    visible.drop(VersionCols.all: _*)
+  }
 
   /** Node scan (reference S1: Database::get_table,
     * src/main/database.cpp:153-172) with optional bitemporal as-of (T1/T2).
@@ -361,36 +411,18 @@ final class GraphStore(
             asOf: Option[TemporalSnapshot] = None): DataFrame = {
     val t = table(label)
     val df = t.materialize(spark)
-    if (!versioningEnabled) df
-    else {
-      val snap = asOf.getOrElse(TemporalSnapshot())
-      val visible =
-        if (snap.validTime == INF && snap.txTime == INF)
-          df.filter(col(VersionCols.Vt) === INF) // current = head version
-        else {
-          val vOk =
-            if (snap.validTime == INF) lit(true)
-            else col(VersionCols.Vf) <= snap.validTime &&
-              lit(snap.validTime) < col(VersionCols.Vt)
-          val tOk =
-            if (snap.txTime == INF) lit(true)
-            else col(VersionCols.Tf) <= snap.txTime &&
-              lit(snap.txTime) < col(VersionCols.Tt)
-          // newest visible version wins (chain walk newest->oldest)
-          val w = Window.partitionBy("id").orderBy(col(VersionCols.Ver).desc)
-          df.filter(vOk && tOk)
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
-        }
-      visible.drop(VersionCols.all: _*)
-    }
+    if (!versioningEnabled) df else applyAsOf(df, asOf, "id")
   }
 
   /** Edge scan (reference S3: EdgeStore::get_table,
-    * src/core/edge_store.cpp:568): `(id, src, dst, created_ts, props…)`. */
-  def edges(edgeType: String, srcLabel: String, dstLabel: String): DataFrame =
+    * src/core/edge_store.cpp:568): `(id, src, dst, created_ts, props…)`,
+    * with as-of edge-existence visibility when versioning is on (T5). */
+  def edges(edgeType: String, srcLabel: String, dstLabel: String,
+            asOf: Option[TemporalSnapshot] = None): DataFrame =
     edgeTables.get((edgeType, srcLabel, dstLabel)) match {
-      case Some(t) => t.materialize(spark)
+      case Some(t) =>
+        val df = t.materialize(spark)
+        if (!versioningEnabled) df else applyAsOf(df, asOf, "id")
       case None =>
         throw new IllegalArgumentException(
           s"unknown edge type: $edgeType ($srcLabel->$dstLabel)")
@@ -400,8 +432,8 @@ final class GraphStore(
     * reference D11). */
   def edgesNamed(edgeType: String): DataFrame = {
     val dfs = edgeTables.collect {
-      case ((n, _, _), t) if n == edgeType =>
-        t.materialize(spark).select("id", "src", "dst", "created_ts")
+      case ((n, s, d), _) if n == edgeType =>
+        edges(n, s, d).select("id", "src", "dst", "created_ts")
     }.toSeq
     require(dfs.nonEmpty, s"unknown edge type: $edgeType")
     dfs.reduce(_ unionByName _)
@@ -479,7 +511,7 @@ object GraphStore {
         .asInstanceOf[StructType]
       val info = EdgeTypeInfo(name, s, d, props)
       store.catalog.registerEdgeType(info)
-      val t = new EdgeTable(info)
+      val t = new EdgeTable(info, store.versioningEnabled)
       t.base = Some(spark.read.parquet(s"$path/edges/${name}__${s}__$d"))
       store.edgeTables((name, s, d)) = t
     }
@@ -605,14 +637,19 @@ private[store] object NodeTable {
     .withColumn(VersionCols.Tt, lit(INF))
 }
 
-private[store] final class EdgeTable(val info: EdgeTypeInfo) {
+private[store] final class EdgeTable(val info: EdgeTypeInfo,
+    val versioned: Boolean = false) {
+  /** Edge rows carry the same bitemporal columns as nodes when versioning
+    * is on — as-of applies to edge *existence* (reference spec §5.2:
+    * "edges can appear/disappear by valid/txn windows"). */
   val schema: StructType = StructType(
-    Seq(
+    (Seq(
       StructField("id", LongType, nullable = false),
       StructField("src", LongType, nullable = false),
       StructField("dst", LongType, nullable = false),
       StructField("created_ts", LongType, nullable = false)
-    ) ++ info.props.fields)
+    ) ++ info.props.fields) ++
+      (if (versioned) VersionCols.fields else Seq.empty))
 
   var base: Option[DataFrame] = None
   val buffer = mutable.ArrayBuffer[Array[Any]]()
@@ -626,16 +663,31 @@ private[store] final class EdgeTable(val info: EdgeTypeInfo) {
     val propVals = info.props.fields.map(f =>
       TypeCoercion.coerce(props.getOrElse(f.name, null), f.dataType,
         s"${info.name}.${f.name}"))
-    buffer += (Array[Any](id, src, dst, ts) ++ propVals)
+    val vCols: Array[Any] =
+      if (versioned) Array[Any](0L, ts, INF, ts, INF) else Array.empty[Any]
+    buffer += (Array[Any](id, src, dst, ts) ++ propVals ++ vCols)
     pairIndex += ((src, dst))
     buffered = true
   }
 
   def existsBuffered(src: Long, dst: Long): Boolean = pairIndex((src, dst))
 
-  def antiJoin(spark: SparkSession, doomed: DataFrame, side: String): Unit = {
+  def antiJoin(spark: SparkSession, doomed: DataFrame, side: String,
+               now: Long): Unit = {
     flush(spark)
-    base = base.map(_.join(doomed, col(side) === col("__gone"), "left_anti"))
+    base = base.map { b =>
+      if (!versioned)
+        b.join(doomed, col(side) === col("__gone"), "left_anti")
+      else {
+        // interval-end deletion: close valid_to of still-open versions
+        val hits = doomed.withColumn("__hit", lit(true))
+        b.join(hits, col(side) === col("__gone"), "left_outer")
+          .withColumn(VersionCols.Vt,
+            when(col("__hit") && col(VersionCols.Vt) === INF, now)
+              .otherwise(col(VersionCols.Vt)))
+          .drop("__gone", "__hit")
+      }
+    }
   }
 
   def flush(spark: SparkSession): Unit = if (buffered) {

@@ -86,4 +86,38 @@ class TemporalSpec extends SparkSpec {
     assert(ageAt(s, Some(TemporalSnapshot(validTime = 1500L)))
       .toSet === Set(1, 10))
   }
+
+  test("edge existence is versioned: as-of sees deleted edges (T5)") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    val a = s.createNode("User", Map("name" -> "a", "age" -> 1))
+    val b = s.createNode("User", Map("name" -> "b", "age" -> 2))
+    s.connect("User", a, "friend", "User", b)
+    clock.set(2000L)
+    s.deleteEdges("friend", "User", "User", from = Some(a))
+    def pairsAt(snap: Option[TemporalSnapshot]) =
+      new Planner(s).plan(GraphQuery("u", "User",
+        clauses = List(TraverseClause("u", "friend", None, "f", "User",
+          JoinKind.Inner)),
+        select = List(SelectField(FieldRef.parse("u.id")),
+          SelectField(FieldRef.parse("f.id"))),
+        asOf = snap)).count()
+    assert(pairsAt(Some(TemporalSnapshot(validTime = 1500L))) === 1)
+    assert(pairsAt(Some(TemporalSnapshot(validTime = 2500L))) === 0)
+    assert(pairsAt(None) === 0) // current read
+  }
+
+  test("node delete closes incident edge versions instead of dropping") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    val a = s.createNode("User", Map("name" -> "a", "age" -> 1))
+    val b = s.createNode("User", Map("name" -> "b", "age" -> 2))
+    s.connect("User", a, "friend", "User", b)
+    clock.set(2000L)
+    s.deleteWhere("User", org.apache.spark.sql.functions.col("id") === b)
+    // edge invisible now, but still visible in the past
+    assert(s.edges("friend", "User", "User").count() === 0)
+    assert(s.edges("friend", "User", "User",
+      Some(TemporalSnapshot(validTime = 1500L))).count() === 1)
+  }
 }
