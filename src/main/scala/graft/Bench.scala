@@ -75,6 +75,15 @@ object Bench {
         store.nodes("documents").filter(col("id") < 10000),
         "id", "text", numHashes = 64, bands = 8, shingleK = 3,
         threshold = 0.5, maxBucketSize = 100)),
+      "node_insert" -> (() => {
+        // bulk node creation with dense distributed id assignment
+        // (BASELINE: node creation throughput)
+        val s2 = new graft.store.GraphStore(spark)
+        val src = store.nodes("lineitem").drop("id")
+        s2.attachNodes("ingest_probe", src.limit(0), "orderkey") // schema
+        s2.createNodes("ingest_probe", src)
+        s2.nodes("ingest_probe")
+      }),
       "ann_topk" -> (() => {
         val vecs = store.nodes("embeddings").withColumnRenamed("id", "vec_id")
         Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.GraphAnalytics
 import graft.core.Ast._
 import graft.core.MockClock
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.planner.Planner
 import graft.store.GraphStore
 import graft.streaming.EventStreams
@@ -278,7 +278,7 @@ object SparkEntry {
     "p37_ann_ivf" -> ((s, dir) => {
       val vecs = TpchGraph.store(s, dir).nodes("embeddings")
         .withColumnRenamed("id", "vec_id")
-      val centroids = vecs.filter(col("vec_id") < 16)
+      val centroids = Similarity.ivfTrain(vecs, k = 16, iters = 2)
       val assigned = Similarity.ivfAssign(vecs, centroids)
       Similarity.ivfTopK(assigned, centroids,
         vecs.filter(col("vec_id") < 5), k = 10, nProbe = 4)
@@ -298,6 +298,11 @@ object SparkEntry {
       TpchGraph.store(s, dir).nodes("documents")
         .select(col("id").as("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // composite corpus pipeline: quality gate → exact dedup
+    "p42_clean_corpus" -> ((s, dir) =>
+      Corpus.clean(TpchGraph.store(s, dir).nodes("documents"), "id",
+        "text", minQuality = 0.5)
+        .select(col("id").as("doc_id"), col("cnt"))),
     "p41_multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.attachBinary(
         TpchGraph.store(s, dir).nodes("documents"), "id", "text"))
@@ -419,6 +424,23 @@ object SparkEntry {
         "greatest(len(regexp_split_to_array(trim(text), '\\s+')) * 1.0, " +
         "1.0) >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred " +
         "FROM documents"),
+    "p42_clean_corpus" ->
+      ("WITH t AS (SELECT doc_id, text, " +
+        "regexp_split_to_array(trim(text), '\\s+') AS w, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS wl " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, text, " +
+        s"len(list_filter(wl, x -> x IN $duckStops)) * 1.0 / " +
+        "greatest(len(w) * 1.0, 1.0) AS sr, " +
+        "CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / " +
+        "greatest(len(w) * 1.0, 1.0) AS awl, " +
+        "len(regexp_extract_all(text, '[.,;:!?()-]')) AS np, " +
+        "length(text) AS nc FROM t) " +
+        "SELECT min(doc_id) AS doc_id, count(*) AS cnt FROM m " +
+        "WHERE sr * 0.5 + " +
+        "(CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) + " +
+        "(CASE WHEN np * 1.0 / greatest(nc * 1.0, 1.0) < 0.1 " +
+        "THEN 0.2 ELSE 0.0 END) >= 0.5 GROUP BY text"),
     "p40_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT), " +
         "list_transform(string_split(lower(text), ''), " +

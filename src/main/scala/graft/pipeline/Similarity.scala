@@ -52,6 +52,30 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("c_id").as("cluster"))
   }
 
+  /** Deterministic Lloyd refinement for IVF centroids: init = the k
+    * lowest-id vectors (a seedless stand-in for random init), then `iters`
+    * rounds of assign + per-dimension mean. Each round is one broadcast
+    * assignment pass plus a tiny (k×dims) aggregation — scales linearly
+    * in the vector count. */
+  def ivfTrain(vectors: DataFrame, k: Int, iters: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    var centroids = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol))
+    (0 until iters).foreach { _ =>
+      val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
+      val dims = assigned.select(col("cluster"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      centroids = dims.groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("m")))), s => s.getField("m").cast("float")).as(vecCol))
+        .select(col("cluster").as(idCol), col(vecCol))
+    }
+    centroids
+  }
+
   /** IVF top-k: probe the `nProbe` nearest clusters per query, then exact
     * cosine within the probed partitions. Approximate: recall depends on
     * nProbe/nCentroids. */

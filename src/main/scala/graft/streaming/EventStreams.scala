@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming-shaped operators over the `events` table.
   *
@@ -33,4 +34,61 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("etype") === "error", 1).otherwise(0)).as("n_errors"),
         max(col("ts")).as("last_ts"))
+
+  case class SessionEvent(userid: Long, ts: java.sql.Timestamp,
+      etype: String)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(userid: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Int)
+
+  /** Gap-based sessionization over a stream via
+    * `flatMapGroupsWithState` + processing-time timeout: a user's events
+    * accumulate into one session state; a quiet period of `gap` closes
+    * the session and emits it. State per key is O(1) — this scales to
+    * arbitrarily many users because Spark shards the state store by key.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 useTimeout: Boolean = true): Dataset[Session] = {
+    implicit val sessEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    // useTimeout=false closes sessions only via in-batch gaps — needed
+    // for deterministic tests and for batch (backfill) execution, where
+    // processing-time timeouts keep the micro-batch engine busy forever
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.userid)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeoutConf) {
+        (userid: Long, evs: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  out += Session(userid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None => cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

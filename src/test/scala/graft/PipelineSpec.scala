@@ -138,4 +138,48 @@ class PipelineSpec extends SparkSpec {
       assert(out === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("corpus clean: quality gate + exact dedup composition") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox is in the house of the dog"),
+      (1L, "the quick brown fox is in the house of the dog"), // dup of 0
+      (2L, "zx qw nb vc xp dj")                               // low quality
+    ).toDF("doc_id", "text")
+    val res = graft.pipeline.Corpus.clean(corpus, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cnt")))
+    assert(res.toSet === Set((0L, 2L)))
+  }
+
+  test("ivfTrain: Lloyd refinement converges to the two blobs") {
+    import spark.implicits._
+    val vecs = ((0L to 9L).map(i => (i, Array(10.0f + i * 0.1f, 0.0f))) ++
+      (10L to 19L).map(i => (i, Array(0.0f, 10.0f + i * 0.1f))))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(vecs, k = 2, iters = 3)
+    val cs = centroids.collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+      .sortBy(_.head)
+    assert(cs.length === 2)
+    // one centroid near (0, ~10.7), the other near (~10.4, 0)
+    assert(cs(0)(0) < 1.0f && cs(0)(1) > 9.0f)
+    assert(cs(1)(0) > 9.0f && cs(1)(1) < 1.0f)
+  }
+
+  test("sessionization: gap closes sessions (batch execution path)") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.SessionEvent
+    def ev(min: Int) =
+      SessionEvent(1L, new java.sql.Timestamp(min * 60000L), "click")
+    // flatMapGroupsWithState runs on static Datasets too (single
+    // invocation per key, empty initial state) — same operator code as
+    // the streaming path, deterministic to assert
+    val sessions = EventStreams.sessionize(
+      Seq(ev(0), ev(1), ev(30), ev(31), ev(60)).toDS(),
+      gapMs = 5 * 60000L, useTimeout = false).collect()
+      .map(s => (s.start.getTime / 60000, s.end.getTime / 60000,
+        s.n_events)).toSet
+    // two sessions closed by gaps; the t=60 session remains open in state
+    assert(sessions === Set((0L, 1L, 2), (30L, 31L, 2)))
+  }
 }
