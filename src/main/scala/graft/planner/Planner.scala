@@ -216,6 +216,9 @@ final class Planner(store: GraphStore) {
           df.columns.filter(_.startsWith(s"$a$SEP")).toIndexedSeq
             .map(c => col(c).as(c.replaceFirst(SEP, ".")))
         case SelectField(r, as) =>
+          require(nodeAliases.contains(r.alias) ||
+            edgeAliases.contains(r.alias),
+            s"SELECT references unknown alias: ${r.alias}")
           val c = refColumn(r, df, castTo = None)
           Seq(c.as(as.getOrElse(r.toString)))
       }

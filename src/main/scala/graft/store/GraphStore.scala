@@ -447,7 +447,13 @@ final class GraphStore(
   // src/storage/snapshot_manager.cpp:315 / :26)
   // ------------------------------------------------------------------
 
-  def commit(path: String): Unit = {
+  def commit(path: String): Unit = commit(path, shardPartitions = None)
+
+  /** Snapshot commit; `shardPartitions` writes each node table
+    * range-partitioned and sorted by id — the analog of the reference's
+    * id-range shards (S2, include/storage/shard.hpp:30-101), which keeps
+    * id-lookup scans to one file and makes restores min/max-prunable. */
+  def commit(path: String, shardPartitions: Option[Int]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("versioning", versioningEnabled)
@@ -455,8 +461,11 @@ final class GraphStore(
     val labelsNode = root.putArray("labels")
     nodeTables.foreach { case (label, t) =>
       t.flush(spark)
-      t.base.foreach(_.write.mode("overwrite")
-        .parquet(s"$path/nodes/$label"))
+      t.base.foreach { b =>
+        val laidOut = shardPartitions.fold(b)(n =>
+          b.repartitionByRange(n, col("id")).sortWithinPartitions("id"))
+        laidOut.write.mode("overwrite").parquet(s"$path/nodes/$label")
+      }
       val ln = labelsNode.addObject()
       ln.put("label", label)
       ln.put("schema", catalog.schemaOf(label).json)

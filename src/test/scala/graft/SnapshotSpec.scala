@@ -82,4 +82,18 @@ class SnapshotSpec extends SparkSpec {
     assert(rowBag(res) === Map(
       Seq("alex", "bob") -> 1, Seq("bob", "jeff") -> 1))
   }
+
+  test("range-sharded commit lays files out by id and restores (S2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    (0 until 100).foreach(i => s.createNode("User", Map("name" -> s"u$i")))
+    s.commit(dir, shardPartitions = Some(4))
+    val files = new java.io.File(s"$dir/nodes/User").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 4)
+    val r = GraphStore.restore(spark, dir)
+    assert(r.nodes("User").count() === 100)
+    assert(r.createNode("User", Map("name" -> "next")) === 100L)
+  }
 }

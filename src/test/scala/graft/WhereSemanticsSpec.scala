@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.core.Ast._
+import graft.planner.Planner
+import graft.store.GraphStore
+
+/** Ports /root/reference/tests/where_expression_test.cpp +
+  * where_pushdown_join_test.cpp semantics: AND/OR precedence, strict
+  * typing errors, unknown-field errors, and the invariant that inlined
+  * (scan-attached) and post filters agree.
+  */
+class WhereSemanticsSpec extends SparkSpec {
+
+  private def db(): GraphStore = {
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType, "age" -> IntegerType,
+      "city" -> StringType, "salary" -> IntegerType)
+    s.createSchema("Company", "name" -> StringType, "size" -> IntegerType,
+      "city" -> StringType)
+    Seq(("alice", 30, "nyc", 120), ("bob", 45, "sf", 90),
+      ("carol", 25, "nyc", 150), ("dan", 55, "la", 60)).foreach {
+      case (n, a, c, sal) => s.createNode("User",
+        Map("name" -> n, "age" -> a, "city" -> c, "salary" -> sal))
+    }
+    Seq(("acme", 100, "nyc"), ("globex", 5000, "sf")).foreach {
+      case (n, sz, c) =>
+        s.createNode("Company", Map("name" -> n, "size" -> sz, "city" -> c))
+    }
+    s.connect("User", 0, "works", "Company", 0)
+    s.connect("User", 1, "works", "Company", 1)
+    s
+  }
+
+  private def names(s: GraphStore, w: WhereExpr): Set[Any] =
+    new Planner(s).plan(Q.from("u:User").where(w).select("u.name").build)
+      .collect().map(_.get(0)).toSet
+
+  test("AND binds tighter than OR (grammar precedence)") {
+    val s = db()
+    // age < 28 OR (city = nyc AND salary > 100)
+    assert(names(s, ref("u.age") < 28 ||
+      (ref("u.city") === "nyc" && ref("u.salary") > 100)) ===
+      Set("alice", "carol"))
+  }
+
+  test("parenthesized OR inside AND") {
+    val s = db()
+    assert(names(s, (ref("u.city") === "nyc" || ref("u.city") === "sf") &&
+      ref("u.age") >= 30) === Set("alice", "bob"))
+  }
+
+  test("unknown field errors at plan time") {
+    val s = db()
+    val e = intercept[IllegalArgumentException] {
+      names(s, ref("u.wat") === 1)
+    }
+    assert(e.getMessage.contains("unknown field"))
+  }
+
+  test("NULL comparisons restricted to = / != (F3)") {
+    val s = db()
+    assert(intercept[IllegalArgumentException] {
+      names(s, Comparison(FieldRef.parse("u.age"), CmpOp.Gt, null))
+    }.getMessage.contains("NULL"))
+    // = NULL works as IS NULL
+    assert(names(s, Comparison(FieldRef.parse("u.name"), CmpOp.Eq, null))
+      === Set())
+  }
+
+  test("inlined target filter on outer join = NULL row when all targets filtered") {
+    val s = db()
+    // bob works at globex(size 5000); filter size < 1000 removes it →
+    // bob must appear with NULL company (filter is scan-inlined, not
+    // post-join — reference where_pushdown_join_test invariant)
+    val res = new Planner(s).plan(Q.from("u:User")
+      .traverse("u", "works", "c:Company", JoinKind.Left)
+      .where(ref("c.size") < 1000)
+      .select("u.name", "c.name").build)
+    assert(rowBag(res) === Map(
+      Seq("alice", "acme") -> 1,
+      Seq("bob", null) -> 1,
+      Seq("carol", null) -> 1,
+      Seq("dan", null) -> 1))
+  }
+
+  test("cross-alias predicate runs post-join and kills NULL rows (F7)") {
+    val s = db()
+    val res = new Planner(s).plan(Q.from("u:User")
+      .traverse("u", "works", "c:Company", JoinKind.Left)
+      .where(Comparison(FieldRef.parse("c.size"), CmpOp.Gt,
+        FieldRef.parse("u.salary")))
+      .select("u.name", "c.name").build)
+    // only bob: globex(5000) > 90; acme(100) < alice's 120; NULL rows die
+    assert(rowBag(res) === Map(Seq("bob", "globex") -> 1))
+  }
+
+  test("string ops on map-free columns honor intended semantics (F2)") {
+    val s = db()
+    assert(names(s, ref("u.name").contains("ar")) === Set("carol"))
+    assert(names(s, ref("u.name").startsWith("a")) === Set("alice"))
+    assert(names(s, ref("u.name").endsWith("n")) === Set("dan"))
+  }
+}
