@@ -176,10 +176,16 @@ final class Planner(store: GraphStore) {
                 leftPart.unionByName(extras, allowMissingColumns = true)
             }
           case (true, true) =>
-            // both ends bound (cyclic pattern): edge-existence join
-            require(t.kind == JoinKind.Inner,
-              "only INNER supported when both traverse ends are bound")
-            df.join(eDf, srcId === eSrc && eDst === dstId)
+            // both ends bound (cyclic pattern): edge-existence join;
+            // LEFT keeps rows without the edge (edge cols NULL)
+            t.kind match {
+              case JoinKind.Inner =>
+                df.join(eDf, srcId === eSrc && eDst === dstId)
+              case JoinKind.Left =>
+                df.join(eDf, srcId === eSrc && eDst === dstId, "left_outer")
+              case other => throw new UnsupportedOperationException(
+                s"$other not supported when both traverse ends are bound")
+            }
           case (false, true) =>
             // multi-pattern second chain into a shared target alias
             // (reference J8: intersection via shared target id-set,

@@ -263,4 +263,21 @@ class JoinSemanticsSpec extends SparkSpec {
       .select("u.name", "f.name", "c.name").build)
     assert(rowBag(res) === Map(Seq("alex", "jeff", "google") -> 1))
   }
+
+  test("cyclic LEFT: both ends bound keeps rows without the back-edge") {
+    val s = db()
+    s.connect("users", 0, "friend", "users", 1)
+    s.connect("users", 1, "friend", "users", 0) // mutual
+    s.connect("users", 0, "friend", "users", 2) // one-way
+    val res = q(s, Q.from("u:users")
+      .traverse("u", "friend", "f:users")
+      .traverse("f", "friend", "u:users", JoinKind.Left,
+        edgeAlias = Some("back"))
+      .select("u.id", "f.id", "back.id").build)
+    val bag = rowBag(res)
+    assert(bag.size === 3)
+    // mutual pairs have a back-edge id, the one-way pair a NULL
+    assert(bag.keys.count(r => r(2) != null) === 2)
+    assert(bag.keys.exists(r => r(0) == 0L && r(1) == 2L && r(2) == null))
+  }
 }
