@@ -55,7 +55,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     referenceQueries ++ relationalQueries ++ pipelineQueries ++
-      analyticsQueries
+      analyticsQueries ++ extendedQueries
 
   /** Reference-parity operators (SURVEY.md §2.1-2.5). */
   private def referenceQueries
@@ -310,6 +310,22 @@ object SparkEntry {
           col("height")))
   )
 
+  /** Temporal DIFF + variable-length paths (beyond-reference ops). */
+  private def extendedQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // temporal audit DIFF between two snapshots (spec §11)
+    "t43_temporal_diff" -> ((s, dir) =>
+      versionedCustomers(s, dir).diff("customer",
+        TemporalSnapshot(1000L, 1500L), TemporalSnapshot(2500L, INF))
+        .select(col("id").as("c_id"), col("change"))),
+    // variable-length paths over per-customer order chains
+    "v44_varlength" -> ((s, dir) =>
+      graft.planner.VarLength.pairs(
+        TpchGraph.store(s, dir).edges("next_order", "orders", "orders"),
+        minHops = 1, maxHops = 3)
+        .select(col("src"), col("dst"), col("hops")))
+  )
+
   /** GraphX-lifted batch analytics (SURVEY.md §2.10). */
   private def analyticsQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -452,6 +468,15 @@ object SparkEntry {
         "AS width, " +
         "CAST(octet_length(CAST(text AS BLOB)) % 768 + 1 AS INT) " +
         "AS height FROM documents"),
+    "t43_temporal_diff" ->
+      ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
+        "WHERE c_custkey % 3 = 0"),
+    "v44_varlength" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) " +
+        "SELECT a.o_orderkey AS src, b.o_orderkey AS dst, " +
+        "CAST(b.rn - a.rn AS INT) AS hops FROM r a JOIN r b " +
+        "ON a.o_custkey = b.o_custkey AND b.rn - a.rn BETWEEN 1 AND 3"),
     "g42_components" ->
       ("SELECT s_suppkey AS id, min(s_suppkey) OVER " +
         "(PARTITION BY s_nationkey) AS component FROM supplier"),

@@ -1,0 +1,39 @@
+package graft.planner
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Variable-length path expansion (`(a)-[:t*min..max]->(b)`) — [ABSENT]
+  * in the reference grammar (SURVEY.md §2.3), composed here from the
+  * existing edge scans as iterated joins.
+  *
+  * Returns distinct `(src, dst, hops)` pairs where `hops` is the
+  * SHORTEST path length in [1, maxHops], filtered to `hops >= minHops`.
+  * Each round joins the frontier of newly-reached pairs against the edge
+  * set and anti-joins what is already known — BFS as relational algebra,
+  * so the work per round is frontier-sized, not all-pairs, and maxHops
+  * bounds the iteration. Self-pairs (cycles back to the source) are kept
+  * only when a genuine path exists (src != dst guard excluded on
+  * purpose: the reference has no cycle semantics to match, and callers
+  * can filter).
+  */
+object VarLength {
+
+  def pairs(edges: DataFrame, minHops: Int, maxHops: Int): DataFrame = {
+    require(minHops >= 1 && maxHops >= minHops, "need 1 <= min <= max")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    var known = e.withColumn("hops", lit(1))
+    var frontier = known
+    (2 to maxHops).foreach { k =>
+      val expanded = frontier.select(col("src"), col("dst").as("__mid"))
+        .join(e.select(col("src").as("__mid"), col("dst")), "__mid")
+        .select(col("src"), col("dst")).distinct()
+      val fresh = expanded.join(known.select("src", "dst"),
+        Seq("src", "dst"), "left_anti")
+        .withColumn("hops", lit(k))
+      known = known.unionByName(fresh)
+      frontier = fresh
+    }
+    known.filter(col("hops") >= minHops)
+  }
+}

@@ -414,6 +414,25 @@ final class GraphStore(
     if (!versioningEnabled) df else applyAsOf(df, asOf, "id")
   }
 
+  /** Temporal DIFF (reference spec §11, docs/README_temporal_versioning.md):
+    * audit the changes between two snapshots of a label. Output:
+    * (id, change ∈ ADDED|REMOVED|UPDATED) — one full-outer join of the two
+    * as-of views, field comparison via struct equality. */
+  def diff(label: String, a: TemporalSnapshot,
+           b: TemporalSnapshot): DataFrame = {
+    val fields = catalog.schemaOf(label).fieldNames.filter(_ != "id")
+    def side(snap: TemporalSnapshot, tag: String) =
+      nodes(label, Some(snap)).select(col("id"),
+        struct(fields.map(col).toIndexedSeq: _*).as(s"__$tag"))
+    side(a, "a").join(side(b, "b"), Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("__a").isNull, "ADDED")
+          .when(col("__b").isNull, "REMOVED")
+          .when(col("__a") =!= col("__b"), "UPDATED"))
+      .filter(col("change").isNotNull)
+      .select("id", "change")
+  }
+
   /** Edge scan (reference S3: EdgeStore::get_table,
     * src/core/edge_store.cpp:568): `(id, src, dst, created_ts, props…)`,
     * with as-of edge-existence visibility when versioning is on (T5). */

@@ -141,6 +141,15 @@ object TpchGraph {
         col("l_quantity").as("quantity")))
     s.attachEdges("of_part", "lineitem", "part",
       lineitem.select(col("lid").as("src"), col("l_partkey").as("dst")))
+    // per-customer order chains (window-derived) for variable-length
+    // path queries: each order points at the customer's next order
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderkey")
+    s.attachEdges("next_order", "orders", "orders",
+      orders.select(col("o_orderkey").as("src"),
+        lead("o_orderkey", 1).over(ow).as("dst"))
+        .filter(col("dst").isNotNull))
+
     // self-edges for the J5 RIGHT-self-join tests: supplier pairs in the
     // same nation, single orientation a.id < b.id
     val sa = supplier.select(col("s_suppkey").as("src"),

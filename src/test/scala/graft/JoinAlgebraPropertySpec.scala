@@ -89,4 +89,22 @@ class JoinAlgebraPropertySpec extends SparkSpec {
       assert(right.filter(_._1(0) != null) === inner, s"seed=$seed")
     }
   }
+
+  test("VarLength.pairs: shortest hops, cycle-safe, bounded") {
+    import spark.implicits._
+    // chain 0->1->2->3 plus a cycle 3->0 and a shortcut 0->2
+    val e = Seq((0L,1L),(1L,2L),(2L,3L),(3L,0L),(0L,2L)).toDF("src","dst")
+    val got = graft.planner.VarLength.pairs(e, 1, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((0L,1L)) === 1)
+    assert(got((0L,2L)) === 1) // shortcut beats the 2-hop path
+    assert(got((0L,3L)) === 2) // via the shortcut
+    assert(got((1L,0L)) === 3) // 1->2->3->0
+    assert(got((0L,0L)) === 3) // cycle back to self found at depth 3
+    assert(!got.contains((1L,1L))) // its cycle needs 4 hops > max
+    // minHops filter
+    val deep = graft.planner.VarLength.pairs(e, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!deep.contains((0L,1L)) && deep.contains((0L,3L)))
+  }
 }
