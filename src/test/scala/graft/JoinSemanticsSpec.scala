@@ -280,4 +280,35 @@ class JoinSemanticsSpec extends SparkSpec {
     assert(bag.keys.count(r => r(2) != null) === 2)
     assert(bag.keys.exists(r => r(0) == 0L && r(1) == 2L && r(2) == null))
   }
+
+  test("InnerJoinFromSameNodeMultiTarget (join_test.cpp:248): branch product") {
+    val s = db()
+    s.connect("users", 0, "friend", "users", 1)
+    s.connect("users", 0, "friend", "users", 2)
+    s.connect("users", 0, "works-at", "companies", 1) // alex -> google
+    val res = q(s, Q.from("u:users")
+      .traverse("u", "friend", "f:users")
+      .traverse("u", "works-at", "c:companies")
+      .select("u.name", "f.name", "c.name").build)
+    assert(rowBag(res) === Map(
+      Seq("alex", "bob", "google") -> 1,
+      Seq("alex", "jeff", "google") -> 1))
+  }
+
+  test("MultiPathToSameTarget (join_test.cpp:456): friends at same company") {
+    val s = db()
+    s.connect("users", 0, "friend", "users", 1)
+    s.connect("users", 0, "friend", "users", 2)
+    s.connect("users", 0, "works-at", "companies", 0) // alex -> ibm
+    s.connect("users", 1, "works-at", "companies", 0) // bob -> ibm
+    s.connect("users", 2, "works-at", "companies", 1) // jeff -> google
+    val res = q(s, Q.from("u:users")
+      .traverse("u", "friend", "f:users")
+      .traverse("u", "works-at", "c1:companies")
+      .traverse("f", "works-at", "c2:companies")
+      .where(ref("c1.id") === 0L)
+      .where(ref("c2.id") === 0L)
+      .select("u.name", "f.name", "c1.name", "c2.name").build)
+    assert(rowBag(res) === Map(Seq("alex", "bob", "ibm", "ibm") -> 1))
+  }
 }
