@@ -151,8 +151,12 @@ object SparkEntry {
         split(col("p_name"), " ").as("tags")), "id")
       st.updateWhere("item", col("id") % 2 === 0, Map("tags" -> lit("X")),
         append = Set("tags"))
+      // The driver's comparator sorts rows in pandas, which cannot hash
+      // array cells — project the array as a scalar CSV string (oracle
+      // mirrors with array_to_string).
       new Planner(st).plan(Q.from("i:item")
         .selectAs("i.id", "p_id").selectAs("i.tags", "tags").build)
+        .select(col("p_id"), concat_ws(",", col("tags")).as("tags_csv"))
     }),
     // ---- D5/D6 UPDATE then read-back
     "q15_update_readback" -> ((s, dir) => {
@@ -198,8 +202,10 @@ object SparkEntry {
     "a20_agg_pricing" -> ((s, dir) =>
       TpchGraph.store(s, dir).nodes("lineitem")
         .groupBy(col("returnflag"), col("linestatus"))
-        .agg(sum(col("quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        .agg(sum(col("quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          sum(col("extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
           count(lit(1)).as("n"))),
     // ---- ORDER BY + LIMIT (deterministic tie-break on id)
     "a21_topk" -> ((s, dir) =>
@@ -360,10 +366,17 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = referenceOracles ++ Map(
+    // String-mediated double→decimal cast: Spark's Decimal(BigDecimal
+    // .valueOf(d)) rounds the double's shortest string repr HALF_UP;
+    // DuckDB's direct double→decimal rounds the binary value. Casting via
+    // VARCHAR makes DuckDB take the same shortest-string path (r1 verdict:
+    // a 36.00499… stored double diverged 36.01 vs 36.00 at sf0.1).
     "a20_agg_pricing" ->
       ("SELECT l_returnflag AS returnflag, l_linestatus AS linestatus, " +
-        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
-        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, " +
+        "CAST(sum(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR) AS " +
+        "DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
         "count(*) AS n FROM lineitem GROUP BY 1, 2"),
     "a21_topk" ->
       ("SELECT c_custkey AS c_id, c_acctbal AS acctbal FROM customer " +
@@ -541,9 +554,10 @@ object SparkEntry {
         "FROM events WHERE event_type = 'error' AND " +
         "CAST(json_extract_string(props, '$.k') AS BIGINT) > 50"),
     "q14_array_append" ->
-      ("SELECT p_partkey AS p_id, CASE WHEN p_partkey % 2 = 0 THEN " +
+      ("SELECT p_partkey AS p_id, array_to_string(CASE WHEN " +
+        "p_partkey % 2 = 0 THEN " +
         "list_append(string_split(p_name, ' '), 'X') " +
-        "ELSE string_split(p_name, ' ') END AS tags FROM part"),
+        "ELSE string_split(p_name, ' ') END, ',') AS tags_csv FROM part"),
     "q15_update_readback" ->
       ("SELECT c_custkey AS c_id, CASE WHEN c_acctbal < 0 THEN 'X' " +
         "ELSE c_mktsegment END AS c_mktsegment FROM customer"),

@@ -11,13 +11,24 @@ import graft.store.GraphStore
   *
   * GraphX requires globally-unique VertexIds while the engine keeps
   * per-label id namespaces (reference README.md:139) — vertex ids are
-  * namespaced as `labelIndex << 40 | nodeId` (same pitfall the reference's
-  * RIGHT-self-join handles, SURVEY.md §2.10).
+  * namespaced as `labelIndex << 60 | nodeId` (same pitfall the reference's
+  * RIGHT-self-join handles, SURVEY.md §2.10). 60 id bits cover the
+  * md5-derived lineitem ids; 3 label bits (sign bit stays clear) allow 8
+  * labels per lift. Out-of-range ids fail hard instead of silently
+  * colliding with label bits.
   */
 object GraphAnalytics {
 
-  private def namespaced(labelIdx: Long, id: org.apache.spark.sql.Column) =
-    lit(labelIdx << 40).bitwiseOR(id)
+  private val IdBits = 60
+  private val MaxId = 1L << IdBits
+
+  private def namespaced(labelIdx: Long, id: org.apache.spark.sql.Column) = {
+    require(labelIdx < (1L << (63 - IdBits)),
+      s"at most ${1L << (63 - IdBits)} labels per lifted graph")
+    when(assert_true(id >= 0 && id < MaxId,
+      lit(s"node id out of [0, 2^$IdBits) — cannot namespace")).isNull,
+      lit(labelIdx << IdBits).bitwiseOR(id))
+  }
 
   /** Build a GraphX graph from one or more (edgeType, srcLabel, dstLabel)
     * edge sets of the store. */
@@ -44,7 +55,7 @@ object GraphAnalytics {
   }
 
   private def denamespace(vid: org.apache.spark.sql.Column) =
-    vid.bitwiseAND((1L << 40) - 1)
+    vid.bitwiseAND(MaxId - 1)
 
   /** Connected components → (id, component) with the engine's node ids
     * (component = min namespaced vertex id, denamespaced). */

@@ -8,7 +8,16 @@ import org.apache.spark.sql.types._
 /** Injectable clock (reference: include/common/clock.hpp:24-60 —
   * Clock::instance() / MockClock for deterministic temporal tests). */
 trait Clock { def nowNanos: Long }
-object SystemClock extends Clock { def nowNanos: Long = System.nanoTime() }
+/** Epoch-based like the reference clock (include/common/clock.hpp) —
+  * System.nanoTime() has an arbitrary per-JVM origin, which would make
+  * version stamps incomparable across commit/restore JVM boundaries and
+  * break back-dated valid_from comparisons against real epoch times. */
+object SystemClock extends Clock {
+  def nowNanos: Long = {
+    val ts = java.time.Instant.now()
+    ts.getEpochSecond * 1000000000L + ts.getNano
+  }
+}
 final class MockClock(start: Long = 0L) extends Clock {
   private val t = new AtomicLong(start)
   def nowNanos: Long = t.get()

@@ -63,7 +63,7 @@ final class GraphStore(
   def createSchema(label: String, fields: (String, DataType)*): Unit = {
     val st = catalog.createSchema(
       label, fields.map { case (n, t) => StructField(n, t, nullable = true) })
-    nodeTables(label) = new NodeTable(label, st)
+    nodeTables(label) = new NodeTable(label, st, versioningEnabled)
   }
 
   /** CREATE EDGE SCHEMA (reference D2: EdgeStore::register_edge_schema,
@@ -87,7 +87,7 @@ final class GraphStore(
     catalog.createSchema(label, fields.toIndexedSeq)
     val st = catalog.schemaOf(label)
     val ordered = renamed.select(st.fieldNames.map(col).toIndexedSeq: _*)
-    val t = new NodeTable(label, st)
+    val t = new NodeTable(label, st, versioningEnabled)
     t.base = Some(if (versioningEnabled) NodeTable.addV0(ordered, clock) else ordered)
     t.counterInitialized = false
     nodeTables(label) = t
@@ -163,7 +163,13 @@ final class GraphStore(
       catalog.registerEdgeType(info)
       new EdgeTable(info, versioningEnabled)
     })
-    if (unique && t.existsBuffered(srcId, dstId)) return -1L
+    // UNIQUE must see ALL edges (reference src/core/edge_store.cpp:58) —
+    // the buffer check is O(1); edges already merged into `base` (flush /
+    // restore / CSV load / attach) need a distributed lookup. limit(1)
+    // short-circuits; versioned stores only count live (head) edges, so a
+    // deleted edge can be re-created.
+    if (unique && (t.existsBuffered(srcId, dstId) ||
+        t.existsPersisted(srcId, dstId))) return -1L
     val id = catalog.nextEdgeId()
     t.appendRow(id, srcId, dstId, clock.nowNanos, props)
     id
@@ -279,9 +285,44 @@ final class GraphStore(
     t.base = Some(t.base.map(_.unionByName(ordered)).getOrElse(ordered))
   }
 
+  /** Join-based UPDATE of the rows whose `id` is in `ids`. Without
+    * versioning: in-place projection rewrite. With versioning: the matched
+    * HEAD versions are closed (valid_to = now) and new version rows are
+    * appended — same temporal rule as [[updateWhere]]; historical versions
+    * are never touched (reference: NodeArena::apply_updates,
+    * src/memory/node_arena.cpp:250-275, which applies to edge slots too). */
+  private def rewriteMatched(base: DataFrame, ids: DataFrame,
+                             sets: Map[String, Column],
+                             now: Long): DataFrame = {
+    val hits = ids.toDF("id").distinct().withColumn("__hit", lit(true))
+    val joined = base.join(hits, Seq("id"), "left_outer")
+    val result =
+      if (!versioningEnabled)
+        sets.foldLeft(joined) { case (d, (k, v)) =>
+          d.withColumn(k, when(col("__hit"), v).otherwise(col(k)))
+        }
+      else {
+        val hit = coalesce(col("__hit"), lit(false)) &&
+          col(VersionCols.Vt) === INF
+        val newVersions = sets.foldLeft(joined.filter(hit)) {
+          case (d, (k, v)) => d.withColumn(k, v)
+        }
+          .withColumn(VersionCols.Ver, col(VersionCols.Ver) + 1)
+          .withColumn(VersionCols.Vf, lit(now))
+          .withColumn(VersionCols.Vt, lit(INF))
+          .withColumn(VersionCols.Tf, lit(now))
+          .withColumn(VersionCols.Tt, lit(INF))
+        val closed = joined.withColumn(VersionCols.Vt,
+          when(hit, lit(now)).otherwise(col(VersionCols.Vt)))
+        closed.unionByName(newVersions)
+      }
+    result.drop("__hit").select(base.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** UPDATE edge properties for the edge ids in `ids` (reference D6 edge
     * path: src/update/update_executor.cpp:177-209 — matched edges deduped
-    * by edge id, then their props rewritten). Join-based, distributed. */
+    * by edge id, then their props rewritten). Join-based, distributed;
+    * versioned stores get close-head + append-version semantics (T4). */
   def updateEdgesMatched(edgeType: String, srcLabel: String,
                          dstLabel: String, ids: DataFrame,
                          sets: Map[String, Column]): Unit = {
@@ -290,12 +331,7 @@ final class GraphStore(
         s"unknown edge type: $edgeType ($srcLabel->$dstLabel)"))
     t.flush(spark)
     t.base.foreach { base =>
-      val hits = ids.toDF("id").distinct().withColumn("__hit", lit(true))
-      val joined = base.join(hits, Seq("id"), "left_outer")
-      val updated = sets.foldLeft(joined) { case (d, (k, v)) =>
-        d.withColumn(k, when(col("__hit"), v).otherwise(col(k)))
-      }.drop("__hit")
-      t.base = Some(updated.select(base.columns.map(col).toIndexedSeq: _*))
+      t.base = Some(rewriteMatched(base, ids, sets, clock.nowNanos))
     }
   }
 
@@ -307,12 +343,7 @@ final class GraphStore(
     val t = table(label)
     t.flush(spark)
     t.base.foreach { base =>
-      val hits = ids.toDF("id").distinct().withColumn("__hit", lit(true))
-      val joined = base.join(hits, Seq("id"), "left_outer")
-      val updated = sets.foldLeft(joined) { case (d, (k, v)) =>
-        d.withColumn(k, when(col("__hit"), v).otherwise(col(k)))
-      }.drop("__hit")
-      t.base = Some(updated.select(base.columns.map(col).toIndexedSeq: _*))
+      t.base = Some(rewriteMatched(base, ids, sets, clock.nowNanos))
     }
   }
 
@@ -351,6 +382,7 @@ final class GraphStore(
       edgeType: String, srcLabel: String, dstLabel: String,
       from: Option[Long] = None, to: Option[Long] = None): Unit = {
     edgeTables.get((edgeType, srcLabel, dstLabel)).foreach { e =>
+      e.invalidatePairs()
       e.flush(spark)
       val cond = (from, to) match {
         case (Some(s), Some(d)) => col("src") === s && col("dst") === d
@@ -553,7 +585,8 @@ object GraphStore {
 // ====================================================================
 
 private[store] final class NodeTable(
-    val label: String, val schema: StructType) {
+    val label: String, val schema: StructType,
+    val versioned: Boolean = false) {
   /** Schema including version columns (only meaningful when versioning). */
   def fullSchema(versioned: Boolean): StructType =
     if (versioned) StructType(schema.fields ++ VersionCols.fields) else schema
@@ -640,11 +673,12 @@ private[store] final class NodeTable(
 
   def materialize(spark: SparkSession): DataFrame = {
     val parts = base.toSeq ++ (if (buffered) Seq(bufferDf(spark)) else Nil)
-    if (parts.isEmpty) {
-      val versioned = base.exists(_.columns.contains(VersionCols.Ver))
+    // Empty table must still carry version columns when the store versions,
+    // or the downstream as-of filter on _vt fails to resolve.
+    if (parts.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[Row](), fullSchema(versioned))
-    } else parts.reduce(_ unionByName _)
+    else parts.reduce(_ unionByName _)
   }
 
   private def bufferDf(spark: SparkSession): DataFrame = {
@@ -700,8 +734,21 @@ private[store] final class EdgeTable(val info: EdgeTypeInfo,
 
   def existsBuffered(src: Long, dst: Long): Boolean = pairIndex((src, dst))
 
+  /** Distributed (src,dst) lookup in `base` for UNIQUE enforcement; only
+    * live versions count when versioning is on. */
+  def existsPersisted(src: Long, dst: Long): Boolean = base.exists { b =>
+    val live = if (versioned) b.filter(col(VersionCols.Vt) === INF) else b
+    !live.filter(col("src") === src && col("dst") === dst).isEmpty
+  }
+
+  /** Pair-index entries survive flush (fast path for UNIQUE); deletes must
+    * drop them so a deleted edge can be re-created — the authoritative
+    * check is then [[existsPersisted]]. */
+  def invalidatePairs(): Unit = pairIndex.clear()
+
   def antiJoin(spark: SparkSession, doomed: DataFrame, side: String,
                now: Long): Unit = {
+    invalidatePairs()
     flush(spark)
     base = base.map { b =>
       if (!versioned)

@@ -118,6 +118,24 @@ class ArrayMapUpdateSpec extends SparkSpec {
     assert(s.edges("f", "User", "User").count() === 1)
   }
 
+  test("UNIQUE edge guard sees flushed edges (edge_store.cpp:58)") {
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    val a = s.createNode("User", Map("name" -> "a"))
+    val b = s.createNode("User", Map("name" -> "b"))
+    val c = s.createNode("User", Map("name" -> "c"))
+    assert(s.connect("User", a, "f", "User", b, unique = true) >= 0)
+    // commit flushes the buffer into base — the duplicate now lives only
+    // in the persisted plane
+    val tmp = java.nio.file.Files.createTempDirectory("graft-uniq").toString
+    s.commit(tmp)
+    assert(s.connect("User", a, "f", "User", b, unique = true) === -1L)
+    assert(s.connect("User", a, "f", "User", c, unique = true) >= 0)
+    // delete then re-create must succeed (stale pair index invalidated)
+    s.deleteEdges("f", "User", "User", from = Some(a), to = Some(b))
+    assert(s.connect("User", a, "f", "User", b, unique = true) >= 0)
+  }
+
   test("edge properties flow through traversal (J9 / A5)") {
     val s = new GraphStore(spark)
     s.createSchema("User", "name" -> StringType)

@@ -107,6 +107,55 @@ class TemporalSpec extends SparkSpec {
     assert(pairsAt(None) === 0) // current read
   }
 
+  test("empty versioned table scans as empty (no missing _vt column)") {
+    val (s, _) = fixture()
+    assert(s.nodes("User").count() === 0)
+    assert(s.nodes("User",
+      Some(TemporalSnapshot(validTime = 1500L))).count() === 0)
+  }
+
+  test("updateMatched versions: history preserved, head advanced") {
+    val (s, clock) = fixture()
+    import org.apache.spark.sql.functions.{col, lit}
+    clock.set(1000L)
+    val a = s.createNode("User", Map("name" -> "a", "age" -> 1))
+    s.createNode("User", Map("name" -> "b", "age" -> 10))
+    clock.set(2000L)
+    val ids = spark.createDataFrame(Seq(Tuple1(a))).toDF("id")
+    s.updateMatched("User", ids, Map("age" -> lit(2)))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 1500L)))
+      .toSet === Set(1, 10))
+    assert(ageAt(s, None).toSet === Set(2, 10))
+    // tx axis: at tx=1500 the matched update (tx_from=2000) is unknown
+    // (reference rule: valid_to closed in place, so the old state is
+    // addressable at vt < update-time — same contract as updateWhere)
+    assert(ageAt(s, Some(TemporalSnapshot(1500L, 1500L)))
+      .toSet === Set(1, 10))
+    assert(ageAt(s, Some(TemporalSnapshot(2500L, 2500L)))
+      .toSet === Set(2, 10))
+  }
+
+  test("edge property updates are versioned (T4 edge path)") {
+    val (s, clock) = fixture()
+    import org.apache.spark.sql.functions.{col, lit}
+    s.createEdgeSchema("friend", "User", "User", "weight" -> LongType)
+    clock.set(1000L)
+    val a = s.createNode("User", Map("name" -> "a", "age" -> 1))
+    val b = s.createNode("User", Map("name" -> "b", "age" -> 2))
+    val eid = s.connect("User", a, "friend", "User", b,
+      Map("weight" -> 5L))
+    clock.set(2000L)
+    val ids = spark.createDataFrame(Seq(Tuple1(eid))).toDF("id")
+    s.updateEdgesMatched("friend", "User", "User", ids,
+      Map("weight" -> lit(9L)))
+    def weightAt(snap: Option[TemporalSnapshot]) =
+      s.edges("friend", "User", "User", snap)
+        .select("weight").collect().toSeq.map(_.getLong(0))
+    assert(weightAt(Some(TemporalSnapshot(validTime = 1500L))) === Seq(5L))
+    assert(weightAt(None) === Seq(9L))
+    assert(weightAt(Some(TemporalSnapshot(validTime = 2500L))) === Seq(9L))
+  }
+
   test("node delete closes incident edge versions instead of dropping") {
     val (s, clock) = fixture()
     clock.set(1000L)
