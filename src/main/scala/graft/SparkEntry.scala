@@ -129,6 +129,26 @@ object SparkEntry {
         .where(ref("s.acctbal") > 9000.0)
         .selectAs("c.id", "c_id").selectAs("s.id", "s_id")
         .selectAs("n.name", "n_name").build)),
+    // ---- J8×J3 multi-pattern LEFT union on shared alias n
+    // (reference LeftJoinStrategy union: src/query/join.cpp:119-137)
+    "q45_multi_left" -> ((s, dir) =>
+      planner(s, dir).plan(Q.from("c:customer")
+        .where(ref("c.acctbal") > 9900.0)
+        .traverse("c", "in_nation", "n:nation")
+        .traverse("s:supplier", "in_nation", "n:nation", JoinKind.Left)
+        .where(ref("s.acctbal") > 9900.0)
+        .selectAs("c.id", "c_id").selectAs("n.id", "n_id")
+        .selectAs("s.id", "s_id").build)),
+    // ---- J2/J5 cyclic RIGHT: hop between two bound aliases gates rows on
+    // the edge and appends never-visited targets (join.cpp:243-331)
+    "q46_cyclic_right" -> ((s, dir) =>
+      planner(s, dir).plan(Q.from("c:customer")
+        .where(ref("c.acctbal") > 9000.0)
+        .traverse("c", "placed", "o:orders")
+        .traverse("c", "placed", "o2:orders")
+        .traverse("o", "next_order", "o2:orders", JoinKind.Right)
+        .selectAs("c.id", "c_id").selectAs("o.id", "o_id")
+        .selectAs("o2.id", "o2_id").build)),
     // ---- F7 cross-alias deferred WHERE
     "q12_cross_alias_where" -> ((s, dir) =>
       planner(s, dir).plan(Q.from("c:customer")
@@ -545,6 +565,34 @@ object SparkEntry {
         "JOIN nation ON n_nationkey = c_nationkey " +
         "JOIN supplier ON s_nationkey = n_nationkey " +
         "WHERE c_acctbal > 9500 AND s_acctbal > 9000"),
+    // LEFT union = full-outer on the shared target id: pattern-1 rows
+    // survive unmatched targets, pattern-2 sources are never pruned, and
+    // pattern-2-only targets appear with NULL pattern-1 columns
+    "q45_multi_left" ->
+      ("WITH pat1 AS (SELECT c_custkey AS c_id, n_nationkey AS n1 " +
+        "FROM customer JOIN nation ON n_nationkey = c_nationkey " +
+        "WHERE c_acctbal > 9900), " +
+        "pat2 AS (SELECT s_suppkey AS s_id, n_nationkey AS n2 " +
+        "FROM supplier LEFT JOIN nation ON n_nationkey = s_nationkey " +
+        "WHERE s_acctbal > 9900) " +
+        "SELECT c_id, coalesce(n1, n2) AS n_id, s_id " +
+        "FROM pat1 FULL JOIN pat2 ON n1 = n2"),
+    // cyclic RIGHT: matched = branch-product rows with the next_order
+    // back-edge; extras = orders never visited under o/o2 in matched rows
+    // (self-join global_visited: both sides count)
+    "q46_cyclic_right" ->
+      ("WITH matched AS (SELECT o1.o_custkey AS c_id, " +
+        "o1.o_orderkey AS o_id, o2.o_orderkey AS o2_id FROM customer " +
+        "JOIN orders o1 ON o1.o_custkey = c_custkey " +
+        "JOIN orders o2 ON o2.o_custkey = c_custkey " +
+        "JOIN (SELECT o_orderkey AS src, lead(o_orderkey) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS dst FROM orders) " +
+        "nxt ON nxt.src = o1.o_orderkey AND nxt.dst = o2.o_orderkey " +
+        "WHERE c_acctbal > 9000) " +
+        "SELECT c_id, o_id, o2_id FROM matched " +
+        "UNION ALL SELECT NULL, NULL, o_orderkey FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_id FROM matched) " +
+        "AND o_orderkey NOT IN (SELECT o2_id FROM matched)"),
     "q12_cross_alias_where" ->
       ("SELECT c_custkey AS c_id, o_orderkey AS o_id FROM customer " +
         "JOIN orders ON o_custkey = c_custkey " +

@@ -119,6 +119,26 @@ final class Planner(store: GraphStore) {
         val srcId = col(s"${t.srcAlias}${SEP}id")
         val dstId = col(s"${t.dstAlias}${SEP}id")
 
+        // extras = target-label nodes minus nodes already emitted *under
+        // the target alias* (the reference's global_visited is keyed by
+        // alias: utils.hpp:58 + SchemaRef::value) — i.e. all −
+        // matched_sources (J5, self only) − matched_targets (BFS-visited).
+        // `covered` is derived from the already-built joined frame (edge
+        // non-NULL ⇔ matched) instead of a second join of the same inputs,
+        // so the plan carries ONE join subtree per hop (AQE exchange reuse
+        // can then share the shuffle; two distinct subtrees never could).
+        def withExtras(joined: DataFrame, tgt: DataFrame): DataFrame = {
+          val matched = joined.filter(eSrc.isNotNull)
+          val covered =
+            if (selfJoin)
+              matched.select(srcId.as("__cov"))
+                .union(matched.select(dstId.as("__cov"))).distinct()
+            else matched.select(dstId.as("__cov")).distinct()
+          val extras = tgt.join(covered, dstId === col("__cov"),
+            "left_anti")
+          joined.unionByName(extras, allowMissingColumns = true)
+        }
+
         df = (srcBound, dstBound) match {
           case (true, false) =>
             val tgt = scanNode(t.dstAlias)
@@ -140,14 +160,11 @@ final class Planner(store: GraphStore) {
                   .join(tgt, eDst === dstId, "right_outer")
               case JoinKind.Right if selfJoin && t.srcAlias == q.fromAlias =>
                 // self-join: target_ids = all_targets − matched_sources
-                // (reference: RightJoinSelfStrategy, join.cpp:184-198)
-                val matched = df.join(eDf, srcId === eSrc)
-                  .join(tgt, eDst === dstId)
-                val covered = matched.select(srcId.as("__cov"))
-                  .union(matched.select(dstId.as("__cov"))).distinct()
-                val extras = tgt.join(covered, dstId === col("__cov"),
-                  "left_anti")
-                matched.unionByName(extras, allowMissingColumns = true)
+                // (reference: RightJoinSelfStrategy, join.cpp:184-198);
+                // unmatched FROM roots dropped (INNER gating), so the
+                // joined frame is the inner match — extras appended on top
+                withExtras(df.join(eDf, srcId === eSrc)
+                  .join(tgt, eDst === dstId), tgt)
               case JoinKind.Right | JoinKind.Full =>
                 // FULL, and RIGHT from an *intermediate* alias: sources
                 // already reached by earlier hops are never pruned — an
@@ -157,45 +174,72 @@ final class Planner(store: GraphStore) {
                 // CombinedJoinTypes expectation alex->jeff->NULL under a
                 // RIGHT hop, tests/join_test.cpp:742). Unreached targets
                 // appear as NULL-source rows per the right-side strategy.
-                val leftPart = df.join(eDf.join(tgt, eDst === dstId),
-                  srcId === eSrc, "left_outer")
-                val matched = df.join(eDf, srcId === eSrc)
-                  .join(tgt, eDst === dstId)
-                // extras = target-alias id-set minus nodes already emitted
-                // *under the target alias* (the reference's global_visited
-                // is keyed by alias: utils.hpp:58 + SchemaRef::value) —
-                // i.e. all − matched_sources (J5, self only) − matched
-                // targets (BFS-visited)
-                val covered =
-                  if (selfJoin)
-                    matched.select(srcId.as("__cov"))
-                      .union(matched.select(dstId.as("__cov"))).distinct()
-                  else matched.select(dstId.as("__cov")).distinct()
-                val extras = tgt.join(covered, dstId === col("__cov"),
-                  "left_anti")
-                leftPart.unionByName(extras, allowMissingColumns = true)
+                withExtras(df.join(eDf.join(tgt, eDst === dstId),
+                  srcId === eSrc, "left_outer"), tgt)
             }
           case (true, true) =>
-            // both ends bound (cyclic pattern): edge-existence join;
-            // LEFT keeps rows without the edge (edge cols NULL)
+            // both ends bound (cyclic pattern): edge-existence join; LEFT
+            // keeps rows without the edge (edge cols NULL). RIGHT/FULL
+            // follow the same strategies as unbound hops — the reference's
+            // strategy dispatch is hop-position-independent
+            // (src/query/join.cpp:243-331): RIGHT gates rows on the edge
+            // (INNER on the pair, like FROM-root gating), FULL NULL-extends
+            // them, and both append `extras` = target-label nodes never
+            // visited under the target alias (NULL-extended rows).
+            lazy val tgt = scanNode(t.dstAlias)
             t.kind match {
               case JoinKind.Inner =>
                 df.join(eDf, srcId === eSrc && eDst === dstId)
               case JoinKind.Left =>
                 df.join(eDf, srcId === eSrc && eDst === dstId, "left_outer")
-              case other => throw new UnsupportedOperationException(
-                s"$other not supported when both traverse ends are bound")
+              case JoinKind.Right =>
+                withExtras(
+                  df.join(eDf, srcId === eSrc && eDst === dstId), tgt)
+              case JoinKind.Full =>
+                withExtras(
+                  df.join(eDf, srcId === eSrc && eDst === dstId,
+                    "left_outer"), tgt)
             }
           case (false, true) =>
             // multi-pattern second chain into a shared target alias
-            // (reference J8: intersection via shared target id-set,
-            // apps/tundra_shell.cpp:584-640 + join.cpp:51-76)
-            require(t.kind == JoinKind.Inner,
-              "shared-target multi-pattern supports INNER (reference " +
-                "LEFT-union semantics not yet ported)")
+            // (reference J8: apps/tundra_shell.cpp:584-640). INNER =
+            // intersection of target-id sets (join.cpp:51-76); LEFT =
+            // UNION (join.cpp:119-137): existing rows survive even when
+            // the new pattern misses their target, every new-pattern
+            // source survives (LEFT never prunes sources), and targets
+            // only the new pattern reaches appear as rows with NULL
+            // earlier-pattern columns. Row-wise that is a full-outer join
+            // on the shared target id, with the target's columns coalesced
+            // from whichever side reached it. (The reference's row
+            // population for extra-pattern source aliases is unpinned by
+            // its tests; the id-set algebra above is the documented
+            // contract we implement.)
             val srcDf = scanNode(t.srcAlias)
-            val side = srcDf.join(eDf, srcId === eSrc)
-            df.join(side, eDst === dstId)
+            t.kind match {
+              case JoinKind.Inner =>
+                val side = srcDf.join(eDf, srcId === eSrc)
+                df.join(side, eDst === dstId)
+              case JoinKind.Left =>
+                val t2 = s"__t2$SEP"
+                val tgtScan = scanNode(t.dstAlias)
+                val tgt2 = tgtScan.columns.foldLeft(tgtScan)((d, c) =>
+                  d.withColumnRenamed(
+                    c, t2 + c.stripPrefix(s"${t.dstAlias}$SEP")))
+                val side = srcDf.join(
+                  eDf.join(tgt2, eDst === col(s"${t2}id")),
+                  srcId === eSrc, "left_outer")
+                val joined = df.join(side, dstId === col(s"${t2}id"),
+                  "full_outer")
+                val merged = joined.columns.filter(_.startsWith(t2))
+                  .foldLeft(joined) { (d, c) =>
+                    val main = s"${t.dstAlias}$SEP${c.stripPrefix(t2)}"
+                    d.withColumn(main, coalesce(col(main), col(c)))
+                  }
+                merged.drop(merged.columns.filter(_.startsWith(t2)): _*)
+              case other => throw new UnsupportedOperationException(
+                s"$other shared-target multi-pattern: the reference pins " +
+                  "INNER (intersection) and LEFT (union) only")
+            }
           case (false, false) =>
             throw new IllegalArgumentException(
               s"disconnected pattern at ${t.srcAlias}->${t.dstAlias}")

@@ -237,6 +237,76 @@ class JoinSemanticsSpec extends SparkSpec {
     assert(rowBag(res) === Map(Seq("alex", "bob", "google") -> 1))
   }
 
+  test("multi-pattern shared target LEFT unions (join.cpp:119-137)") {
+    val s = db()
+    // pattern 1 (INNER): alex works-at ibm, bob works-at google
+    s.connect("users", 0, "works-at", "companies", 0)
+    s.connect("users", 1, "works-at", "companies", 1)
+    // pattern 2 (LEFT): jeff likes google, sam likes aws
+    s.connect("users", 2, "likes", "companies", 1)
+    s.connect("users", 3, "likes", "companies", 2)
+    val res = q(s, Q.from("u:users")
+      .traverse("u", "works-at", "c:companies")
+      .traverse("v:users", "likes", "c:companies", JoinKind.Left)
+      .select("u.name", "c.name", "v.name").build)
+    // target-id union {ibm,google} ∪ {google,aws} — every company kept;
+    // LEFT never prunes pattern-2 sources, so like-less users appear with
+    // NULL target (single-pattern LEFT rule, join.cpp:80-118)
+    assert(rowBag(res) === Map(
+      Seq("alex", "ibm", null) -> 1, // existing target, pattern 2 missed
+      Seq("bob", "google", "jeff") -> 1, // both patterns reached google
+      Seq(null, "aws", "sam") -> 1, // target only pattern 2 reached
+      Seq(null, null, "alex") -> 1, // pattern-2 sources with no edge
+      Seq(null, null, "bob") -> 1,
+      Seq(null, null, "matt") -> 1))
+  }
+
+  test("cyclic RIGHT: row gated on back-edge + unreached-target extras") {
+    val s = db()
+    // MultiPatternWithSharedVars fixture (join_test.cpp:1646) with the
+    // cyclic hop flipped to RIGHT — expectation derived from the
+    // strategies being hop-position-independent (join.cpp:243-331):
+    // matched rows survive (INNER gating, as at the FROM root), unreached
+    // companies append as NULL-source rows.
+    s.connect("users", 0, "FRIEND", "users", 1)
+    s.connect("users", 0, "FRIEND", "users", 2)
+    s.connect("users", 0, "WORKS_AT", "companies", 1)
+    s.connect("users", 2, "WORKS_AT", "companies", 1)
+    s.connect("users", 1, "WORKS_AT", "companies", 0)
+    val res = q(s, Q.from("u:users")
+      .traverse("u", "FRIEND", "f:users")
+      .traverse("f", "WORKS_AT", "c:companies")
+      .traverse("u", "WORKS_AT", "c:companies", JoinKind.Right)
+      .select("u.name", "f.name", "c.name").build)
+    assert(rowBag(res) === Map(
+      Seq("alex", "jeff", "google") -> 1,
+      Seq(null, null, "ibm") -> 1, // visited=google only: ibm rows were
+      Seq(null, null, "aws") -> 1)) // gated out, so ibm is "unreached"
+  }
+
+  test("cyclic FULL: NULL-extend on missing back-edge + target extras") {
+    val s = db()
+    s.connect("users", 0, "FRIEND", "users", 1)
+    s.connect("users", 0, "FRIEND", "users", 2)
+    s.connect("users", 0, "WORKS_AT", "companies", 1)
+    s.connect("users", 2, "WORKS_AT", "companies", 1)
+    s.connect("users", 1, "WORKS_AT", "companies", 0)
+    val res = q(s, Q.from("u:users")
+      .traverse("u", "FRIEND", "f:users")
+      .traverse("f", "WORKS_AT", "c:companies")
+      .traverse("u", "WORKS_AT", "c:companies", JoinKind.Full)
+      .select("u.name", "f.name", "c.name").build)
+    // FULL = LEFT (rows without the back-edge survive) + RIGHT extras —
+    // mirrors the FULL-self both-sides emission pinned by
+    // FullOuterJoin (join_test.cpp:1127): ibm appears both in its
+    // surviving row and as an unreached target.
+    assert(rowBag(res) === Map(
+      Seq("alex", "bob", "ibm") -> 1, // no alex->ibm edge: NULL-extended
+      Seq("alex", "jeff", "google") -> 1,
+      Seq(null, null, "ibm") -> 1,
+      Seq(null, null, "aws") -> 1))
+  }
+
   test("cyclic pattern: both ends bound") {
     val s = db()
     s.connect("users", 0, "friend", "users", 1)
