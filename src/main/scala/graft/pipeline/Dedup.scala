@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -44,6 +43,19 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(sh, s => xxhash64(s, i))))
 
+  /** Word k-shingle hashes computed numerically: tokens are hashed once,
+    * each shingle hash is xxhash64 over a k-slice of the token-hash array.
+    * Set-identical to hashing the string shingles (both are injective
+    * modulo negligible 64-bit collisions) but never materializes shingle
+    * strings — the dominant cost of [[shingles]] is concat_ws allocation.
+    * `tokenHashes` must be a materialized column (not inlined into the
+    * lambda) so it is computed once per row. */
+  private def hashedShingles(tokenHashes: Column, k: Int): Column =
+    array_distinct(
+      when(size(tokenHashes) < k, array(xxhash64(tokenHashes)))
+        .otherwise(transform(sequence(lit(0), size(tokenHashes) - k),
+          i => xxhash64(slice(tokenHashes, i + 1, lit(k))))))
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * numHashes must be divisible by bands; r = numHashes/bands rows per
@@ -56,20 +68,26 @@ object Dedup {
                  threshold: Double = 0.7,
                  maxBucketSize: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(threshold > 0.0, "threshold must be positive (verification " +
+      "counts common shingles; zero-overlap pairs are never near-dups)")
     val r = numHashes / bands
-    // Shingle sets hashed to longs once — Jaccard over hashed shingles is
-    // (collision-negligibly) identical and far cheaper to shuffle than
-    // string arrays.
+    // Shingle sets hashed to longs in one numeric pass — Jaccard over
+    // hashed shingles is (collision-negligibly) identical and far cheaper
+    // than building shingle strings. __th is its own projection step so
+    // token hashing runs once per row, not once per shingle.
     val base = df
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__shh", array_distinct(
-        transform(shingles(col("__text"), shingleK), s => xxhash64(s))))
+      .select(col(idCol).as("__id"),
+        transform(split(lower(trim(col(textCol))), "\\s+"),
+          t => xxhash64(t)).as("__th"))
+      .select(col("__id"), hashedShingles(col("__th"), shingleK).as("__shh"))
     // Signatures as grouped min-aggregates over exploded shingles instead
     // of nested higher-order functions: every expression stays inside
     // whole-stage codegen and map-side partial aggregation shrinks the
     // shuffle to one row per document.
     val exploded = base.select(col("__id"), explode(col("__shh")).as("__s"))
-    val sigCols = (0 until numHashes).map(i =>
+    // __sz = |shingle set| rides along for free (exploded rows are the
+    // distinct shingles) and powers the verify-stage size prune below.
+    val sigCols = count(lit(1)).as("__sz") +: (0 until numHashes).map(i =>
       min(xxhash64(col("__s"), lit(i))).as(s"__h$i"))
     val sigDf = exploded.groupBy("__id")
       .agg(sigCols.head, sigCols.tail: _*)
@@ -77,32 +95,55 @@ object Dedup {
       md5(concat_ws(",", (lit(b.toString) +:
         (b * r until (b + 1) * r).map(i => col(s"__h$i"))): _*))
     }
-    // Candidate generation carries ONLY (id, bucket): with skewed corpora
-    // a bucket can hold O(n) rows, and duplicating shingle arrays into
-    // that join is the scale killer. Arrays are re-joined afterwards, per
-    // deduped pair.
+    // Candidate generation carries ONLY (id, set size, bucket): with
+    // skewed corpora a bucket can hold O(n) rows, and duplicating shingle
+    // arrays into that join is the scale killer. Arrays are re-joined
+    // afterwards, per deduped + size-pruned pair.
     val rawBuckets = sigDf
-      .select(col("__id"), explode(array(bandCols: _*)).as("__b"))
+      .select(col("__id"), col("__sz"), explode(array(bandCols: _*)).as("__b"))
     // Drop oversized buckets: a bucket with O(n) members is a
     // low-information band (degenerate/skewed corpus) and would explode
     // the pair count quadratically; capping bounds candidates to
     // bands·n·maxBucketSize. Standard LSH practice — recall on pathological
-    // corpora is traded for a hard cost bound.
-    val buckets = rawBuckets.withColumn("__cnt",
-      count(lit(1)).over(Window.partitionBy("__b")))
-      .filter(col("__cnt") <= maxBucketSize)
-      .drop("__cnt")
-    val cand = buckets.select(col("__id").as("id_a"), col("__b"))
-      .join(buckets.select(col("__id").as("id_b"), col("__b")), "__b")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // corpora is traded for a hard cost bound. The oversized-id list is at
+    // most n·bands/cap buckets and in practice tiny — AQE broadcasts the
+    // anti-join; this replaces a Window count (full sort of every bucket
+    // row) with one map-side-combined aggregate.
+    val over = rawBuckets.groupBy("__b").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucketSize).select("__b")
+    val buckets = rawBuckets.join(over, Seq("__b"), "left_anti")
+    // Pairs are generated inside each (≤ cap)-bounded bucket: one grouping
+    // shuffle + a local double-explode over the sorted member list, instead
+    // of a bucket self-join (two more shuffles of the bucket table). The
+    // sorted list yields each pair once with id_a < id_b by construction.
+    val grouped = buckets.groupBy("__b")
+      .agg(sort_array(collect_list(struct(col("__id"), col("__sz"))))
+        .as("__ms"))
+      .filter(size(col("__ms")) >= 2)
+    val cand = grouped
+      .select(col("__ms"), posexplode(col("__ms")).as(Seq("__i", "__a")))
+      .select(col("__a"), explode(slice(col("__ms"), col("__i") + 2,
+        greatest(lit(0), size(col("__ms")) - col("__i") - 1))).as("__c"))
+      .select(col("__a.__id").as("id_a"), col("__a.__sz").as("sz_a"),
+        col("__c.__id").as("id_b"), col("__c.__sz").as("sz_b"))
       .dropDuplicates("id_a", "id_b")
-    val sa = base.select(col("__id").as("id_a"), col("__shh").as("sh_a"))
-    val sb = base.select(col("__id").as("id_b"), col("__shh").as("sh_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
+      // J(A,B) ≤ min|·|/max|·|: pairs whose set sizes already violate the
+      // threshold can never verify — prune them before the verify joins.
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")).cast("double") >= threshold)
+    // Exact-Jaccard verification against the (id, shingle-hash) table:
+    // |A∩B| is a count aggregate over candidate×shingle rows and |A∪B| =
+    // |A|+|B|−|A∩B| from the sizes already on the pair — no shingle-array
+    // payload is ever shuffled. Zero-overlap pairs vanish in the inner
+    // join, which is sound because threshold > 0.
+    val expA = exploded.select(col("__id").as("id_a"), col("__s"))
+    val expB = exploded.select(col("__id").as("id_b"), col("__s"))
+    cand.join(expA, "id_a").join(expB, Seq("id_b", "__s"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("__i"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        (col("__i").cast("double") /
+          (col("sz_a") + col("sz_b") - col("__i")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
