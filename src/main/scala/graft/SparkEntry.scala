@@ -194,6 +194,18 @@ object SparkEntry {
       store.edges("placed", "customer", "orders").select(
         col("src").as("src"), col("dst").as("dst"))
     }),
+    // ---- D8b path-pattern DELETE: matched relationships removed, nodes
+    // survive (reference intent, tundra_shell.cpp:847-856)
+    "q47_delete_edges_readback" -> ((s, dir) => {
+      val store = TpchGraph.store(s, dir)
+      val pairs = new Planner(store).plan(Q.from("c:customer")
+        .traverse("c", "placed", "o:orders")
+        .where(ref("o.totalprice") > 400000.0)
+        .selectAs("c.id", "src").selectAs("o.id", "dst").build)
+      store.deleteEdgesMatched("placed", "customer", "orders", pairs)
+      store.edges("placed", "customer", "orders").select(
+        col("src").as("src"), col("dst").as("dst"))
+    }),
     // ---- T1/T2 valid-time as-of (sees the retroactive correction)
     "q17_asof_valid" -> ((s, dir) =>
       new Planner(versionedCustomers(s, dir)).plan(
@@ -612,6 +624,10 @@ object SparkEntry {
     "q16_delete_readback" ->
       ("SELECT o_custkey AS src, o_orderkey AS dst FROM orders " +
         "JOIN customer ON c_custkey = o_custkey WHERE c_acctbal >= 0"),
+    // path-pattern DELETE removes exactly the matched (src,dst) edges
+    "q47_delete_edges_readback" ->
+      ("SELECT o_custkey AS src, o_orderkey AS dst FROM orders " +
+        "WHERE o_totalprice <= 400000"),
     "q17_asof_valid" ->
       ("SELECT c_custkey AS c_id, CASE WHEN c_custkey % 3 = 0 THEN " +
         "c_acctbal + 100 ELSE c_acctbal END AS acctbal FROM customer"),

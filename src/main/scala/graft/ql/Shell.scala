@@ -67,9 +67,26 @@ final class Shell(store: GraphStore,
         .getOrElse(lit(true))
       store.deleteWhere(label.getOrElse(alias), cond)
       None
-    case DeletePatternStmt(_, _) =>
-      throw new UnsupportedOperationException(
-        "DELETE over multi-hop patterns is not supported yet")
+    case DeletePatternStmt(pattern, where) =>
+      // path-pattern DELETE deletes the matched *relationships* (endpoint
+      // nodes survive) — the reference declares the statement with
+      // exactly that intent (apps/tundra_shell.cpp:847-856: "finding
+      // matching relationships … removing edges from the edge store");
+      // single-node patterns (previous case) delete the matched nodes.
+      val m = MatchStmt(List(pattern), where, List.empty)
+      val aliasLabel = pattern.nodes
+        .map(n => n.alias -> n.label.getOrElse(n.alias)).toMap
+      pattern.edges.zipWithIndex.foreach { case (e, i) =>
+        val (s, d) =
+          if (e.reversed) (pattern.nodes(i + 1), pattern.nodes(i))
+          else (pattern.nodes(i), pattern.nodes(i + 1))
+        val pairs = planner.plan(toQuery(m.copy(select = List(
+          SelectField(FieldRef(s.alias, List("id"))),
+          SelectField(FieldRef(d.alias, List("id")))))))
+        store.deleteEdgesMatched(e.edgeType,
+          aliasLabel(s.alias), aliasLabel(d.alias), pairs)
+      }
+      None
 
     case DeleteEdgeStmt(etype, from, to) =>
       val f = from.map(resolve)

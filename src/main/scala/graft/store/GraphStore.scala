@@ -402,6 +402,36 @@ final class GraphStore(
     }
   }
 
+  /** DELETE the specific edges whose (src, dst) id pairs appear in
+    * `pairs` (a two-column DataFrame, source ids first). This is the
+    * path-pattern DELETE: matched relationships are removed, their
+    * endpoint nodes survive. The reference shell declares the statement
+    * with exactly this intent — "finding matching relationships …
+    * removing edges from the edge store" (apps/tundra_shell.cpp:847-856,
+    * left TODO there). Distributed anti-join rewrite; versioned stores
+    * close the valid interval (interval-end deletion, spec §10.6). */
+  def deleteEdgesMatched(edgeType: String, srcLabel: String,
+                         dstLabel: String, pairs: DataFrame): Unit = {
+    edgeTables.get((edgeType, srcLabel, dstLabel)).foreach { e =>
+      e.invalidatePairs()
+      e.flush(spark)
+      val p = pairs.toDF("__gs", "__gd").dropDuplicates("__gs", "__gd")
+      val hit = col("src") === col("__gs") && col("dst") === col("__gd")
+      e.base = e.base.map { b =>
+        if (!versioningEnabled) b.join(p, hit, "left_anti")
+        else {
+          val now = clock.nowNanos
+          b.join(p.withColumn("__hit", lit(true)), hit, "left_outer")
+            .withColumn(VersionCols.Vt,
+              when(coalesce(col("__hit"), lit(false)) &&
+                col(VersionCols.Vt) === INF, now)
+                .otherwise(col(VersionCols.Vt)))
+            .drop("__gs", "__gd", "__hit")
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // Scans
   // ------------------------------------------------------------------

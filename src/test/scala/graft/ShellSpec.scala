@@ -143,6 +143,28 @@ class ShellSpec extends SparkSpec {
     assert(rowBag(types) === Map(Seq("FRIEND", "User", "User", 0L) -> 1))
   }
 
+  test("DELETE over a path pattern removes matched edges, keeps nodes") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING);
+      CREATE SCHEMA Company (name: STRING);
+      CREATE NODE User (name = "Alice");
+      CREATE NODE User (name = "Bob");
+      CREATE NODE Company (name = "Acme");
+      CREATE NODE Company (name = "Globex");
+      CREATE EDGE WORKS_AT FROM User(0) TO Company(0);
+      CREATE EDGE WORKS_AT FROM User(1) TO Company(1);
+      DELETE (u:User)-[:WORKS_AT]->(c:Company) WHERE c.name = "Acme";
+    """)
+    // only the Alice->Acme relationship matched; Bob->Globex survives and
+    // all four nodes remain (reference intent: tundra_shell.cpp:847-856)
+    val res = sh.execute(
+      "MATCH (u:User)-[:WORKS_AT]->(c:Company) SELECT u.name, c.name;").get
+    assert(rowBag(res) === Map(Seq("Bob", "Globex") -> 1))
+    assert(sh.execute("MATCH (u:User) SELECT u.name;").get.count() === 2)
+    assert(sh.execute("MATCH (c:Company) SELECT c.name;").get.count() === 2)
+  }
+
   test("CREATE NODE RETURN id") {
     val sh = shell()
     sh.execute("CREATE SCHEMA User (name: STRING);")
