@@ -356,6 +356,28 @@ object SparkEntry {
       versionedCustomers(s, dir).diff("customer",
         TemporalSnapshot(1000L, 1500L), TemporalSnapshot(2500L, INF))
         .select(col("id").as("c_id"), col("change"))),
+    // temporal DIFF exercising all three change kinds: UPDATED (the
+    // retroactive correction), ADDED (node created at t=3000), REMOVED
+    // (interval-end delete at t=3000) — snapshot A predates everything
+    // on the tx axis, snapshot B sees it all
+    "t45_temporal_diff_kinds" -> ((s, dir) => {
+      val clock = new MockClock(0L)
+      val st = new GraphStore(s, versioningEnabled = true, clock = clock)
+      st.attachNodes("customer",
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_acctbal").as("acctbal")), "id")
+      clock.set(2000L)
+      st.updateWhere("customer", col("id") % 3 === 0,
+        Map("acctbal" -> (col("acctbal") + 100)), validFrom = Some(500L))
+      clock.set(3000L)
+      st.createNode("customer",
+        Map("name" -> "Customer#new", "acctbal" -> 0.0))
+      st.deleteWhere("customer", col("id") % 7 === 0)
+      st.diff("customer", TemporalSnapshot(1000L, 1500L),
+        TemporalSnapshot(3500L, INF))
+        .select(col("id").as("c_id"), col("change"))
+    }),
     // variable-length paths over per-customer order chains
     "v44_varlength" -> ((s, dir) =>
       graft.planner.VarLength.pairs(
@@ -516,6 +538,15 @@ object SparkEntry {
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
         "WHERE c_custkey % 3 = 0"),
+    // deletes shadow updates (a node absent from B is REMOVED even if it
+    // was also corrected); the created node's id is max(custkey)+1 (dense
+    // per-label counter)
+    "t45_temporal_diff_kinds" ->
+      ("SELECT c_custkey AS c_id, CASE WHEN c_custkey % 7 = 0 THEN " +
+        "'REMOVED' ELSE 'UPDATED' END AS change FROM customer " +
+        "WHERE c_custkey % 7 = 0 OR c_custkey % 3 = 0 " +
+        "UNION ALL SELECT max(c_custkey) + 1 AS c_id, 'ADDED' AS change " +
+        "FROM customer"),
     "v44_varlength" ->
       ("WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER " +
         "(PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) " +

@@ -118,11 +118,24 @@ final class GraphStore(
   // DML — interactive (buffered, reference-CRUD semantics)
   // ------------------------------------------------------------------
 
+  /** Seed the per-label id counter from max(id)+1 the first time ids are
+    * allocated over attached (externally-idd) data — otherwise CREATE
+    * after attachNodes would re-issue existing ids. One single-row
+    * aggregate collect; id allocation is inherently a driver decision. */
+  private def ensureCounter(t: NodeTable): Unit =
+    if (!t.counterInitialized) {
+      val row = t.materialize(spark).agg(max(col("id"))).collect()(0)
+      val next = if (row.isNullAt(0)) 0L else row.getLong(0) + 1
+      catalog.setNodeCounter(t.label,
+        math.max(catalog.nodeCounter(t.label), next))
+      t.counterInitialized = true
+    }
+
   /** CREATE NODE (reference D3: Database::create_node,
     * src/main/database.cpp:70-80) — per-schema auto-increment id. */
   def createNode(label: String, values: Map[String, Any]): Long = {
     val t = table(label)
-    t.ensureCounter()
+    ensureCounter(t)
     val id = catalog.nextNodeId(label)
     t.appendRow(id, values, clock.nowNanos, versioningEnabled)
     id
@@ -133,7 +146,7 @@ final class GraphStore(
     * reference README.md:139). */
   def createNodes(label: String, df: DataFrame): Unit = {
     val t = table(label)
-    t.ensureCounter()
+    ensureCounter(t)
     t.flush(spark)
     val st = catalog.schemaOf(label)
     val n = df.count()
@@ -627,8 +640,6 @@ private[store] final class NodeTable(
   /** id -> buffer index of the current head version row. */
   private val headIdx = mutable.LongMap[Int]()
   private var buffered = false
-
-  def ensureCounter(): Unit = ()
 
   def appendRow(id: Long, values: Map[String, Any], now: Long,
                 versioned: Boolean): Unit = {

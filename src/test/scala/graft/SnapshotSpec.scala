@@ -14,6 +14,17 @@ import graft.store.GraphStore
   */
 class SnapshotSpec extends SparkSpec {
 
+  test("CREATE after attachNodes continues from max attached id") {
+    val s = new GraphStore(spark)
+    import spark.implicits._
+    s.attachNodes("User",
+      Seq((10L, "a"), (42L, "b")).toDF("uid", "name"), "uid")
+    // the counter must seed from max(id)+1, not restart at 0 (which
+    // would silently re-issue id 10/42's namespace)
+    assert(s.createNode("User", Map("name" -> "c")) === 43L)
+    assert(s.createNode("User", Map("name" -> "d")) === 44L)
+  }
+
   test("commit + restore round-trips nodes, edges, schemas, counters") {
     val dir = Files.createTempDirectory("graft-snap").toString
     val s = new GraphStore(spark)
