@@ -218,11 +218,6 @@ final class GraphStore(
     t.flush(spark)
     val base = t.base.getOrElse(return)
     val now = clock.nowNanos
-    def applied(df: DataFrame): DataFrame =
-      sets.foldLeft(df) { case (d, (k, v)) =>
-        val nv = if (append.contains(k)) concat(col(k), array(v)) else v
-        d.withColumn(k, nv)
-      }
     if (!versioningEnabled) {
       t.base = Some(
         sets.foldLeft(base) { case (d, (k, v)) =>
@@ -232,16 +227,18 @@ final class GraphStore(
     } else {
       val isHead = col(VersionCols.Vt) === INF
       val hit = cond && isHead
-      val newVersions = applied(base.filter(hit))
-        .withColumn(VersionCols.Ver, col(VersionCols.Ver) + 1)
-        .withColumn(VersionCols.Vf, lit(validFrom.getOrElse(now)))
-        .withColumn(VersionCols.Vt, lit(INF))
-        .withColumn(VersionCols.Tf, lit(now))
-        .withColumn(VersionCols.Tt, lit(INF))
-      val closed = base.withColumn(VersionCols.Vt,
-        when(hit, lit(now)).otherwise(col(VersionCols.Vt)))
-      t.base = Some(closed.unionByName(newVersions))
+      val newSets: Map[String, Column] = sets.map { case (k, v) =>
+        k -> (if (append.contains(k)) concat(col(k), array(v)) else v)
+      } ++ Map(
+        VersionCols.Ver -> (col(VersionCols.Ver) + 1),
+        VersionCols.Vf -> lit(validFrom.getOrElse(now)),
+        VersionCols.Vt -> lit(INF),
+        VersionCols.Tf -> lit(now),
+        VersionCols.Tt -> lit(INF))
+      t.base = Some(
+        GraphStore.versionedRewrite(base, base.schema, hit, newSets, now))
     }
+    t.noteMutation()
   }
 
   /** CSV bulk node load (reference S6: bench/tundra_runner.cpp:15-115).
@@ -317,17 +314,13 @@ final class GraphStore(
       else {
         val hit = coalesce(col("__hit"), lit(false)) &&
           col(VersionCols.Vt) === INF
-        val newVersions = sets.foldLeft(joined.filter(hit)) {
-          case (d, (k, v)) => d.withColumn(k, v)
-        }
-          .withColumn(VersionCols.Ver, col(VersionCols.Ver) + 1)
-          .withColumn(VersionCols.Vf, lit(now))
-          .withColumn(VersionCols.Vt, lit(INF))
-          .withColumn(VersionCols.Tf, lit(now))
-          .withColumn(VersionCols.Tt, lit(INF))
-        val closed = joined.withColumn(VersionCols.Vt,
-          when(hit, lit(now)).otherwise(col(VersionCols.Vt)))
-        closed.unionByName(newVersions)
+        val newSets = sets ++ Map[String, Column](
+          VersionCols.Ver -> (col(VersionCols.Ver) + 1),
+          VersionCols.Vf -> lit(now),
+          VersionCols.Vt -> lit(INF),
+          VersionCols.Tf -> lit(now),
+          VersionCols.Tt -> lit(INF))
+        GraphStore.versionedRewrite(joined, base.schema, hit, newSets, now)
       }
     result.drop("__hit").select(base.columns.map(col).toIndexedSeq: _*)
   }
@@ -346,6 +339,7 @@ final class GraphStore(
     t.base.foreach { base =>
       t.base = Some(rewriteMatched(base, ids, sets, clock.nowNanos))
     }
+    t.noteMutation()
   }
 
   /** UPDATE the rows whose ids appear in `ids` (one column, any name) —
@@ -358,6 +352,7 @@ final class GraphStore(
     t.base.foreach { base =>
       t.base = Some(rewriteMatched(base, ids, sets, clock.nowNanos))
     }
+    t.noteMutation()
   }
 
   /** DELETE nodes matching `cond` + their incident edges (reference D8:
@@ -384,6 +379,7 @@ final class GraphStore(
         if (e.info.dstLabel == label)
           e.antiJoin(spark, doomed, "dst", clock.nowNanos)
       }
+      t.noteMutation()
     }
   }
 
@@ -412,6 +408,7 @@ final class GraphStore(
           when(cond && col(VersionCols.Vt) === INF, now)
             .otherwise(col(VersionCols.Vt))))
       }
+      e.noteMutation()
     }
   }
 
@@ -442,6 +439,7 @@ final class GraphStore(
             .drop("__gs", "__gd", "__hit")
         }
       }
+      e.noteMutation()
     }
   }
 
@@ -586,6 +584,50 @@ final class GraphStore(
 }
 
 object GraphStore {
+  /** Every Nth plan-growing rewrite truncates a table's lineage with an
+    * eager localCheckpoint. Each update/delete layers one narrow
+    * projection (see [[versionedRewrite]]) or union onto the base plan,
+    * so without truncation Catalyst re-analysis cost — driver time, not
+    * data volume — grows quadratically over a mutation chain. N=16 keeps
+    * any analyzed tree shallow while amortizing the checkpoint job.
+    * localCheckpoint trades re-computability for bounded plan depth; the
+    * durable path remains [[GraphStore.commit]]. */
+  val CheckpointEvery = 16
+
+  /** Eager lineage truncation for [[NodeTable.noteMutation]] /
+    * [[EdgeTable.noteMutation]]. Coalesces first: localCheckpoint
+    * PRESERVES partitioning, so partition growth from buffer-flush /
+    * bulk-load unions would otherwise compound across checkpoint cycles
+    * (each cycle re-materializing one task per inherited partition). */
+  private[store] def truncateLineage(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.coalesce(target).localCheckpoint()
+  }
+
+  /** Single narrow-pass SCD2 rewrite: every row re-emits itself, except a
+    * matched live head (`hit`) which explodes into its CLOSED copy
+    * (valid_to = now) plus the NEW head built from `newSets`. One
+    * projection layer per mutation — plan depth grows linearly and the
+    * partitioning is untouched. The alternative (filter-new ∪
+    * close-heads, two subtrees over the same base) doubles BOTH the plan
+    * tree and the partition count per mutation: 2^N analysis cost and a
+    * task explosion at the 100 TB mutation-chain scale (and it hung the
+    * 100-update plan-depth test locally). `schema` is the table's real
+    * column set — extra working columns on `df` (e.g. join markers) are
+    * dropped by construction. */
+  private[store] def versionedRewrite(df: DataFrame, schema: StructType,
+      hit: Column, newSets: Map[String, Column], now: Long): DataFrame = {
+    def structOf(mods: Map[String, Column]): Column =
+      struct(schema.fields.toIndexedSeq.map { f =>
+        mods.get(f.name).map(_.cast(f.dataType))
+          .getOrElse(col(f.name)).as(f.name)
+      }: _*)
+    val rows = when(hit,
+        array(structOf(Map(VersionCols.Vt -> lit(now))), structOf(newSets)))
+      .otherwise(array(structOf(Map.empty)))
+    df.select(explode(rows).as("__row")).select(col("__row.*"))
+  }
+
   /** Restore a snapshot written by [[GraphStore.commit]]. */
   def restore(spark: SparkSession, path: String,
               clock: Clock = SystemClock): GraphStore = {
@@ -640,6 +682,15 @@ private[store] final class NodeTable(
   /** id -> buffer index of the current head version row. */
   private val headIdx = mutable.LongMap[Int]()
   private var buffered = false
+  private var mutations = 0
+
+  /** Bound plan depth under mutation chains (see
+    * [[GraphStore.CheckpointEvery]]). */
+  def noteMutation(): Unit = {
+    mutations += 1
+    if (mutations % GraphStore.CheckpointEvery == 0)
+      base = base.map(GraphStore.truncateLineage)
+  }
 
   def appendRow(id: Long, values: Map[String, Any], now: Long,
                 versioned: Boolean): Unit = {
@@ -758,6 +809,15 @@ private[store] final class EdgeTable(val info: EdgeTypeInfo,
   val buffer = mutable.ArrayBuffer[Array[Any]]()
   private val pairIndex = mutable.HashSet[(Long, Long)]()
   private var buffered = false
+  private var mutations = 0
+
+  /** Bound plan depth under mutation chains (see
+    * [[GraphStore.CheckpointEvery]]). */
+  def noteMutation(): Unit = {
+    mutations += 1
+    if (mutations % GraphStore.CheckpointEvery == 0)
+      base = base.map(GraphStore.truncateLineage)
+  }
 
   def appendRow(id: Long, src: Long, dst: Long, ts: Long,
                 props: Map[String, Any]): Unit = {
@@ -804,6 +864,7 @@ private[store] final class EdgeTable(val info: EdgeTypeInfo,
           .drop("__gone", "__hit")
       }
     }
+    noteMutation()
   }
 
   def flush(spark: SparkSession): Unit = if (buffered) {

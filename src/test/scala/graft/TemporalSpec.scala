@@ -156,6 +156,26 @@ class TemporalSpec extends SparkSpec {
     assert(weightAt(Some(TemporalSnapshot(validTime = 2500L))) === Seq(9L))
   }
 
+  test("mutation chains keep plan depth bounded (periodic checkpoint)") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    val id = s.createNode("User", Map("name" -> "alice", "age" -> 0))
+    (1 to 100).foreach { i =>
+      clock.set(1000L + i)
+      s.updateWhere("User",
+        org.apache.spark.sql.functions.col("id") === id,
+        Map("age" -> org.apache.spark.sql.functions.lit(i)))
+    }
+    // without lineage truncation each versioned update layers a
+    // union+projection — 100 updates would yield a plan thousands of
+    // lines deep and quadratic re-analysis cost
+    val plan = s.nodes("User").queryExecution.logical.numberedTreeString
+    assert(plan.linesIterator.size < 250, s"plan too deep:\n$plan")
+    assert(ageAt(s, None) === Seq(100))
+    // history survives checkpointing
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 1050L))) === Seq(50))
+  }
+
   test("node delete closes incident edge versions instead of dropping") {
     val (s, clock) = fixture()
     clock.set(1000L)
