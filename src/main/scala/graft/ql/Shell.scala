@@ -47,13 +47,24 @@ final class Shell(store: GraphStore,
       } else None
 
     case CreateEdgeStmt(unique, etype, from, to, props) =>
-      val (srcLabel, srcId) = resolve(from)
-      val (dstLabel, dstId) = resolve(to)
+      // reference selector-set semantics (apps/tundra_shell.cpp:423-446):
+      // UNIQUE demands exactly one node per side; a non-unique multi-match
+      // selector creates the sources × targets cross product; zero
+      // matches create zero edges.
+      val (srcLabel, srcIds) = resolveMany(from)
+      val (dstLabel, dstIds) = resolveMany(to)
+      if (unique) {
+        require(srcIds.length == 1, s"UNIQUE constraint violated: " +
+          s"${srcIds.length} source nodes found, expected exactly 1")
+        require(dstIds.length == 1, s"UNIQUE constraint violated: " +
+          s"${dstIds.length} target nodes found, expected exactly 1")
+      }
       if (store.edgeTypeFor(etype, srcLabel).isEmpty)
         pendingEdgeSchemas.get(etype).foreach { fields =>
           store.createEdgeSchema(etype, srcLabel, dstLabel, fields: _*)
         }
-      store.connect(srcLabel, srcId, etype, dstLabel, dstId, props, unique)
+      for (s <- srcIds; d <- dstIds)
+        store.connect(srcLabel, s, etype, dstLabel, d, props, unique)
       None
 
     case m: MatchStmt => Some(planner.plan(toQuery(m)))
@@ -198,18 +209,24 @@ final class Shell(store: GraphStore,
     GraphQuery(first.alias, labelOf(first.alias), clauses, m.select)
   }
 
-  private def resolve(s: Selector): (String, Long) = s match {
-    case ById(label, id) => (label, id)
+  /** Selector → matching id set (apps/tundra_shell.cpp:385-462); an
+    * interactive small-set resolution by design. */
+  private def resolveMany(s: Selector): (String, Seq[Long]) = s match {
+    case ById(label, id) => (label, Seq(id))
     case ByProps(label, props) =>
-      // property-selector lookup (apps/tundra_shell.cpp:385-462); an
-      // interactive single-row resolution by design
       val cond = props.map { case (k, v) => col(k) === lit(v) }
         .reduce(_ && _)
-      val rows = store.nodes(label).filter(cond).select("id").limit(2)
-        .collect()
-      require(rows.length == 1,
-        s"selector ($label{...}) matched ${rows.length} nodes, need exactly 1")
-      (label, rows(0).getLong(0))
+      val rows = store.nodes(label).filter(cond).select("id").collect()
+      (label, rows.map(_.getLong(0)).toSeq)
+  }
+
+  /** Single-node selector resolution for statements that address one
+    * endpoint (UPDATE / DELETE EDGE endpoints). */
+  private def resolve(s: Selector): (String, Long) = {
+    val (label, ids) = resolveMany(s)
+    require(ids.length == 1,
+      s"selector ($label{...}) matched ${ids.length} nodes, need exactly 1")
+    (label, ids.head)
   }
 
   private def stripAlias(key: String, alias: String): String =

@@ -77,6 +77,35 @@ class ShellSpec extends SparkSpec {
     assert(res.count() === 1)
   }
 
+  test("multi-match selector: cross product; UNIQUE demands cardinality 1") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, team: STRING);
+      CREATE SCHEMA Room (name: STRING);
+      CREATE NODE User (name = "a", team = "eng");
+      CREATE NODE User (name = "b", team = "eng");
+      CREATE NODE User (name = "c", team = "ops");
+      CREATE NODE Room (name = "r1");
+      CREATE NODE Room (name = "r2");
+    """)
+    // 2 sources × 2 targets = 4 edges (apps/tundra_shell.cpp:437-446)
+    sh.execute(
+      """CREATE EDGE BOOKED FROM (User{team = "eng"}) TO (Room{name = "r1"});""")
+    sh.execute(
+      """CREATE EDGE BOOKED FROM (User{team = "eng"}) TO (Room{name = "r2"});""")
+    assert(sh.execute("SHOW EDGES BOOKED;").get.count() === 4)
+    // zero matches create zero edges, no error
+    sh.execute(
+      """CREATE EDGE BOOKED FROM (User{team = "hr"}) TO (Room{name = "r1"});""")
+    assert(sh.execute("SHOW EDGES BOOKED;").get.count() === 4)
+    // UNIQUE + multi-match selector = cardinality violation
+    // (apps/tundra_shell.cpp:423-435)
+    val err = intercept[IllegalArgumentException] {
+      sh.execute("""CREATE UNIQUE EDGE BOOKED FROM (User{team = "eng"}) TO (Room{name = "r1"});""")
+    }
+    assert(err.getMessage.contains("UNIQUE constraint violated"))
+  }
+
   test("edge schema with properties via QL") {
     val sh = shell()
     sh.execute("""
