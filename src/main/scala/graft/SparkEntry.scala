@@ -149,6 +149,17 @@ object SparkEntry {
         .traverse("o", "next_order", "o2:orders", JoinKind.Right)
         .selectAs("c.id", "c_id").selectAs("o.id", "o_id")
         .selectAs("o2.id", "o2_id").build)),
+    // ---- beyond-reference QL surface: aggregate + implicit GROUP BY +
+    // ORDER BY + LIMIT through the planner (SURVEY §2 preamble)
+    "q48_agg_orderby_limit" -> ((s, dir) =>
+      planner(s, dir).plan(Q.from("c:customer")
+        .traverse("c", "in_nation", "n:nation")
+        .selectAs("n.name", "nation")
+        .count("cnt")
+        .agg(AggFn.Max, "c.acctbal", "top_bal")
+        .orderBy("cnt" -> false, "nation" -> true)
+        .limit(5)
+        .build)),
     // ---- F7 cross-alias deferred WHERE
     "q12_cross_alias_where" -> ((s, dir) =>
       planner(s, dir).plan(Q.from("c:customer")
@@ -608,6 +619,12 @@ object SparkEntry {
         "JOIN nation ON n_nationkey = c_nationkey " +
         "JOIN supplier ON s_nationkey = n_nationkey " +
         "WHERE c_acctbal > 9500 AND s_acctbal > 9000"),
+    // LIMIT selection must be deterministic: cnt ties broken by nation name
+    "q48_agg_orderby_limit" ->
+      ("SELECT n_name AS nation, count(*) AS cnt, " +
+        "max(c_acctbal) AS top_bal FROM customer " +
+        "JOIN nation ON n_nationkey = c_nationkey " +
+        "GROUP BY 1 ORDER BY cnt DESC, nation LIMIT 5"),
     // LEFT union = full-outer on the shared target id: pattern-1 rows
     // survive unmatched targets, pattern-2 sources are never pruned, and
     // pattern-2-only targets appear with NULL pattern-1 columns

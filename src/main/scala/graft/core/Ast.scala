@@ -87,7 +87,10 @@ object Ast {
       dstAlias: String,
       dstLabel: String,
       kind: JoinKind,
-      srcLabel: Option[String] = None
+      srcLabel: Option[String] = None,
+      /** Variable-length hop `*min..max` (beyond-reference, SURVEY §2.3
+        * [ABSENT] row) — INNER-only; the edge alias exposes `hops`. */
+      range: Option[(Int, Int)] = None
   ) extends Clause
 
   /** SELECT item: bare alias (expands to all its columns, reference P1:
@@ -96,6 +99,25 @@ object Ast {
   final case class SelectAlias(alias: String) extends SelectItem
   final case class SelectField(ref: FieldRef, as: Option[String] = None)
       extends SelectItem
+  /** Aggregate SELECT item — beyond the reference (its grammar has no
+    * aggregation, SURVEY §2 preamble); exposed because Spark provides it
+    * natively. Non-aggregate SELECT items become the implicit GROUP BY
+    * keys. `ref` is None only for COUNT(*). */
+  final case class SelectAgg(fn: AggFn, ref: Option[FieldRef], as: String)
+      extends SelectItem
+  sealed trait AggFn
+  object AggFn {
+    case object Count extends AggFn
+    case object CountDistinct extends AggFn
+    case object Sum extends AggFn
+    case object Avg extends AggFn
+    case object Min extends AggFn
+    case object Max extends AggFn
+  }
+
+  /** ORDER BY key over OUTPUT column names (post-projection / post-agg:
+    * `alias.field`, an AS name, or an aggregate's AS name). */
+  final case class OrderKey(key: String, asc: Boolean = true)
 
   val INF: Long = Long.MaxValue
 
@@ -108,7 +130,9 @@ object Ast {
       fromLabel: String,
       clauses: List[Clause] = Nil,
       select: List[SelectItem] = Nil,
-      asOf: Option[TemporalSnapshot] = None
+      asOf: Option[TemporalSnapshot] = None,
+      orderBy: List[OrderKey] = Nil,
+      limit: Option[Long] = None
   )
 
   // --------------------------------------------------------------------
@@ -123,6 +147,8 @@ object Ast {
     private var clauses = List.empty[Clause]
     private var selectItems = List.empty[SelectItem]
     private var snapshot: Option[TemporalSnapshot] = None
+    private var ordering = List.empty[OrderKey]
+    private var limitN: Option[Long] = None
 
     def where(expr: WhereExpr): QueryBuilder = {
       clauses :+= WhereClause(expr); this
@@ -154,6 +180,19 @@ object Ast {
     def selectAs(ref: String, as: String): QueryBuilder = {
       selectItems :+= SelectField(FieldRef.parse(ref), Some(as)); this
     }
+    def agg(fn: AggFn, ref: String, as: String): QueryBuilder = {
+      selectItems :+= SelectAgg(fn, Some(FieldRef.parse(ref)), as); this
+    }
+    def count(as: String): QueryBuilder = {
+      selectItems :+= SelectAgg(AggFn.Count, None, as); this
+    }
+    def orderBy(keys: (String, Boolean)*): QueryBuilder = {
+      ordering ++= keys.map { case (k, asc) => OrderKey(k, asc) }; this
+    }
+    def orderBy(key: String): QueryBuilder = {
+      ordering :+= OrderKey(key, asc = true); this
+    }
+    def limit(n: Long): QueryBuilder = { limitN = Some(n); this }
     def asOfValidTime(vt: Long): QueryBuilder = {
       snapshot = Some(snapshot.getOrElse(TemporalSnapshot()).copy(validTime = vt)); this
     }
@@ -164,7 +203,8 @@ object Ast {
       snapshot = Some(TemporalSnapshot(vt, tt)); this
     }
     def build: GraphQuery =
-      GraphQuery(fromAlias, fromLabel, clauses, selectItems, snapshot)
+      GraphQuery(fromAlias, fromLabel, clauses, selectItems, snapshot,
+        ordering, limitN)
 
     private def splitTyped(s: String): (String, String) = s.split(':') match {
       case Array(a, l) => (a, l)

@@ -41,7 +41,7 @@ final class Planner(store: GraphStore) {
     nodeAliases(q.fromAlias) = q.fromLabel
     aliasOrder += q.fromAlias
     q.clauses.foreach {
-      case TraverseClause(src, et, ea, dst, dstLabel, _, srcLabel) =>
+      case TraverseClause(src, et, ea, dst, dstLabel, _, srcLabel, _) =>
         srcLabel.foreach { l =>
           if (!nodeAliases.contains(src)) { nodeAliases(src) = l; aliasOrder += src }
           else require(nodeAliases(src) == l,
@@ -113,7 +113,7 @@ final class Planner(store: GraphStore) {
         val dstBound = bound(t.dstAlias)
         val srcLabel = nodeAliases(t.srcAlias)
         val selfJoin = srcLabel == nodeAliases(t.dstAlias)
-        val eDf = scanEdge(t, eAlias, srcLabel)
+        lazy val eDf = scanEdge(t, eAlias, srcLabel)
         val eSrc = col(s"$eAlias${SEP}src")
         val eDst = col(s"$eAlias${SEP}dst")
         val srcId = col(s"${t.srcAlias}${SEP}id")
@@ -139,7 +139,29 @@ final class Planner(store: GraphStore) {
           joined.unionByName(extras, allowMissingColumns = true)
         }
 
-        df = (srcBound, dstBound) match {
+        df = if (t.range.isDefined) {
+          // variable-length hop: shortest-path pair set via frontier BFS
+          // (VarLength.pairs — work per round is frontier-sized); the hop
+          // then behaves like an INNER traverse over the (src,dst) pairs,
+          // with `hops` exposed under the edge alias.
+          val (lo, hi) = t.range.get
+          require(t.kind == JoinKind.Inner,
+            "variable-length hops support INNER only")
+          require(srcBound && !dstBound,
+            "variable-length hop needs a bound source and a fresh target")
+          val raw = store.edges(t.edgeType, srcLabel,
+            nodeAliases(t.dstAlias), q.asOf)
+          val pairsDf0 = VarLength.pairs(raw, lo, hi)
+            .select(col("src").as(s"$eAlias${SEP}src"),
+              col("dst").as(s"$eAlias${SEP}dst"),
+              col("hops").as(s"$eAlias${SEP}hops"))
+          // single-alias predicates on the edge alias (e.g. e.hops >= 2)
+          // attach to the pair set, not an edge scan
+          val pairsDf = preFilters(eAlias).foldLeft(pairsDf0)((d, e) =>
+            d.filter(compile(e, d)))
+          val tgt = scanNode(t.dstAlias)
+          df.join(pairsDf, srcId === eSrc).join(tgt, eDst === dstId)
+        } else (srcBound, dstBound) match {
           case (true, false) =>
             val tgt = scanNode(t.dstAlias)
             t.kind match {
@@ -255,24 +277,57 @@ final class Planner(store: GraphStore) {
     postFilters.foreach(e => df = df.filter(compile(e, df)))
 
     // ---- SELECT projection + alias.field output naming (reference P1/R1)
-    val outCols: Seq[Column] =
-      if (q.select.isEmpty)
-        df.columns.filterNot(_.startsWith("__e")).toIndexedSeq
+    def plainCols(items: List[SelectItem]): Seq[Column] = items.flatMap {
+      case SelectAlias(a) =>
+        require(nodeAliases.contains(a) || edgeAliases.contains(a),
+          s"SELECT references unknown alias: $a")
+        df.columns.filter(_.startsWith(s"$a$SEP")).toIndexedSeq
           .map(c => col(c).as(c.replaceFirst(SEP, ".")))
-      else q.select.flatMap {
-        case SelectAlias(a) =>
-          require(nodeAliases.contains(a) || edgeAliases.contains(a),
-            s"SELECT references unknown alias: $a")
-          df.columns.filter(_.startsWith(s"$a$SEP")).toIndexedSeq
-            .map(c => col(c).as(c.replaceFirst(SEP, ".")))
-        case SelectField(r, as) =>
-          require(nodeAliases.contains(r.alias) ||
-            edgeAliases.contains(r.alias),
-            s"SELECT references unknown alias: ${r.alias}")
-          val c = refColumn(r, df, castTo = None)
-          Seq(c.as(as.getOrElse(r.toString)))
+      case SelectField(r, as) =>
+        require(nodeAliases.contains(r.alias) ||
+          edgeAliases.contains(r.alias),
+          s"SELECT references unknown alias: ${r.alias}")
+        val c = refColumn(r, df, castTo = None)
+        Seq(c.as(as.getOrElse(r.toString)))
+      case _: SelectAgg => Nil
+    }
+    val aggItems = q.select.collect { case a: SelectAgg => a }
+    val projected =
+      if (aggItems.isEmpty) {
+        if (q.select.isEmpty)
+          df.select(df.columns.filterNot(_.startsWith("__e")).toIndexedSeq
+            .map(c => col(c).as(c.replaceFirst(SEP, "."))): _*)
+        else df.select(plainCols(q.select): _*)
+      } else {
+        // Aggregation (beyond-reference, SURVEY §2 preamble): non-agg
+        // SELECT items are the implicit GROUP BY keys; aggregates run on
+        // the denormalized frame. Partial (map-side) aggregation and the
+        // final shuffle layout are Catalyst's.
+        val aggCols = aggItems.map { a =>
+          def c = refColumn(a.ref.getOrElse(throw new IllegalArgumentException(
+            s"${a.fn} requires a field")), df, castTo = None)
+          val agged = a.fn match {
+            case AggFn.Count => a.ref.map(_ => count(c)).getOrElse(count(lit(1)))
+            case AggFn.CountDistinct => countDistinct(c)
+            case AggFn.Sum => sum(c)
+            case AggFn.Avg => avg(c)
+            case AggFn.Min => min(c)
+            case AggFn.Max => max(c)
+          }
+          agged.as(a.as)
+        }
+        val keys = plainCols(q.select)
+        if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
       }
-    df.select(outCols: _*)
+    // ---- ORDER BY / LIMIT over output columns (beyond-reference)
+    def outCol(n: String): Column =
+      if (n.contains(".")) col(s"`$n`") else col(n)
+    val ordered =
+      if (q.orderBy.isEmpty) projected
+      else projected.orderBy(q.orderBy.map(k =>
+        if (k.asc) outCol(k.key).asc else outCol(k.key).desc): _*)
+    q.limit.fold(ordered)(n => ordered.limit(n.toInt))
   }
 
   // ------------------------------------------------------------------

@@ -202,11 +202,12 @@ final class Shell(store: GraphStore,
           else (p.nodes(i), p.nodes(i + 1))
         clauses :+= TraverseClause(srcPat.alias, e.edgeType, e.alias,
           dstPat.alias, labelOf(dstPat.alias), e.kind,
-          Some(labelOf(srcPat.alias)))
+          Some(labelOf(srcPat.alias)), e.range)
       }
     }
     m.where.foreach(w => clauses :+= WhereClause(w))
-    GraphQuery(first.alias, labelOf(first.alias), clauses, m.select)
+    GraphQuery(first.alias, labelOf(first.alias), clauses, m.select,
+      m.asOf, m.orderBy, m.limit)
   }
 
   /** Selector → matching id set (apps/tundra_shell.cpp:385-462); an

@@ -28,11 +28,17 @@ object TundraQL {
       from: Selector, to: Selector, props: Map[String, Any])
       extends Statement
   final case class NodePat(alias: String, label: Option[String])
+  /** `range` = variable-length hop `*min..max` (beyond-reference — the
+    * reference grammar has no `*` paths, SURVEY §2.3 [ABSENT] row). */
   final case class EdgePat(alias: Option[String], edgeType: String,
-      kind: JoinKind, reversed: Boolean)
+      kind: JoinKind, reversed: Boolean,
+      range: Option[(Int, Int)] = None)
   final case class PathPattern(nodes: List[NodePat], edges: List[EdgePat])
   final case class MatchStmt(patterns: List[PathPattern],
-      where: Option[WhereExpr], select: List[SelectItem]) extends Statement
+      where: Option[WhereExpr], select: List[SelectItem],
+      asOf: Option[TemporalSnapshot] = None,
+      orderBy: List[OrderKey] = Nil,
+      limit: Option[Long] = None) extends Statement
   final case class DeleteNodeByIdStmt(label: String, id: Long)
       extends Statement
   final case class DeletePatternStmt(pattern: PathPattern,
@@ -262,10 +268,42 @@ object TundraQL {
     private def matchStatement(): Statement = {
       expectKw("MATCH")
       val pats = patternList()
+      // AS OF VALID <ts> [TX <ts>] | AS OF TX <ts> — beyond-reference QL
+      // surface for the builder's asOf (the reference grammar has no
+      // temporal tokens; SURVEY §2.5 [ABSENT] note says to expose it)
+      val asOf =
+        if (eatKw("AS")) {
+          expectKw("OF")
+          var snap = TemporalSnapshot()
+          if (eatKw("VALID")) snap = snap.copy(validTime = longLit())
+          if (eatKw("TX")) snap = snap.copy(txTime = longLit())
+          require(snap != TemporalSnapshot(),
+            "AS OF needs VALID <ts> and/or TX <ts>")
+          Some(snap)
+        } else None
       val where = if (eatKw("WHERE")) Some(expression()) else None
       val select =
         if (eatKw("SELECT")) selectClause() else List.empty[SelectItem]
-      MatchStmt(pats, where, select)
+      // ORDER BY / LIMIT — beyond-reference (SURVEY §2 preamble)
+      val orderBy =
+        if (eatKw("ORDER")) {
+          expectKw("BY")
+          val keys = mutable.ListBuffer[OrderKey]()
+          do {
+            val parts = mutable.ListBuffer(ident())
+            while (eatSym(".")) parts += ident()
+            val asc = if (eatKw("DESC")) false else { eatKw("ASC"); true }
+            keys += OrderKey(parts.mkString("."), asc)
+          } while (eatSym(","))
+          keys.toList
+        } else Nil
+      val limit = if (eatKw("LIMIT")) Some(longLit()) else None
+      MatchStmt(pats, where, select, asOf, orderBy, limit)
+    }
+
+    private def longLit(): Long = next() match {
+      case IntLit(v) => v
+      case other     => fail(s"expected integer literal, got $other")
     }
 
     private def patternList(): List[PathPattern] = {
@@ -303,6 +341,13 @@ object TundraQL {
           expectSym(":")
           (Some(a), ident())
         }
+      // var-length range `*min..max` / `*n` (beyond-reference)
+      val range =
+        if (eatSym("*")) {
+          val lo = longLit().toInt
+          if (eatSym(".")) { expectSym("."); Some((lo, longLit().toInt)) }
+          else Some((lo, lo))
+        } else None
       val kind =
         if (eatKw("INNER")) JoinKind.Inner
         else if (eatKw("LEFT")) JoinKind.Left
@@ -312,7 +357,7 @@ object TundraQL {
       expectSym("]")
       if (reversed) expectSym("-")
       else expectSym("->") // lexed as one token
-      EdgePat(alias, etype, kind, reversed)
+      EdgePat(alias, etype, kind, reversed, range)
     }
 
     private def deleteStatement(): Statement = {
@@ -438,12 +483,40 @@ object TundraQL {
     private def selectClause(): List[SelectItem] = {
       val out = mutable.ListBuffer[SelectItem]()
       do {
-        val parts = mutable.ListBuffer(ident())
-        while (eatSym(".")) parts += ident()
-        val as = if (eatKw("AS")) Some(ident()) else None
-        out +=
-          (if (parts.length == 1) SelectAlias(parts.head)
-           else SelectField(FieldRef(parts.head, parts.tail.toList), as))
+        val first = ident()
+        if (eatSym("(")) {
+          // aggregate item (beyond-reference, SURVEY §2 preamble):
+          // COUNT(*) | COUNT([DISTINCT] a.f) | SUM/AVG/MIN/MAX(a.f)
+          val distinct = eatKw("DISTINCT")
+          val fn = first.toUpperCase match {
+            case "COUNT" => if (distinct) AggFn.CountDistinct else AggFn.Count
+            case "SUM"   => AggFn.Sum
+            case "AVG"   => AggFn.Avg
+            case "MIN"   => AggFn.Min
+            case "MAX"   => AggFn.Max
+            case other   => fail(s"unknown aggregate function: $other")
+          }
+          require(!distinct || first.equalsIgnoreCase("COUNT"),
+            "DISTINCT only supported in COUNT")
+          val ref =
+            if (eatSym("*")) {
+              require(fn == AggFn.Count, "* only allowed in COUNT(*)")
+              None
+            } else Some(factorRef())
+          expectSym(")")
+          val as =
+            if (eatKw("AS")) ident()
+            else first.toLowerCase +
+              ref.map("_" + _.path.mkString("_")).getOrElse("")
+          out += SelectAgg(fn, ref, as)
+        } else {
+          val parts = mutable.ListBuffer(first)
+          while (eatSym(".")) parts += ident()
+          val as = if (eatKw("AS")) Some(ident()) else None
+          out +=
+            (if (parts.length == 1) SelectAlias(parts.head)
+             else SelectField(FieldRef(parts.head, parts.tail.toList), as))
+        }
       } while (eatSym(","))
       out.toList
     }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.core.MockClock
+import graft.core.Ast._
+import graft.ql.Shell
+import graft.store.GraphStore
+
+/** Beyond-reference TundraQL surface (SURVEY §2 preamble / §2.5 [ABSENT]
+  * notes say to expose what Spark gives for free): aggregates with
+  * implicit GROUP BY, ORDER BY / LIMIT, AS OF, and `*min..max`
+  * variable-length hops.
+  */
+class QlExtensionsSpec extends SparkSpec {
+
+  private def shell(): Shell = new Shell(new GraphStore(spark))
+
+  private def seeded(): Shell = {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, team: STRING, age: INT64);
+      CREATE SCHEMA Company (name: STRING);
+      CREATE NODE User (name = "a", team = "eng", age = 30);
+      CREATE NODE User (name = "b", team = "eng", age = 40);
+      CREATE NODE User (name = "c", team = "ops", age = 50);
+      CREATE NODE Company (name = "acme");
+      CREATE EDGE WORKS_AT FROM User(0) TO Company(0);
+      CREATE EDGE WORKS_AT FROM User(1) TO Company(0);
+    """)
+    sh
+  }
+
+  test("ORDER BY / LIMIT via QL") {
+    val sh = seeded()
+    val res = sh.execute(
+      "MATCH (u:User) SELECT u.name ORDER BY u.name DESC LIMIT 2;").get
+    assert(res.collect().map(_.getString(0)).toSeq === Seq("c", "b"))
+    val asc = sh.execute(
+      "MATCH (u:User) SELECT u.name, u.age ORDER BY u.age LIMIT 1;").get
+    assert(asc.collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
+  test("aggregates with implicit GROUP BY via QL") {
+    val sh = seeded()
+    val res = sh.execute(
+      "MATCH (u:User) SELECT u.team, COUNT(*) AS n, SUM(u.age) AS total, " +
+        "AVG(u.age) AS mean ORDER BY u.team;").get
+    assert(res.columns.toSeq === Seq("u.team", "n", "total", "mean"))
+    assert(res.collect().map(_.toSeq).toSeq === Seq(
+      Seq("eng", 2L, 70L, 35.0), Seq("ops", 1L, 50L, 50.0)))
+  }
+
+  test("global aggregate (no group keys), COUNT(DISTINCT)") {
+    val sh = seeded()
+    val res = sh.execute(
+      "MATCH (u:User) SELECT COUNT(*) AS n, COUNT(DISTINCT u.team) AS teams, " +
+        "MIN(u.age) AS lo, MAX(u.age) AS hi;").get
+    assert(res.collect().head.toSeq === Seq(3L, 2L, 30L, 50L))
+  }
+
+  test("aggregate over a traversal") {
+    val sh = seeded()
+    val res = sh.execute(
+      "MATCH (u:User)-[:WORKS_AT]->(c:Company) " +
+        "SELECT c.name, COUNT(u.id) AS staff;").get
+    assert(rowBag(res) === Map(Seq("acme", 2L) -> 1))
+  }
+
+  test("AS OF VALID via QL sees historical versions") {
+    val clock = new MockClock(1000L)
+    val store = new GraphStore(spark, versioningEnabled = true, clock = clock)
+    val sh = new Shell(store)
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, age: INT64);
+      CREATE NODE User (name = "a", age = 1);
+    """)
+    clock.set(2000L)
+    sh.execute("UPDATE User(0) SET age = 2;")
+    val past = sh.execute(
+      "MATCH (u:User) AS OF VALID 1500 SELECT u.age;").get
+    assert(past.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val now = sh.execute("MATCH (u:User) SELECT u.age;").get
+    assert(now.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val bitemporal = sh.execute(
+      "MATCH (u:User) AS OF VALID 1500 TX 1500 SELECT u.age;").get
+    assert(bitemporal.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("variable-length hop *1..2 via QL with hops exposed") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING);
+      CREATE NODE User (name = "a");
+      CREATE NODE User (name = "b");
+      CREATE NODE User (name = "c");
+      CREATE EDGE FRIEND FROM User(0) TO User(1);
+      CREATE EDGE FRIEND FROM User(1) TO User(2);
+    """)
+    val res = sh.execute(
+      "MATCH (u:User)-[e:FRIEND*1..2]->(f:User) " +
+        "WHERE u.name = \"a\" SELECT u.name, f.name, e.hops;").get
+    assert(rowBag(res) === Map(
+      Seq("a", "b", 1) -> 1, Seq("a", "c", 2) -> 1))
+    // hops predicate attaches to the pair set
+    val two = sh.execute(
+      "MATCH (u:User)-[e:FRIEND*1..2]->(f:User) " +
+        "WHERE u.name = \"a\" AND e.hops >= 2 SELECT f.name;").get
+    assert(rowBag(two) === Map(Seq("c") -> 1))
+  }
+
+  test("builder surface: agg, orderBy, limit") {
+    val store = new GraphStore(spark)
+    store.createSchema("User",
+      "name" -> org.apache.spark.sql.types.StringType,
+      "age" -> org.apache.spark.sql.types.LongType)
+    Seq(("a", 30L), ("b", 40L), ("c", 50L)).foreach { case (n, a) =>
+      store.createNode("User", Map("name" -> n, "age" -> a))
+    }
+    val planner = new graft.planner.Planner(store)
+    val top = planner.plan(Q.from("u:User")
+      .select("u.name").orderBy("u.name" -> false).limit(2).build)
+    assert(top.collect().map(_.getString(0)).toSeq === Seq("c", "b"))
+    val agged = planner.plan(Q.from("u:User")
+      .agg(AggFn.Sum, "u.age", "total").count("n").build)
+    assert(agged.collect().head.toSeq === Seq(120L, 3L))
+  }
+}
