@@ -41,9 +41,9 @@ object TpchGraph {
     // downstream logic (and the lineitem id hash) is deterministic no
     // matter whether the reader produced TimestampType or (with the
     // legacy nanosAsLong conf) LongType.
-    def read(t: String): DataFrame = {
+    def readRaw(t: String): DataFrame = {
       val raw = spark.read.parquet(s"$dir/$t.parquet")
-      val normed = raw.schema.fields.foldLeft(raw) { (d, f) =>
+      raw.schema.fields.foldLeft(raw) { (d, f) =>
         // covers TimestampType and TimestampNTZType (TIMESTAMP(NANOS,false)
         // arrives as NTZ); session TZ is UTC so the cast is value-preserving
         if (f.dataType.typeName.startsWith("timestamp"))
@@ -51,6 +51,9 @@ object TpchGraph {
             unix_micros(col(f.name).cast("timestamp")) * 1000L)
         else d
       }
+    }
+    def read(t: String): DataFrame = {
+      val normed = readRaw(t)
       if (cache) normed.cache() else normed
     }
 
@@ -60,10 +63,14 @@ object TpchGraph {
     val supplier = read("supplier")
     val part = read("part")
     val orders = read("orders")
-    val lineitem = read("lineitem").withColumn("lid",
+    // cache lineitem WITH the derived id — the md5 id feeds both the node
+    // table and three edge sets, and recomputing it per query would
+    // otherwise dominate every lineitem join
+    val lineitem0 = readRaw("lineitem").withColumn("lid",
       conv(substring(md5(concat_ws("|", col("l_orderkey"),
         col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_shipdate"))), 1, 15), 16, 10).cast("long"))
+    val lineitem = if (cache) lineitem0.cache() else lineitem0
     val events = read("events")
 
     s.attachNodes("region",
