@@ -75,11 +75,20 @@ object Dedup {
     // hashed shingles is (collision-negligibly) identical and far cheaper
     // than building shingle strings. __th is its own projection step so
     // token hashing runs once per row, not once per shingle.
+    // The lazy localCheckpoint materializes the shingle arrays BEFORE the
+    // explode below: Catalyst would otherwise collapse the shingle
+    // expression into the Generate, whose generator input is evaluated on
+    // the interpreted (non-codegen) path — measured ~10x slower than
+    // running the same expression in a codegen'd projection. Materialized
+    // rows are (long, long[]) — far smaller than the input text — and the
+    // shingling also feeds three consumers (signatures + both verify
+    // sides), which now share one evaluation.
     val base = df
       .select(col(idCol).as("__id"),
         transform(split(lower(trim(col(textCol))), "\\s+"),
           t => xxhash64(t)).as("__th"))
       .select(col("__id"), hashedShingles(col("__th"), shingleK).as("__shh"))
+      .localCheckpoint(eager = false)
     // Signatures as grouped min-aggregates over exploded shingles instead
     // of nested higher-order functions: every expression stays inside
     // whole-stage codegen and map-side partial aggregation shrinks the
