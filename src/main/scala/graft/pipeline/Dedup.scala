@@ -175,8 +175,12 @@ object Dedup {
     * bit_count(xor) <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // materialize signatures before the chunk explode and self-join: the
+    // nested-aggregate simhash expression must not collapse under the
+    // Generate (interpreted path) or evaluate once per join side
     val sigs = df.select(col(idCol).as("__id"),
       simhash(col(textCol)).as("__sig"))
+      .localCheckpoint(eager = false)
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         concat(c.cast("string"), lit(":"),
@@ -198,8 +202,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 3,
                         threshold: Double = 0.1): DataFrame = {
+    // materialize shingle arrays once — both join sides read them
     val p = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
       shingles(col(textCol), k).as("__sh"))
+      .localCheckpoint(eager = false)
     val a = p.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
       col("__blk"))
     val b = p.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
