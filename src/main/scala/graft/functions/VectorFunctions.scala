@@ -2,22 +2,26 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Vector math over `array<float>` embedding columns, built from
-  * codegen-friendly higher-order functions (no UDFs): `zip_with` +
-  * `aggregate` compile to a sequential left-fold in whole-stage codegen,
-  * which makes results bit-for-bit deterministic (and therefore
-  * oracle-checkable) — every element is widened to float64 first, then
-  * summed left-to-right.
+/** Vector math over `array<float>` embedding columns, backed by the
+  * native codegen'd expressions in [[VectorExpressions]] (one fused loop
+  * per row — no UDFs, no intermediate arrays). Results are bit-for-bit
+  * deterministic (and therefore oracle-checkable): every element is
+  * widened to float64 first, then accumulated left-to-right — identical
+  * to the `zip_with`+`aggregate` HOF formulation these replaced.
   */
 object VectorFunctions {
 
+  private def binary(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression) =>
+      org.apache.spark.sql.catalyst.expressions.Expression)
+      (a: Column, b: Column): Column =
+    ColumnBridge.column(
+      f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Sequential float64 dot product of two array<float/double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = binary(DotF64.apply)(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -29,12 +33,5 @@ object VectorFunctions {
   }
 
   /** Squared L2 distance (for IVF centroid assignment). */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val dxy = x.cast("double") - y.cast("double")
-        dxy * dxy
-      }),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def l2sq(a: Column, b: Column): Column = binary(L2SqF64.apply)(a, b)
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions
+
+/** Native DotF64/L2SqF64 must match the HOF (zip_with+aggregate)
+  * formulation bit-for-bit — including NULL semantics: length mismatch
+  * or a null element poisons the result, empty arrays give 0.0.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def hofDot(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private val schema = StructType(Seq(
+    StructField("a", ArrayType(FloatType)),
+    StructField("b", ArrayType(FloatType))))
+
+  private def df(rows: Seq[(Seq[java.lang.Float], Seq[java.lang.Float])]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (x, y) => Row(x, y) }.asJava, schema)
+  }
+
+  test("dot matches HOF formulation bit-for-bit") {
+    val data = df(Seq(
+      (Seq[java.lang.Float](1.0f, 2.0f, 3.0f),
+        Seq[java.lang.Float](4.0f, 5.0f, 6.0f)),
+      (Seq[java.lang.Float](0.1f, 0.2f), Seq[java.lang.Float](0.3f, 0.7f)),
+      (Seq.empty[java.lang.Float], Seq.empty[java.lang.Float])))
+    val res = data.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    res.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(res(0).getDouble(0) === 32.0)
+    assert(res(2).getDouble(0) === 0.0)
+  }
+
+  test("null semantics: length mismatch and null elements poison") {
+    val data = df(Seq(
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f)),
+      (Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](3.0f, 4.0f))))
+    val res = data.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d")).collect()
+    assert(res.forall(_.isNullAt(0)))
+    // null array input -> null out
+    val nullRow = spark.createDataFrame(
+      java.util.List.of(Row(null, Seq[java.lang.Float](1.0f))), schema)
+    assert(nullRow.select(VectorFunctions.dot(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
+  test("l2sq and cosine") {
+    val data = df(Seq(
+      (Seq[java.lang.Float](1.0f, 0.0f), Seq[java.lang.Float](0.0f, 1.0f)),
+      (Seq[java.lang.Float](1.0f, 1.0f), Seq[java.lang.Float](1.0f, 1.0f)),
+      (Seq[java.lang.Float](0.0f, 0.0f), Seq[java.lang.Float](1.0f, 1.0f))))
+    val res = data.select(
+      VectorFunctions.l2sq(col("a"), col("b")).as("l2"),
+      VectorFunctions.cosine(col("a"), col("b")).as("cos")).collect()
+    assert(res(0).getDouble(0) === 2.0)
+    assert(res(0).getDouble(1) === 0.0)
+    assert(res(1).getDouble(1) === 1.0000000000000002 ||
+      math.abs(res(1).getDouble(1) - 1.0) < 1e-12)
+    assert(res(2).getDouble(1) === 0.0) // zero-norm guard
+  }
+
+  test("interpreted eval path matches codegen") {
+    // force the interpreted path via an off-codegen context: evaluate the
+    // expression directly
+    val e = graft.functions.DotF64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 2.0f), ArrayType(FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3.0f, 4.0f), ArrayType(FloatType)))
+    assert(e.eval(null) === 11.0)
+    val mismatch = graft.functions.DotF64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f), ArrayType(FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3.0f, 4.0f), ArrayType(FloatType)))
+    assert(mismatch.eval(null) === null)
+  }
+}
