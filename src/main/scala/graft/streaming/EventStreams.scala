@@ -35,6 +35,19 @@ object EventStreams {
         sum(when(col("etype") === "error", 1).otherwise(0)).as("n_errors"),
         max(col("ts")).as("last_ts"))
 
+  /** Streaming dedup on a key (e.g. content fingerprint): keeps the first
+    * arrival of each key; the watermark bounds the per-key dedup state so
+    * it ages out instead of growing unboundedly — the standard shape for
+    * at-least-once ingestion feeding a training corpus. Works unchanged
+    * on a batch frame (dropDuplicates semantics, no watermark needed). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: Option[String] = None): DataFrame = {
+    val src = watermarkDelay.fold(events)(d => events.withWatermark("ts", d))
+    if (src.isStreaming && watermarkDelay.isDefined)
+      src.dropDuplicatesWithinWatermark(keyCols)
+    else src.dropDuplicates(keyCols)
+  }
+
   case class SessionEvent(userid: Long, ts: java.sql.Timestamp,
       etype: String)
   case class SessionState(start: Long, last: Long, n: Int)

@@ -139,6 +139,30 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: first arrival survives, state watermark-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "fp", "value")
+    val q = EventStreams.dedupStream(events, Seq("fp"), Some("10 minutes"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      mem.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(3), "b", 3.0))
+      q.processAllAvailable()
+      mem.addData((ts(4), "a", 4.0), (ts(5), "c", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").collect()
+        .map(r => (r.getAs[String]("fp"), r.getAs[Double]("value"))).toSet
+      assert(out === Set(("a", 1.0), ("b", 3.0), ("c", 5.0)))
+    } finally q.stop()
+    // batch path = plain dropDuplicates
+    val batch = Seq((new java.sql.Timestamp(0L), "x", 1.0),
+      (new java.sql.Timestamp(1L), "x", 2.0)).toDF("ts", "fp", "value")
+    assert(EventStreams.dedupStream(batch, Seq("fp")).count() === 1)
+  }
+
   test("corpus clean: quality gate + exact dedup composition") {
     import spark.implicits._
     val corpus = Seq(
