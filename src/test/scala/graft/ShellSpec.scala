@@ -154,6 +154,27 @@ class ShellSpec extends SparkSpec {
       Seq("Alice", "yes") -> 1, Seq("Bob", null) -> 1))
   }
 
+  test("UPDATE MATCH sets both traversal sides in one statement " +
+      "(update_query_join_test.cpp:106 UpdateBothSidesOfTraversal)") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, status: STRING);
+      CREATE SCHEMA Company (name: STRING, tier: STRING);
+      CREATE NODE User (name = "Alice");
+      CREATE NODE User (name = "Bob");
+      CREATE NODE Company (name = "Acme");
+      CREATE NODE Company (name = "Globex");
+      CREATE EDGE WORKS_AT FROM User(0) TO Company(0);
+      UPDATE MATCH (u:User)-[:WORKS_AT]->(c:Company) SET u.status = "linked", c.tier = "gold";
+    """)
+    val users = sh.execute("MATCH (u:User) SELECT u.name, u.status;").get
+    assert(rowBag(users) === Map(
+      Seq("Alice", "linked") -> 1, Seq("Bob", null) -> 1))
+    val cos = sh.execute("MATCH (c:Company) SELECT c.name, c.tier;").get
+    assert(rowBag(cos) === Map(
+      Seq("Acme", "gold") -> 1, Seq("Globex", null) -> 1))
+  }
+
   test("DELETE by id, by pattern, edges") {
     val sh = shell()
     sh.execute("""

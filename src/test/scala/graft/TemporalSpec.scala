@@ -156,6 +156,31 @@ class TemporalSpec extends SparkSpec {
     assert(weightAt(Some(TemporalSnapshot(validTime = 2500L))) === Seq(9L))
   }
 
+  test("array append creates a version; as-of sees the pre-append array " +
+      "(array_query_test.cpp:644 AppendArrayCreatesVersion)") {
+    val clock = new MockClock(0L)
+    val s = new GraphStore(spark, versioningEnabled = true, clock = clock)
+    s.createSchema("Doc", "tags" -> ArrayType(StringType))
+    clock.set(1000L)
+    val id = s.createNode("Doc", Map("tags" -> Seq("a")))
+    clock.set(2000L)
+    assert(s.updateNode("Doc", id, Map("tags" -> "b"), append = Set("tags")))
+    clock.set(3000L)
+    assert(s.updateNode("Doc", id, Map("tags" -> Seq("x", "y"))))
+    def tagsAt(snap: Option[TemporalSnapshot]): Seq[Seq[String]] =
+      new Planner(s).plan(GraphQuery("d", "Doc",
+        select = List(SelectField(FieldRef.parse("d.tags"))), asOf = snap))
+        .collect().toSeq
+        .map(_.getSeq[String](0).toSeq)
+    assert(tagsAt(Some(TemporalSnapshot(validTime = 1500L))) ===
+      Seq(Seq("a")))
+    assert(tagsAt(Some(TemporalSnapshot(validTime = 2500L))) ===
+      Seq(Seq("a", "b")))
+    // SET after APPEND replaces and preserves history
+    // (array_query_test.cpp:709 SetAfterAppendPreservesHistory)
+    assert(tagsAt(None) === Seq(Seq("x", "y")))
+  }
+
   test("mutation chains keep plan depth bounded (periodic checkpoint)") {
     val (s, clock) = fixture()
     clock.set(1000L)
