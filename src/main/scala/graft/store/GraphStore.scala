@@ -71,6 +71,10 @@ final class GraphStore(
   def createEdgeSchema(
       name: String, srcLabel: String, dstLabel: String,
       props: (String, DataType)*): Unit = {
+    // duplicate registration is an error (reference:
+    // tests/edge_store_test.cpp:191 DuplicateSchemaRegistration)
+    require(catalog.edgeType(name, srcLabel, dstLabel).isEmpty,
+      s"edge schema $name ($srcLabel->$dstLabel) already registered")
     val info = EdgeTypeInfo(name, srcLabel, dstLabel,
       StructType(props.map { case (n, t) => StructField(n, t, nullable = true) }))
     catalog.registerEdgeType(info)

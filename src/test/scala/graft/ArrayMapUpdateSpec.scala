@@ -27,6 +27,24 @@ class ArrayMapUpdateSpec extends SparkSpec {
       Seq("Bob", Seq("java", "go", "python"), Seq()) -> 1))
   }
 
+  test("edge schema validation: unknown prop, no-schema props, duplicate " +
+      "registration (edge_store_test.cpp:191,228,252)") {
+    val s = new GraphStore(spark)
+    s.createSchema("U", "name" -> StringType)
+    s.createEdgeSchema("works_at", "U", "U", "role" -> StringType)
+    intercept[IllegalArgumentException] {
+      s.createEdgeSchema("works_at", "U", "U", "role" -> StringType)
+    }
+    intercept[IllegalArgumentException] {
+      s.connect("U", 0, "works_at", "U", 1, Map("unknown_field" -> "x"))
+    }
+    // props on a schema-less edge type fail; no props is fine
+    intercept[IllegalArgumentException] {
+      s.connect("U", 0, "friend", "U", 1, Map("weight" -> 1.0))
+    }
+    assert(s.connect("U", 0, "friend2", "U", 1) >= 0)
+  }
+
   test("UPDATE APPEND accumulates; rows/fields isolated (D7)") {
     val s = new GraphStore(spark)
     s.createSchema("Item", "name" -> StringType,
