@@ -550,7 +550,22 @@ final class GraphStore(
     * id-range shards (S2, include/storage/shard.hpp:30-101), which keeps
     * id-lookup scans to one file and makes restores min/max-prunable. */
   def commit(path: String, shardPartitions: Option[Int]): Unit = {
+    // Snapshot-versioned layout (reference: consecutive snapshots write
+    // new manifests + data files, tests/database_test.cpp:299,352): every
+    // commit writes a fresh v<N>/ directory and flips the root manifest
+    // pointer. Overwrite-in-place is NOT an option — a store restored
+    // from this path commits through lazy plans that still read the very
+    // files an in-place overwrite would delete first.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val pointer = java.nio.file.Paths.get(s"$path/manifest.json")
+    val v: Int =
+      if (java.nio.file.Files.exists(pointer)) {
+        val prev = mapper.readTree(java.nio.file.Files.readString(pointer))
+        // legacy (pre-versioned) layout = data at the root: count it as v0
+        if (prev.has("version")) prev.get("version").asInt() + 1 else 1
+      } else 1
+    val vPath = s"$path/v$v"
     val root = mapper.createObjectNode()
     root.put("versioning", versioningEnabled)
     root.put("edgeCounter", catalog.edgeIdCounter.get())
@@ -560,7 +575,7 @@ final class GraphStore(
       t.base.foreach { b =>
         val laidOut = shardPartitions.fold(b)(n =>
           b.repartitionByRange(n, col("id")).sortWithinPartitions("id"))
-        laidOut.write.mode("overwrite").parquet(s"$path/nodes/$label")
+        laidOut.write.mode("overwrite").parquet(s"$vPath/nodes/$label")
       }
       val ln = labelsNode.addObject()
       ln.put("label", label)
@@ -571,15 +586,31 @@ final class GraphStore(
     edgeTables.foreach { case ((name, s, d), t) =>
       t.flush(spark)
       t.base.foreach(_.write.mode("overwrite")
-        .parquet(s"$path/edges/${name}__${s}__$d"))
+        .parquet(s"$vPath/edges/${name}__${s}__$d"))
       val en = edgesNode.addObject()
       en.put("name", name); en.put("src", s); en.put("dst", d)
       en.put("props", t.info.props.json)
     }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/manifest.json"),
+      java.nio.file.Paths.get(s"$vPath/manifest.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    // flip the pointer last — a crash mid-commit leaves the previous
+    // snapshot current and the partial v-dir orphaned (never referenced)
+    val ptr = mapper.createObjectNode()
+    ptr.put("version", v)
+    java.nio.file.Files.writeString(pointer,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ptr))
+    // the committed snapshot is now the cheapest lineage root: re-point
+    // the in-memory tables at it so later mutations/commits build on
+    // stable files instead of ever-deeper plans
+    nodeTables.foreach { case (label, t) =>
+      if (t.base.isDefined)
+        t.base = Some(spark.read.parquet(s"$vPath/nodes/$label"))
+    }
+    edgeTables.foreach { case ((name, s, d), t) =>
+      if (t.base.isDefined)
+        t.base = Some(spark.read.parquet(s"$vPath/edges/${name}__${s}__$d"))
+    }
   }
 
   private def table(label: String): NodeTable =
@@ -632,12 +663,20 @@ object GraphStore {
     df.select(explode(rows).as("__row")).select(col("__row.*"))
   }
 
-  /** Restore a snapshot written by [[GraphStore.commit]]. */
+  /** Restore a snapshot written by [[GraphStore.commit]] — the current
+    * version per the root manifest pointer (legacy root-level layouts
+    * restore directly). */
   def restore(spark: SparkSession, path: String,
               clock: Clock = SystemClock): GraphStore = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(java.nio.file.Files.readString(
+    val head = mapper.readTree(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$path/manifest.json")))
+    val (dataPath, root) =
+      if (head.has("version")) {
+        val v = head.get("version").asInt()
+        (s"$path/v$v", mapper.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$path/v$v/manifest.json"))))
+      } else (path, head)
     val store =
       new GraphStore(spark, root.get("versioning").asBoolean(), clock)
     root.get("labels").elements().asScala.foreach { ln =>
@@ -649,7 +688,7 @@ object GraphStore {
           .map(f => f.name -> f.dataType).toIndexedSeq: _*)
       store.catalog.setNodeCounter(label, ln.get("counter").asLong())
       val t = store.nodeTables(label)
-      t.base = Some(spark.read.parquet(s"$path/nodes/$label"))
+      t.base = Some(spark.read.parquet(s"$dataPath/nodes/$label"))
       t.counterInitialized = true
     }
     root.get("edges").elements().asScala.foreach { en =>
@@ -661,7 +700,7 @@ object GraphStore {
       val info = EdgeTypeInfo(name, s, d, props)
       store.catalog.registerEdgeType(info)
       val t = new EdgeTable(info, store.versioningEnabled)
-      t.base = Some(spark.read.parquet(s"$path/edges/${name}__${s}__$d"))
+      t.base = Some(spark.read.parquet(s"$dataPath/edges/${name}__${s}__$d"))
       store.edgeTables((name, s, d)) = t
     }
     store.catalog.edgeIdCounter.set(root.get("edgeCounter").asLong())

@@ -50,6 +50,32 @@ class SnapshotSpec extends SparkSpec {
     assert(r.createNode("Company", Map("name" -> "globex")) === 1L)
   }
 
+  test("consecutive snapshots: restore, mutate, commit to the SAME path " +
+      "(database_test.cpp:299,352)") {
+    val dir = Files.createTempDirectory("graft-snap-cyc").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType, "age" -> LongType)
+    s.createNode("User", Map("name" -> "alice", "age" -> 30L))
+    s.commit(dir)
+    // restore and commit through plans that read this very snapshot —
+    // an overwrite-in-place layout would delete the files mid-read
+    val r = GraphStore.restore(spark, dir)
+    r.createNode("User", Map("name" -> "bob", "age" -> 40L))
+    r.updateWhere("User",
+      org.apache.spark.sql.functions.col("name") === "alice",
+      Map("age" -> org.apache.spark.sql.functions.lit(31L)))
+    r.commit(dir)
+    val r2 = GraphStore.restore(spark, dir)
+    assert(rowBag(r2.nodes("User")) ===
+      Map(Seq(0L, "alice", 31L) -> 1, Seq(1L, "bob", 40L) -> 1))
+    // counters survive the chain: next id continues
+    assert(r2.createNode("User", Map("name" -> "carol", "age" -> 1L)) === 2L)
+    // each commit produced its own version directory (consecutive
+    // snapshots never share/overwrite data files)
+    assert(new java.io.File(s"$dir/v1").isDirectory)
+    assert(new java.io.File(s"$dir/v2").isDirectory)
+  }
+
   test("versioned store round-trips version metadata") {
     val dir = Files.createTempDirectory("graft-snap-v").toString
     val clock = new graft.core.MockClock(1000L)
@@ -100,7 +126,7 @@ class SnapshotSpec extends SparkSpec {
     s.createSchema("User", "name" -> StringType)
     (0 until 100).foreach(i => s.createNode("User", Map("name" -> s"u$i")))
     s.commit(dir, shardPartitions = Some(4))
-    val files = new java.io.File(s"$dir/nodes/User").listFiles()
+    val files = new java.io.File(s"$dir/v1/nodes/User").listFiles()
       .filter(_.getName.endsWith(".parquet"))
     assert(files.length === 4)
     val r = GraphStore.restore(spark, dir)
