@@ -145,24 +145,44 @@ final class GraphStore(
     id
   }
 
-  /** Bulk ingest with contiguous per-label ids assigned distributively
-    * (no collect; never monotonically_increasing_id — ids must be dense,
-    * reference README.md:139). */
+  /** Bulk ingest with contiguous per-label ids assigned distributively —
+    * dense ids (reference README.md:139) without leaving Tungsten.
+    * Job 1 collects per-partition row counts (tiny); the id is then
+    * `reserved_base + prefix_sum(partition) + index_within_partition`,
+    * a pure projection. The within-partition index is the low 33 bits of
+    * `monotonically_increasing_id()` (its documented partition/record
+    * encoding); a raw m_i_i would NOT be dense across partitions, which
+    * is exactly what the prefix-sum fixes. The old `rdd.zipWithIndex`
+    * route ran the same two jobs but paid a full
+    * Tungsten→Row→Tungsten re-encode of every row. */
   def createNodes(label: String, df: DataFrame): Unit = {
     val t = table(label)
     ensureCounter(t)
     t.flush(spark)
     val st = catalog.schemaOf(label)
-    val n = df.count()
+    val counts = df.groupBy(spark_partition_id().as("__p")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
     val first = catalog.reserveNodeIds(label, n)
-    val fieldCols = st.fieldNames.filter(_ != "id")
-    val withId = df.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq((first + i) +: fieldCols.map(f =>
-        if (r.schema.fieldNames.contains(f)) r.getAs[Any](f) else null).toSeq)
-    }
-    var appended = spark.createDataFrame(withId, StructType(
-      StructField("id", LongType, nullable = false) +:
-        st.fields.filter(_.name != "id").toIndexedSeq))
+    val prefix = counts.map(_._2).scanLeft(0L)(_ + _).init
+    val offsets = spark.createDataFrame(
+      counts.map(_._1).zip(prefix).map { case (p, off) => Row(p, off) }
+        .toSeq.asJava,
+      StructType(Seq(StructField("__p", IntegerType, nullable = false),
+        StructField("__off", LongType, nullable = false))))
+    val fieldCols = st.fields.filter(_.name != "id").map(f =>
+      (if (df.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name))
+    // partition id + record index are stamped BEFORE the (narrow,
+    // partitioning-preserving) broadcast join, so both jobs see the same
+    // layout the counts were taken from
+    var appended = df
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__i",
+        monotonically_increasing_id().bitwiseAND((1L << 33) - 1))
+      .join(broadcast(offsets), "__p")
+      .select((lit(first) + col("__off") + col("__i")).as("id") +:
+        fieldCols.toIndexedSeq: _*)
     if (versioningEnabled) appended = NodeTable.addV0(appended, clock)
     t.base = Some(t.base.map(_.unionByName(appended)).getOrElse(appended))
   }

@@ -95,6 +95,20 @@ class SnapshotSpec extends SparkSpec {
     assert(ageAt(2500L) === Seq(2))
   }
 
+  test("createNodes assigns dense contiguous ids across partitions") {
+    import spark.implicits._
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "seed")) // id 0 — bulk continues at 1
+    val bulk = (1 to 997).map(i => s"u$i").toDF("name").repartition(7)
+    s.createNodes("User", bulk)
+    val ids = s.nodes("User").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length === 998)
+    assert(ids.toSeq === (0L until 998L)) // dense: no gaps, no duplicates
+    // counter continues past the bulk block
+    assert(s.createNode("User", Map("name" -> "after")) === 998L)
+  }
+
   test("CSV bulk load with and without ids (S6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     java.nio.file.Files.writeString(
