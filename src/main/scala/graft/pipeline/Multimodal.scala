@@ -76,6 +76,36 @@ object Multimodal {
       }(enc)
   }
 
+  /** "Resize" to a byte budget: the stub resampler keeps every k-th byte
+    * (deterministic); a real implementation would decode, resample
+    * pixels, re-encode. Output keeps the media-column shape (binary +
+    * refreshed metadata), so resize composes with [[decode]] /
+    * [[sampleFrames]] downstream like any other media frame. */
+  def resize(media: DataFrame, maxBytes: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", metaSchema)))
+    implicit val enc: Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    media.select("id", "media", "meta.format").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        // ---- STUB: real codec would resample pixels, not bytes ----
+        val out =
+          if (bytes.length <= maxBytes) bytes
+          else {
+            val step = math.ceil(bytes.length.toDouble / maxBytes).toInt
+            bytes.indices.collect {
+              case i if i % step == 0 => bytes(i)
+            }.toArray
+          }
+        Row(r.getAs[Long]("id"), out,
+          Row(r.getAs[String]("format"), out.length.toLong))
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub for "video" payloads: slice `n` evenly-spaced
     * byte windows as stand-in frames; emits one row per frame with the
     * frame index — the real operator's output shape. */

@@ -117,6 +117,14 @@ class PipelineSpec extends SparkSpec {
     assert(dec(0L) === (len0 % 1024 + 1, len0 % 768 + 1))
     val frames = Multimodal.sampleFrames(media, n = 3, frameBytes = 8)
     assert(frames.count() === docs.count() * 3)
+    // resize bounds the payload, refreshes metadata, and composes with
+    // decode (media-column shape preserved)
+    val small = Multimodal.resize(media, maxBytes = 16)
+    val sizes = small.collect().map(r =>
+      (r.getAs[Array[Byte]]("media").length,
+        r.getStruct(r.fieldIndex("meta")).getAs[Long]("n_bytes")))
+    assert(sizes.forall { case (n, m) => n <= 16 && n.toLong == m && n > 0 })
+    assert(Multimodal.decode(small).count() === docs.count())
   }
 
   test("streaming: windowed stats with watermark over a memory stream") {
