@@ -69,6 +69,12 @@ final class Shell(store: GraphStore,
 
     case m: MatchStmt => Some(planner.plan(toQuery(m)))
 
+    case ExplainStmt(m) =>
+      import store.spark.implicits._
+      val df = planner.plan(toQuery(m))
+      Some(Seq(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)).toDF("plan"))
+
     case DeleteNodeByIdStmt(label, id) =>
       store.deleteNode(label, id); None
 

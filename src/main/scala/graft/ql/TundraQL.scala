@@ -52,6 +52,9 @@ object TundraQL {
   case object CommitStmt extends Statement
   final case class ShowEdgesStmt(edgeType: String) extends Statement
   case object ShowEdgeTypesStmt extends Statement
+  /** `EXPLAIN MATCH ...` — beyond-reference; returns the optimized +
+    * physical Spark plan as a one-column frame. */
+  final case class ExplainStmt(m: MatchStmt) extends Statement
 
   // ---------------- lexer ----------------
   private sealed trait Tok
@@ -152,13 +155,19 @@ object TundraQL {
 
     def statement(): Statement = {
       val st = peek match {
-        case Id("CREATE") => createStatement()
-        case Id("MATCH")  => matchStatement()
-        case Id("DELETE") => deleteStatement()
-        case Id("UPDATE") => updateStatement()
-        case Id("COMMIT") => next(); CommitStmt
-        case Id("SHOW")   => showStatement()
-        case other        => fail(s"unexpected $other")
+        case Id("CREATE")  => createStatement()
+        case Id("MATCH")   => matchStatement()
+        case Id("EXPLAIN") =>
+          next()
+          matchStatement() match {
+            case m: MatchStmt => ExplainStmt(m)
+            case other => fail(s"EXPLAIN expects MATCH, got $other")
+          }
+        case Id("DELETE")  => deleteStatement()
+        case Id("UPDATE")  => updateStatement()
+        case Id("COMMIT")  => next(); CommitStmt
+        case Id("SHOW")    => showStatement()
+        case other         => fail(s"unexpected $other")
       }
       expectSym(";")
       st

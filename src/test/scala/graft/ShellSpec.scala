@@ -222,6 +222,17 @@ class ShellSpec extends SparkSpec {
     assert(r.collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
+  test("EXPLAIN MATCH returns the physical plan") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING);
+      CREATE NODE User (name = "Alice");
+    """)
+    val plan = sh.execute("EXPLAIN MATCH (u:User) SELECT u.name;").get
+      .collect().head.getString(0)
+    assert(plan.contains("Physical Plan"))
+  }
+
   test("parse errors are informative") {
     val sh = shell()
     val e = intercept[IllegalArgumentException] {
