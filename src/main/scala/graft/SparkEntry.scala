@@ -382,9 +382,13 @@ object SparkEntry {
       st.updateWhere("customer", col("id") % 3 === 0,
         Map("acctbal" -> (col("acctbal") + 100)), validFrom = Some(500L))
       clock.set(3000L)
+      // delete BEFORE create: the created node's id is max(custkey)+1,
+      // which at some scale factors is itself divisible by 7 (sf0.1:
+      // 15001 = 7·2143) — deleting after creation would erase the ADDED
+      // row the oracle unconditionally expects
+      st.deleteWhere("customer", col("id") % 7 === 0)
       st.createNode("customer",
         Map("name" -> "Customer#new", "acctbal" -> 0.0))
-      st.deleteWhere("customer", col("id") % 7 === 0)
       st.diff("customer", TemporalSnapshot(1000L, 1500L),
         TemporalSnapshot(3500L, INF))
         .select(col("id").as("c_id"), col("change"))

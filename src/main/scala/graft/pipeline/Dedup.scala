@@ -20,6 +20,13 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** NOTE on the lazy `localCheckpoint`s below: checkpointed blocks live
+    * in executor storage until the driver GCs the DataFrame (the
+    * ContextCleaner then drops them). A long-lived driver looping these
+    * operators over many batches should not hold references to returned
+    * frames longer than needed; within one query the blocks are exactly
+    * the shared-intermediate cache we want. */
+
   /** Exact dedup: representative (min id) + multiplicity per distinct key.
     * Map-side partial aggregation makes this one shuffle of distinct keys.
     */

@@ -327,7 +327,11 @@ final class Planner(store: GraphStore) {
       if (q.orderBy.isEmpty) projected
       else projected.orderBy(q.orderBy.map(k =>
         if (k.asc) outCol(k.key).asc else outCol(k.key).desc): _*)
-    q.limit.fold(ordered)(n => ordered.limit(n.toInt))
+    q.limit.fold(ordered) { n =>
+      require(n >= 0 && n <= Int.MaxValue,
+        s"LIMIT must be in [0, ${Int.MaxValue}], got $n")
+      ordered.limit(n.toInt)
+    }
   }
 
   // ------------------------------------------------------------------

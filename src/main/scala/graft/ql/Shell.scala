@@ -93,13 +93,21 @@ final class Shell(store: GraphStore,
       val m = MatchStmt(List(pattern), where, List.empty)
       val aliasLabel = pattern.nodes
         .map(n => n.alias -> n.label.getOrElse(n.alias)).toMap
-      pattern.edges.zipWithIndex.foreach { case (e, i) =>
+      // plan EVERY hop's pair set before deleting anything: a plan built
+      // after an earlier hop's delete would re-run the MATCH against the
+      // already-mutated edge table, find no complete paths, and silently
+      // delete nothing for the later hops. Captured plans are immutable,
+      // so deferring execution past the mutations is safe.
+      val hopPairs = pattern.edges.zipWithIndex.map { case (e, i) =>
         val (s, d) =
           if (e.reversed) (pattern.nodes(i + 1), pattern.nodes(i))
           else (pattern.nodes(i), pattern.nodes(i + 1))
         val pairs = planner.plan(toQuery(m.copy(select = List(
           SelectField(FieldRef(s.alias, List("id"))),
           SelectField(FieldRef(d.alias, List("id")))))))
+        (e, s, d, pairs)
+      }
+      hopPairs.foreach { case (e, s, d, pairs) =>
         store.deleteEdgesMatched(e.edgeType,
           aliasLabel(s.alias), aliasLabel(d.alias), pairs)
       }
@@ -152,10 +160,21 @@ final class Shell(store: GraphStore,
               d.label.getOrElse(aliasLabel(d.alias)))
         }
       }.toMap
-      sets.groupBy(_._1.split('.').head).foreach { case (alias, aliasSets) =>
-        val ids = planner.plan(toQuery(
-          m.copy(select = List(SelectField(FieldRef(alias, List("id")))))))
-          .toDF("id")
+      // plan EVERY alias's matched-id set before applying any update —
+      // the MATCH runs once, logically: a plan built after an earlier
+      // alias's update would re-match against already-updated rows (a
+      // WHERE on the updated field would then miss), and Map iteration
+      // order would make it nondeterministic on top. Sorted for a stable
+      // apply order; captured plans are immutable, so executing them
+      // after earlier updates still yields the pre-update match.
+      val planned = sets.groupBy(_._1.split('.').head).toSeq.sortBy(_._1)
+        .map { case (alias, aliasSets) =>
+          val ids = planner.plan(toQuery(
+            m.copy(select = List(SelectField(FieldRef(alias, List("id")))))))
+            .toDF("id")
+          (alias, aliasSets, ids)
+        }
+      planned.foreach { case (alias, aliasSets, ids) =>
         val colSets = aliasSets.map { case (k, v) =>
           val field = k.split('.').drop(1).mkString(".")
           field.split('.')(0) ->
@@ -228,12 +247,18 @@ final class Shell(store: GraphStore,
   }
 
   /** Single-node selector resolution for statements that address one
-    * endpoint (UPDATE / DELETE EDGE endpoints). */
-  private def resolve(s: Selector): (String, Long) = {
-    val (label, ids) = resolveMany(s)
-    require(ids.length == 1,
-      s"selector ($label{...}) matched ${ids.length} nodes, need exactly 1")
-    (label, ids.head)
+    * endpoint (UPDATE / DELETE EDGE endpoints). Bounded scan: collects at
+    * most 2 ids to fail the cardinality check — never the full match. */
+  private def resolve(s: Selector): (String, Long) = s match {
+    case ById(label, id) => (label, id)
+    case ByProps(label, props) =>
+      val cond = props.map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _)
+      val rows = store.nodes(label).filter(cond).select("id").limit(2)
+        .collect()
+      require(rows.length == 1,
+        s"selector ($label{...}) matched ${rows.length} nodes, need exactly 1")
+      (label, rows(0).getLong(0))
   }
 
   private def stripAlias(key: String, alias: String): String =

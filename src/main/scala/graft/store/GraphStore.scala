@@ -175,13 +175,20 @@ final class GraphStore(
        else lit(null)).cast(f.dataType).as(f.name))
     // partition id + record index are stamped BEFORE the (narrow,
     // partitioning-preserving) broadcast join, so both jobs see the same
-    // layout the counts were taken from
+    // layout the counts were taken from. left_outer + raise_error: if the
+    // source's partition layout ever differed between the count job and
+    // this evaluation (a non-deterministic source), the job FAILS instead
+    // of silently dropping the unmatched rows an inner join would eat.
     var appended = df
       .withColumn("__p", spark_partition_id())
       .withColumn("__i",
         monotonically_increasing_id().bitwiseAND((1L << 33) - 1))
-      .join(broadcast(offsets), "__p")
-      .select((lit(first) + col("__off") + col("__i")).as("id") +:
+      .join(broadcast(offsets), Seq("__p"), "left_outer")
+      .select((lit(first) +
+        coalesce(col("__off"), raise_error(concat(
+          lit("createNodes: partition layout changed under id assignment " +
+            "(unknown partition id "), col("__p"), lit(")"))).cast(LongType)) +
+        col("__i")).as("id") +:
         fieldCols.toIndexedSeq: _*)
     if (versioningEnabled) appended = NodeTable.addV0(appended, clock)
     t.base = Some(t.base.map(_.unionByName(appended)).getOrElse(appended))

@@ -215,6 +215,49 @@ class ShellSpec extends SparkSpec {
     assert(sh.execute("MATCH (c:Company) SELECT c.name;").get.count() === 2)
   }
 
+  test("multi-hop DELETE removes every hop's matched edges") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING);
+      CREATE SCHEMA Co (name: STRING);
+      CREATE NODE User (name = "a");
+      CREATE NODE User (name = "b");
+      CREATE NODE Co (name = "x");
+      CREATE EDGE FRIEND FROM User(0) TO User(1);
+      CREATE EDGE WORKS_AT FROM User(1) TO Co(0);
+      CREATE EDGE WORKS_AT FROM User(0) TO Co(0);
+    """)
+    // the path a-FRIEND->b-WORKS_AT->x matches once; BOTH its edges must
+    // go (hop 2's match must not re-run against the post-hop-1 store,
+    // where the path no longer exists)
+    sh.execute(
+      "DELETE (u:User)-[:FRIEND]->(f:User)-[:WORKS_AT]->(c:Co);")
+    assert(sh.execute("SHOW EDGES FRIEND;").get.count() === 0)
+    val left = sh.execute("SHOW EDGES WORKS_AT;").get
+    assert(left.count() === 1) // only the a->x edge (not on the path)
+    val nodes = sh.execute("MATCH (u:User) SELECT u.name;").get
+    assert(nodes.count() === 2) // endpoints survive
+  }
+
+  test("multi-alias UPDATE MATCH matches once: WHERE on a field the " +
+      "statement itself updates") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, status: STRING);
+      CREATE SCHEMA Co (name: STRING, tier: STRING);
+      CREATE NODE User (name = "a", status = "old");
+      CREATE NODE Co (name = "x");
+      CREATE EDGE WORKS_AT FROM User(0) TO Co(0);
+      UPDATE MATCH (u:User)-[:WORKS_AT]->(c:Co) SET u.status = "new", c.tier = "gold" WHERE u.status = "old";
+    """)
+    // both sides must update even though u.status = "old" stops being
+    // true the moment the u-side applies — the MATCH is logically one
+    val cos = sh.execute("MATCH (c:Co) SELECT c.name, c.tier;").get
+    assert(rowBag(cos) === Map(Seq("x", "gold") -> 1))
+    val users = sh.execute("MATCH (u:User) SELECT u.name, u.status;").get
+    assert(rowBag(users) === Map(Seq("a", "new") -> 1))
+  }
+
   test("CREATE NODE RETURN id") {
     val sh = shell()
     sh.execute("CREATE SCHEMA User (name: STRING);")
