@@ -127,6 +127,15 @@ final class Planner(store: GraphStore) {
         // non-NULL ⇔ matched) instead of a second join of the same inputs,
         // so the plan carries ONE join subtree per hop (AQE exchange reuse
         // can then share the shuffle; two distinct subtrees never could).
+        // "Visited" is THIS hop's edge-matched nodes — a NULL-extended
+        // row does not mark its nodes visited (mirrors the FULL-self
+        // both-sides emission the reference pins in
+        // tests/join_test.cpp:1127: an unmatched source matt is kept as
+        // (matt,NULL) AND re-emitted as the extra (NULL,matt)). For
+        // cyclic hops this deliberately means a target bound by an
+        // earlier hop can re-appear as an extra when this hop's edge
+        // missed it — pinned by the cyclic FULL JoinSemanticsSpec case
+        // and the q46 oracle.
         def withExtras(joined: DataFrame, tgt: DataFrame): DataFrame = {
           val matched = joined.filter(eSrc.isNotNull)
           val covered =

@@ -90,6 +90,62 @@ class JoinAlgebraPropertySpec extends SparkSpec {
     }
   }
 
+  test("cyclic RIGHT/FULL hop identities (seeded): RIGHT = gated ∪ " +
+      "extras, FULL = NULL-extended ∪ extras") {
+    // pattern: (u)-[:friend]->(f), then a cyclic hop (u)-[:friend2]->(f)
+    // with both ends bound. Identities derived from the strategies being
+    // hop-position-independent (reference src/query/join.cpp:243-331).
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(seed * 31)
+      val s = new GraphStore(spark)
+      s.createSchema("users", "name" -> StringType)
+      val nU = 4 + rnd.nextInt(3)
+      (0 until nU).foreach(i => s.createNode("users", Map("name" -> s"u$i")))
+      // unique edges: duplicate edges legitimately multiply joined rows,
+      // which would make the row-level identities below multiplicity-
+      // sensitive for no semantic gain
+      (0 until 2 * nU).foreach { _ =>
+        if (rnd.nextBoolean())
+          s.connect("users", rnd.nextInt(nU), "friend", "users",
+            rnd.nextInt(nU), unique = true)
+        if (rnd.nextBoolean())
+          s.connect("users", rnd.nextInt(nU), "friend2", "users",
+            rnd.nextInt(nU), unique = true)
+      }
+      s.connect("users", 0, "friend", "users", nU - 1, unique = true)
+      s.connect("users", 0, "friend2", "users", nU - 1, unique = true)
+      def cyc(kind: JoinKind): Map[Seq[Any], Int] =
+        rowBag(new Planner(s).plan(Q.from("u:users")
+          .traverse("u", "friend", "f:users")
+          .traverse("u", "friend2", "f:users", kind)
+          .select("u.id", "f.id").build))
+      val inner = cyc(JoinKind.Inner)
+      val right = cyc(JoinKind.Right)
+      val full = cyc(JoinKind.Full)
+      val base = rows(s, JoinKind.Inner, "friend", "f:users")
+      // RIGHT matched part == INNER (edge-gated rows)
+      assert(right.filter(_._1.forall(_ != null)) === inner,
+        s"seed=$seed RIGHT matched")
+      // FULL non-extra part == the first hop's rows (cyclic hop only
+      // NULL-extends, never prunes); u stays bound so no half-null rows
+      assert(full.filter(_._1(0) != null) === base, s"seed=$seed FULL kept")
+      // extras for BOTH kinds: all − this hop's edge-MATCHED nodes (both
+      // sides, self-join rule). A NULL-extended FULL row does NOT mark
+      // its nodes visited — mirrors the reference's FULL-self both-sides
+      // emission (join_test.cpp:1127), where an unmatched source is kept
+      // NULL-extended AND re-emitted as an extra.
+      def extras(m: Map[Seq[Any], Int]) = {
+        val visited = inner.keys.flatMap(r => Seq(r(0), r(1)))
+          .filter(_ != null).toSet
+        val exp = (0L until nU).map(x => x: Any).toSet -- visited
+        assert(m.filter(_._1(0) == null).keys.map(_(1)).toSet === exp,
+          s"seed=$seed extras")
+      }
+      extras(right)
+      extras(full)
+    }
+  }
+
   test("VarLength.pairs: shortest hops, cycle-safe, bounded") {
     import spark.implicits._
     // chain 0->1->2->3 plus a cycle 3->0 and a shortcut 0->2
