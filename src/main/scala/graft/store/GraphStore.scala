@@ -690,6 +690,34 @@ object GraphStore {
     df.select(explode(rows).as("__row")).select(col("__row.*"))
   }
 
+  /** Drop all but the newest `keep` snapshot versions under `path`
+    * (the reference's compaction analog — old snapshots accumulate one
+    * v<N>/ dir per commit otherwise). The current version is never
+    * dropped; returns the number of version dirs removed. */
+  def gcSnapshots(path: String, keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pointer = java.nio.file.Paths.get(s"$path/manifest.json")
+    if (!java.nio.file.Files.exists(pointer)) return 0
+    val head = mapper.readTree(java.nio.file.Files.readString(pointer))
+    if (!head.has("version")) return 0 // legacy layout: nothing versioned
+    val current = head.get("version").asInt()
+    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => f.getName.drop(1).toInt -> f)
+      .filter { case (v, _) => v <= current } // never touch a newer commit
+      .sortBy(-_._1)
+    val doomed = dirs.drop(keep)
+    doomed.foreach { case (_, dir) =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    doomed.length
+  }
+
   /** Restore a snapshot written by [[GraphStore.commit]] — the current
     * version per the root manifest pointer (legacy root-level layouts
     * restore directly). */

@@ -74,6 +74,13 @@ class SnapshotSpec extends SparkSpec {
     // snapshots never share/overwrite data files)
     assert(new java.io.File(s"$dir/v1").isDirectory)
     assert(new java.io.File(s"$dir/v2").isDirectory)
+    // GC drops old versions, keeps the current, and the DB still restores
+    r2.commit(dir) // v3
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 2)
+    assert(!new java.io.File(s"$dir/v1").exists())
+    assert(!new java.io.File(s"$dir/v2").exists())
+    assert(new java.io.File(s"$dir/v3").isDirectory)
+    assert(GraphStore.restore(spark, dir).nodes("User").count() === 3)
   }
 
   test("versioned store round-trips version metadata") {
