@@ -69,6 +69,49 @@ class WhereSemanticsSpec extends SparkSpec {
       === Set())
   }
 
+  test("AND of single-alias conjunct with cross-alias OR: conjunct " +
+      "inlines, OR defers (OrWithMultipleVariablesNotInlined, " +
+      "where_expression_test.cpp:467)") {
+    val s = db()
+    // alice: age 30, city nyc? reference fixture: user city LA matching
+    // via the COMPANY side of the OR — use bob (45, sf) -> globex (5000):
+    // u.age = 45 AND (u.city = "nyc" OR c.size > 1000): city misses, the
+    // company side of the OR carries the row
+    val res = new Planner(s).plan(Q.from("u:User")
+      .traverse("u", "works", "c:Company")
+      .where(ref("u.age") === 45 &&
+        (ref("u.city") === "nyc" || ref("c.size") > 1000))
+      .select("u.age", "u.city", "c.size").build)
+    assert(rowBag(res) === Map(Seq(45, "sf", 5000) -> 1))
+  }
+
+  test("per-alias filters across a 2-hop chain + cross-alias post filter " +
+      "(TraversalWhereCombinations3, where_expression_test.cpp:583)") {
+    val s = db()
+    s.createEdgeSchema("employs", "Company", "User")
+    s.connect("Company", 1, "employs", "User", 2) // globex employs carol
+    val plan0 = Q.from("u:User")
+      .where(ref("u.age") >= 35)
+      .traverse("u", "works", "c:Company")
+      .where(ref("c.size") > 1000)
+      .traverse("c", "employs", "u2:User")
+    // u2.city = nyc (inlined on u2) AND u.city = la (cross-hop post): bob
+    // is sf, not la -> zero rows, exactly like the reference case
+    val zero = new Planner(s).plan(plan0
+      .where(ref("u2.city") === "nyc" && ref("u.city") === "la")
+      .select("u.name", "c.name", "u2.name").build)
+    assert(zero.count() === 0)
+    // flipping the post predicate to the matching city yields the row
+    val one = new Planner(s).plan(Q.from("u:User")
+      .where(ref("u.age") >= 35)
+      .traverse("u", "works", "c:Company")
+      .where(ref("c.size") > 1000)
+      .traverse("c", "employs", "u2:User")
+      .where(ref("u2.city") === "nyc" && ref("u.city") === "sf")
+      .select("u.name", "c.name", "u2.name").build)
+    assert(rowBag(one) === Map(Seq("bob", "globex", "carol") -> 1))
+  }
+
   test("inlined target filter on outer join = NULL row when all targets filtered") {
     val s = db()
     // bob works at globex(size 5000); filter size < 1000 removes it →
