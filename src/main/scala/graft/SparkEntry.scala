@@ -149,6 +149,16 @@ object SparkEntry {
         .traverse("o", "next_order", "o2:orders", JoinKind.Right)
         .selectAs("c.id", "c_id").selectAs("o.id", "o_id")
         .selectAs("o2.id", "o2_id").build)),
+    // ---- J6 cyclic FULL: kept rows NULL-extend on a missing back-edge,
+    // plus never-matched-target extras (self-join covered rule)
+    "q49_cyclic_full" -> ((s, dir) =>
+      planner(s, dir).plan(Q.from("c:customer")
+        .where(ref("c.acctbal") > 9000.0)
+        .traverse("c", "placed", "o:orders")
+        .traverse("c", "placed", "o2:orders")
+        .traverse("o", "next_order", "o2:orders", JoinKind.Full)
+        .selectAs("c.id", "c_id").selectAs("o.id", "o_id")
+        .selectAs("o2.id", "o2_id").build)),
     // ---- beyond-reference QL surface: aggregate + implicit GROUP BY +
     // ORDER BY + LIMIT through the planner (SURVEY §2 preamble)
     "q48_agg_orderby_limit" -> ((s, dir) =>
@@ -623,6 +633,23 @@ object SparkEntry {
         "JOIN nation ON n_nationkey = c_nationkey " +
         "JOIN supplier ON s_nationkey = n_nationkey " +
         "WHERE c_acctbal > 9500 AND s_acctbal > 9000"),
+    // cyclic FULL: every branch-product row survives (the hop only
+    // NULL-extends); extras = orders never matched by a back-edge under
+    // either side of the self-join pair
+    "q49_cyclic_full" ->
+      ("WITH bp AS (SELECT c_custkey AS c_id, o1.o_orderkey AS o_id, " +
+        "o2.o_orderkey AS o2_id FROM customer " +
+        "JOIN orders o1 ON o1.o_custkey = c_custkey " +
+        "JOIN orders o2 ON o2.o_custkey = c_custkey " +
+        "WHERE c_acctbal > 9000), " +
+        "nxt AS (SELECT o_orderkey AS src, lead(o_orderkey) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS dst FROM orders), " +
+        "matched AS (SELECT bp.o_id, bp.o2_id FROM bp " +
+        "JOIN nxt ON nxt.src = bp.o_id AND nxt.dst = bp.o2_id) " +
+        "SELECT c_id, o_id, o2_id FROM bp " +
+        "UNION ALL SELECT NULL, NULL, o_orderkey FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_id FROM matched) " +
+        "AND o_orderkey NOT IN (SELECT o2_id FROM matched)"),
     // LIMIT selection must be deterministic: cnt ties broken by nation name
     "q48_agg_orderby_limit" ->
       ("SELECT n_name AS nation, count(*) AS cnt, " +
