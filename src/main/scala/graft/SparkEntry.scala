@@ -159,6 +159,15 @@ object SparkEntry {
         .traverse("o", "next_order", "o2:orders", JoinKind.Full)
         .selectAs("c.id", "c_id").selectAs("o.id", "o_id")
         .selectAs("o2.id", "o2_id").build)),
+    // ---- var-length hop through the planner (hops exposed + filtered)
+    "q50_varlength_hop" -> ((s, dir) =>
+      planner(s, dir).plan(Q.from("o:orders")
+        .where(ref("o.totalprice") > 400000.0)
+        .traverseRange("o", "next_order", "o2:orders", 1, 3,
+          edgeAlias = Some("e"))
+        .where(ref("e.hops") >= 2)
+        .selectAs("o.id", "o_id").selectAs("o2.id", "o2_id")
+        .selectAs("e.hops", "hops").build)),
     // ---- beyond-reference QL surface: aggregate + implicit GROUP BY +
     // ORDER BY + LIMIT through the planner (SURVEY §2 preamble)
     "q48_agg_orderby_limit" -> ((s, dir) =>
@@ -633,6 +642,17 @@ object SparkEntry {
         "JOIN nation ON n_nationkey = c_nationkey " +
         "JOIN supplier ON s_nationkey = n_nationkey " +
         "WHERE c_acctbal > 9500 AND s_acctbal > 9000"),
+    // var-length = shortest-hop pairs (v44 formula) joined to the bound
+    // source, hop-filtered
+    "q50_varlength_hop" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders), " +
+        "pairs AS (SELECT a.o_orderkey AS src, b.o_orderkey AS dst, " +
+        "CAST(b.rn - a.rn AS INT) AS hops FROM r a JOIN r b " +
+        "ON a.o_custkey = b.o_custkey AND b.rn - a.rn BETWEEN 2 AND 3) " +
+        "SELECT o_orderkey AS o_id, dst AS o2_id, hops FROM orders " +
+        "JOIN pairs ON pairs.src = o_orderkey " +
+        "WHERE o_totalprice > 400000"),
     // cyclic FULL: every branch-product row survives (the hop only
     // NULL-extends); extras = orders never matched by a back-edge under
     // either side of the self-join pair

@@ -170,6 +170,23 @@ object Ast {
         dstLabel, kind, srcLabel)
       this
     }
+    /** Variable-length hop `*min..max` (INNER; edge alias exposes
+      * `hops`). */
+    def traverseRange(
+        src: String, edgeType: String, dst: String,
+        minHops: Int, maxHops: Int,
+        edgeAlias: Option[String] = None): QueryBuilder = {
+      val (dstAlias, dstLabel) = splitTyped(dst)
+      val (srcAlias, srcLabel) = src.split(':') match {
+        case Array(a, l) => (a, Some(l))
+        case Array(a)    => (a, None)
+        case _ => throw new IllegalArgumentException(s"bad src: $src")
+      }
+      clauses :+= TraverseClause(srcAlias, edgeType, edgeAlias, dstAlias,
+        dstLabel, JoinKind.Inner, srcLabel, Some((minHops, maxHops)))
+      this
+    }
+
     def select(items: String*): QueryBuilder = {
       selectItems ++= items.map { s =>
         if (s.contains('.')) SelectField(FieldRef.parse(s))
