@@ -231,8 +231,29 @@ final class GraphStore(
     t.updateBuffered(id, sets, append, clock.nowNanos, versioningEnabled) match {
       case Some(changed) => changed
       case None => // row lives in the base DataFrame — distributed rewrite
-        val cols = sets.map { case (k, v) => k -> lit(v) }
-        updateWhere(label, col("id") === id, cols, append); true
+        val st = catalog.schemaOf(label)
+        // validate fields (reference: invalid field is an error,
+        // tests/update_query_test.cpp:227) and rebuild nested MAP paths
+        // into full-column expressions — passing a dotted key through
+        // would silently no-op (versioned) or corrupt the schema
+        val cols = sets.map { case (k, v) =>
+          val parts = k.split('.')
+          require(st.fieldNames.contains(parts.head),
+            s"unknown field for $label: ${parts.head}")
+          if (parts.length > 1) {
+            val m = col(parts.head)
+            val nv = if (v == null) lit(null) else lit(v.toString)
+            parts.head -> when(m.isNull, map(lit(parts(1)), nv)).otherwise(
+              map_concat(
+                map_filter(m, (mk, _) => mk =!= parts(1)),
+                map(lit(parts(1)), nv)))
+          } else k -> lit(v)
+        }
+        // missing id = soft failure, 0 rows updated (reference:
+        // updated_count 0 + failed_count 1, update_query_test.cpp:215)
+        val visible = nodes(label).filter(col("id") === id).limit(1)
+        if (visible.isEmpty) false
+        else { updateWhere(label, col("id") === id, cols, append); true }
     }
   }
 

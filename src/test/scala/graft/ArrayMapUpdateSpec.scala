@@ -94,6 +94,22 @@ class ArrayMapUpdateSpec extends SparkSpec {
       .where(ref("u.props.score") > 6)
       .select("u.name").build)
     assert(rowBag(res3) === Map(Seq("alice") -> 1, Seq("bob") -> 1))
+    // FLUSHED rows take the distributed rewrite path: nested MAP paths
+    // must still rebuild the map column (not silently no-op / corrupt)
+    s.updateWhere("User", org.apache.spark.sql.functions.lit(false),
+      Map.empty) // forces a flush; false cond touches nothing
+    assert(s.updateNode("User", u, Map("props.score" -> 3)))
+    val res4 = new Planner(s).plan(Q.from("u:User")
+      .where(ref("u.props.score") > 6).select("u.name").build)
+    assert(rowBag(res4) === Map(Seq("bob") -> 1))
+    assert(s.nodes("User").columns.toSeq ===
+      Seq("id", "name", "props")) // no stray dotted column
+    // missing id = soft failure (update_query_test.cpp:215); unknown
+    // field = error (:227)
+    assert(!s.updateNode("User", 999L, Map("name" -> "ghost")))
+    intercept[IllegalArgumentException] {
+      s.updateNode("User", u, Map("nonexistent_field" -> 1))
+    }
   }
 
   test("DELETE node removes incident edges (D8)") {
