@@ -247,13 +247,23 @@ final class GraphStore(
               map_concat(
                 map_filter(m, (mk, _) => mk =!= parts(1)),
                 map(lit(parts(1)), nv)))
+          } else if (append.contains(k)) {
+            // APPEND builds its own concat here (one element or a batch,
+            // reference append_all) — updateWhere's single-element array
+            // wrap would nest a Seq value
+            val arr = v match {
+              case s: Seq[_] => array(s.map(x => lit(x)).toIndexedSeq: _*)
+              case one       => array(lit(one))
+            }
+            k -> concat(coalesce(col(k),
+              array().cast(st(st.fieldIndex(k)).dataType)), arr)
           } else k -> lit(v)
         }
         // missing id = soft failure, 0 rows updated (reference:
         // updated_count 0 + failed_count 1, update_query_test.cpp:215)
         val visible = nodes(label).filter(col("id") === id).limit(1)
         if (visible.isEmpty) false
-        else { updateWhere(label, col("id") === id, cols, append); true }
+        else { updateWhere(label, col("id") === id, cols); true }
     }
   }
 

@@ -59,6 +59,17 @@ class ArrayMapUpdateSpec extends SparkSpec {
     assert(rowBag(res) === Map(
       Seq("a", Seq("x", "t1", "t2", "t3")) -> 1,
       Seq("b", Seq("y")) -> 1))
+    // flushed rows: single and batch appends through the distributed path
+    s.updateWhere("Item", org.apache.spark.sql.functions.lit(false),
+      Map.empty) // forces a flush
+    s.updateNode("Item", b, Map("tags" -> "t4"), append = Set("tags"))
+    s.updateNode("Item", b, Map("tags" -> Seq("t5", "t6")),
+      append = Set("tags"))
+    val res2 = new Planner(s).plan(Q.from("i:Item")
+      .select("i.name", "i.tags").build)
+    assert(rowBag(res2) === Map(
+      Seq("a", Seq("x", "t1", "t2", "t3")) -> 1,
+      Seq("b", Seq("y", "t4", "t5", "t6")) -> 1))
   }
 
   test("UPDATE SET replaces array (not append)") {
