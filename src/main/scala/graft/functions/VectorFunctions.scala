@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -13,9 +14,7 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object VectorFunctions {
 
-  private def binary(f: (org.apache.spark.sql.catalyst.expressions.Expression,
-      org.apache.spark.sql.catalyst.expressions.Expression) =>
-      org.apache.spark.sql.catalyst.expressions.Expression)
+  private def binary(f: (Expression, Expression) => Expression)
       (a: Column, b: Column): Column =
     ColumnBridge.column(
       f(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -96,9 +96,7 @@ object Multimodal {
           if (bytes.length <= maxBytes) bytes
           else {
             val step = math.ceil(bytes.length.toDouble / maxBytes).toInt
-            bytes.indices.collect {
-              case i if i % step == 0 => bytes(i)
-            }.toArray
+            (0 until bytes.length by step).map(bytes).toArray
           }
         Row(r.getAs[Long]("id"), out,
           Row(r.getAs[String]("format"), out.length.toLong))

@@ -268,14 +268,7 @@ final class Shell(store: GraphStore,
   private def setColumn(label: String, field: String, v: Any): Column = {
     val parts = field.split('.')
     if (parts.length == 1) lit(v)
-    else {
-      val base = col(parts(0))
-      val k = parts(1)
-      val nv = if (v == null) lit(null) else lit(v.toString)
-      when(base.isNull, map(lit(k), nv))
-        .otherwise(map_concat(
-          map_filter(base, (mk, _) => mk =!= k), map(lit(k), nv)))
-    }
+    else GraphStore.mapEntryUpdate(col(parts(0)), parts(1), v)
   }
 
   /** Compile a single-alias WHERE to a Column over the label's raw

@@ -241,12 +241,8 @@ final class GraphStore(
           require(st.fieldNames.contains(parts.head),
             s"unknown field for $label: ${parts.head}")
           if (parts.length > 1) {
-            val m = col(parts.head)
-            val nv = if (v == null) lit(null) else lit(v.toString)
-            parts.head -> when(m.isNull, map(lit(parts(1)), nv)).otherwise(
-              map_concat(
-                map_filter(m, (mk, _) => mk =!= parts(1)),
-                map(lit(parts(1)), nv)))
+            parts.head ->
+              GraphStore.mapEntryUpdate(col(parts.head), parts(1), v)
           } else if (append.contains(k)) {
             // APPEND builds its own concat here (one element or a batch,
             // reference append_all) — updateWhere's single-element array
@@ -289,14 +285,9 @@ final class GraphStore(
     } else {
       val isHead = col(VersionCols.Vt) === INF
       val hit = cond && isHead
-      val newSets: Map[String, Column] = sets.map { case (k, v) =>
+      val newSets = sets.map { case (k, v) =>
         k -> (if (append.contains(k)) concat(col(k), array(v)) else v)
-      } ++ Map(
-        VersionCols.Ver -> (col(VersionCols.Ver) + 1),
-        VersionCols.Vf -> lit(validFrom.getOrElse(now)),
-        VersionCols.Vt -> lit(INF),
-        VersionCols.Tf -> lit(now),
-        VersionCols.Tt -> lit(INF))
+      } ++ GraphStore.newVersionCols(now, validFrom.getOrElse(now))
       t.base = Some(
         GraphStore.versionedRewrite(base, base.schema, hit, newSets, now))
     }
@@ -376,12 +367,7 @@ final class GraphStore(
       else {
         val hit = coalesce(col("__hit"), lit(false)) &&
           col(VersionCols.Vt) === INF
-        val newSets = sets ++ Map[String, Column](
-          VersionCols.Ver -> (col(VersionCols.Ver) + 1),
-          VersionCols.Vf -> lit(now),
-          VersionCols.Vt -> lit(INF),
-          VersionCols.Tf -> lit(now),
-          VersionCols.Tt -> lit(INF))
+        val newSets = sets ++ GraphStore.newVersionCols(now, now)
         GraphStore.versionedRewrite(joined, base.schema, hit, newSets, now)
       }
     result.drop("__hit").select(base.columns.map(col).toIndexedSeq: _*)
@@ -687,6 +673,25 @@ object GraphStore {
     * durable path remains [[GraphStore.commit]]. */
   val CheckpointEvery = 16
 
+  /** Version metadata for a NEW head row (close-old/open-new rule —
+    * valid interval may be back-dated, tx always opens at commit time). */
+  private[store] def newVersionCols(now: Long, vf: Long): Map[String, Column] =
+    Map(
+      VersionCols.Ver -> (col(VersionCols.Ver) + 1),
+      VersionCols.Vf -> lit(vf),
+      VersionCols.Vt -> lit(INF),
+      VersionCols.Tf -> lit(now),
+      VersionCols.Tt -> lit(INF))
+
+  /** Rebuild a MAP column for a single-key update (reference nested-path
+    * semantics: values stringified, src/update/update_executor.cpp:23-81).
+    * Shared by the store's by-id path and the shell's SET compiler. */
+  private[graft] def mapEntryUpdate(m: Column, key: String, v: Any): Column = {
+    val nv = if (v == null) lit(null) else lit(v.toString)
+    when(m.isNull, map(lit(key), nv)).otherwise(
+      map_concat(map_filter(m, (mk, _) => mk =!= key), map(lit(key), nv)))
+  }
+
   /** Eager lineage truncation for [[NodeTable.noteMutation]] /
     * [[EdgeTable.noteMutation]]. Coalesces first: localCheckpoint
     * PRESERVES partitioning, so partition growth from buffer-flush /
@@ -798,28 +803,32 @@ object GraphStore {
 // Table states
 // ====================================================================
 
-private[store] final class NodeTable(
-    val label: String, val schema: StructType,
-    val versioned: Boolean = false) {
-  /** Schema including version columns (only meaningful when versioning). */
-  def fullSchema(versioned: Boolean): StructType =
-    if (versioned) StructType(schema.fields ++ VersionCols.fields) else schema
-
+/** Shared table state: the lazy `base` plan plus mutation-chain lineage
+  * bounding (see [[GraphStore.CheckpointEvery]]). */
+private[store] trait TableState {
   var base: Option[DataFrame] = None
-  var counterInitialized: Boolean = true
-  val buffer = mutable.ArrayBuffer[Array[Any]]()
-  /** id -> buffer index of the current head version row. */
-  private val headIdx = mutable.LongMap[Int]()
-  private var buffered = false
   private var mutations = 0
 
-  /** Bound plan depth under mutation chains (see
-    * [[GraphStore.CheckpointEvery]]). */
+  /** Bound plan depth under mutation chains. */
   def noteMutation(): Unit = {
     mutations += 1
     if (mutations % GraphStore.CheckpointEvery == 0)
       base = base.map(GraphStore.truncateLineage)
   }
+}
+
+private[store] final class NodeTable(
+    val label: String, val schema: StructType,
+    val versioned: Boolean = false) extends TableState {
+  /** Schema including version columns (only meaningful when versioning). */
+  def fullSchema(versioned: Boolean): StructType =
+    if (versioned) StructType(schema.fields ++ VersionCols.fields) else schema
+
+  var counterInitialized: Boolean = true
+  val buffer = mutable.ArrayBuffer[Array[Any]]()
+  /** id -> buffer index of the current head version row. */
+  private val headIdx = mutable.LongMap[Int]()
+  private var buffered = false
 
   def appendRow(id: Long, values: Map[String, Any], now: Long,
                 versioned: Boolean): Unit = {
@@ -921,7 +930,7 @@ private[store] object NodeTable {
 }
 
 private[store] final class EdgeTable(val info: EdgeTypeInfo,
-    val versioned: Boolean = false) {
+    val versioned: Boolean = false) extends TableState {
   /** Edge rows carry the same bitemporal columns as nodes when versioning
     * is on — as-of applies to edge *existence* (reference spec §5.2:
     * "edges can appear/disappear by valid/txn windows"). */
@@ -934,19 +943,9 @@ private[store] final class EdgeTable(val info: EdgeTypeInfo,
     ) ++ info.props.fields) ++
       (if (versioned) VersionCols.fields else Seq.empty))
 
-  var base: Option[DataFrame] = None
   val buffer = mutable.ArrayBuffer[Array[Any]]()
   private val pairIndex = mutable.HashSet[(Long, Long)]()
   private var buffered = false
-  private var mutations = 0
-
-  /** Bound plan depth under mutation chains (see
-    * [[GraphStore.CheckpointEvery]]). */
-  def noteMutation(): Unit = {
-    mutations += 1
-    if (mutations % GraphStore.CheckpointEvery == 0)
-      base = base.map(GraphStore.truncateLineage)
-  }
 
   def appendRow(id: Long, src: Long, dst: Long, ts: Long,
                 props: Map[String, Any]): Unit = {
