@@ -256,9 +256,12 @@ final class GraphStore(
           } else k -> lit(v)
         }
         // missing id = soft failure, 0 rows updated (reference:
-        // updated_count 0 + failed_count 1, update_query_test.cpp:215)
-        val visible = nodes(label).filter(col("id") === id).limit(1)
-        if (visible.isEmpty) false
+        // updated_count 0 + failed_count 1, update_query_test.cpp:215);
+        // a visible row whose values would not change is a no-op — false,
+        // like the buffered path (map rewrites count as changes)
+        val hit = col("id") === id &&
+          GraphStore.changedCond(StructType(st.fields), cols, Set.empty)
+        if (nodes(label).filter(hit).limit(1).isEmpty) false
         else { updateWhere(label, col("id") === id, cols); true }
     }
   }
@@ -284,7 +287,13 @@ final class GraphStore(
         })
     } else {
       val isHead = col(VersionCols.Vt) === INF
-      val hit = cond && isHead
+      // no-op updates create no version (reference:
+      // tests/temporal_query_test.cpp:823) — a row whose new values all
+      // null-safe-equal the current ones is not a hit. Map columns are
+      // not comparable in Spark, so map rewrites conservatively count as
+      // changes; appends always change.
+      val hit = cond && isHead &&
+        GraphStore.changedCond(base.schema, sets, append)
       val newSets = sets.map { case (k, v) =>
         k -> (if (append.contains(k)) concat(col(k), array(v)) else v)
       } ++ GraphStore.newVersionCols(now, validFrom.getOrElse(now))
@@ -672,6 +681,18 @@ object GraphStore {
     * localCheckpoint trades re-computability for bounded plan depth; the
     * durable path remains [[GraphStore.commit]]. */
   val CheckpointEvery = 16
+
+  /** True when at least one SET value differs from the row's current
+    * value (null-safe). Map columns are not comparable in Spark SQL, so
+    * a map-typed set conservatively counts as a change; appends always
+    * change the array. */
+  private[store] def changedCond(schema: StructType,
+      sets: Map[String, Column], append: Set[String]): Column =
+    sets.map { case (k, v) =>
+      if (append.contains(k) ||
+          schema(k).dataType.isInstanceOf[MapType]) lit(true)
+      else !(col(k) <=> v)
+    }.reduceOption(_ || _).getOrElse(lit(false))
 
   /** Version metadata for a NEW head row (close-old/open-new rule —
     * valid interval may be back-dated, tx always opens at commit time). */

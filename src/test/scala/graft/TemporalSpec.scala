@@ -181,6 +181,30 @@ class TemporalSpec extends SparkSpec {
     assert(tagsAt(None) === Seq(Seq("x", "y")))
   }
 
+  test("no-op update on a FLUSHED row creates no version " +
+      "(temporal_query_test.cpp:823, distributed path)") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    val id = s.createNode("User", Map("name" -> "alice", "age" -> 25))
+    // flush: the update now takes the distributed rewrite path
+    s.updateWhere("User", org.apache.spark.sql.functions.lit(false),
+      Map.empty)
+    clock.set(2000L)
+    assert(!s.updateNode("User", id, Map("age" -> 25))) // same value
+    assert(s.nodes("User").count() === 1) // head only, no new version
+    // bulk no-op (updateWhere with an always-equal set) also versions
+    // nothing
+    s.updateWhere("User", org.apache.spark.sql.functions.col("id") === id,
+      Map("age" -> org.apache.spark.sql.functions.lit(25)))
+    assert(new Planner(s).plan(GraphQuery("u", "User",
+      select = List(SelectField(FieldRef.parse("u.age")))))
+      .count() === 1)
+    // a REAL update still versions
+    assert(s.updateNode("User", id, Map("age" -> 26)))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 1500L))) === Seq(25))
+    assert(ageAt(s, None) === Seq(26))
+  }
+
   test("mutation chains keep plan depth bounded (periodic checkpoint)") {
     val (s, clock) = fixture()
     clock.set(1000L)
