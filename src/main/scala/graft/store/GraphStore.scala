@@ -374,8 +374,10 @@ final class GraphStore(
           d.withColumn(k, when(col("__hit"), v).otherwise(col(k)))
         }
       else {
+        // same no-op rule as updateWhere: an unchanged row is not a hit
         val hit = coalesce(col("__hit"), lit(false)) &&
-          col(VersionCols.Vt) === INF
+          col(VersionCols.Vt) === INF &&
+          GraphStore.changedCond(base.schema, sets, Set.empty)
         val newSets = sets ++ GraphStore.newVersionCols(now, now)
         GraphStore.versionedRewrite(joined, base.schema, hit, newSets, now)
       }
