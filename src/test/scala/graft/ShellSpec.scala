@@ -265,6 +265,32 @@ class ShellSpec extends SparkSpec {
     assert(r.collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
+  test("three comma patterns intersect on the shared alias " +
+      "(tundra_shell.cpp:473 loops over ALL additional patterns)") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING);
+      CREATE SCHEMA Co (name: STRING);
+      CREATE NODE User (name = "a");
+      CREATE NODE User (name = "b");
+      CREATE NODE User (name = "c");
+      CREATE NODE Co (name = "x");
+      CREATE NODE Co (name = "y");
+      CREATE NODE Co (name = "z");
+      CREATE EDGE WORKS FROM User(0) TO Co(0);
+      CREATE EDGE WORKS FROM User(0) TO Co(1);
+      CREATE EDGE LIKES FROM User(1) TO Co(0);
+      CREATE EDGE LIKES FROM User(1) TO Co(2);
+      CREATE EDGE VISITS FROM User(2) TO Co(0);
+    """)
+    // c-sets per pattern: works={x,y}, likes={x,z}, visits={x} → {x}
+    val res = sh.execute(
+      "MATCH (u:User)-[:WORKS]->(c:Co), (v:User)-[:LIKES]->(c:Co), " +
+        "(w:User)-[:VISITS]->(c:Co) SELECT u.name, v.name, w.name, c.name;")
+      .get
+    assert(rowBag(res) === Map(Seq("a", "b", "c", "x") -> 1))
+  }
+
   test("EXPLAIN MATCH returns the physical plan") {
     val sh = shell()
     sh.execute("""
