@@ -20,7 +20,7 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
-  /** NOTE on the lazy `localCheckpoint`s below: checkpointed blocks live
+  /** NOTE on the `localCheckpoint`s below: checkpointed blocks live
     * in executor storage until the driver GCs the DataFrame (the
     * ContextCleaner then drops them). A long-lived driver looping these
     * operators over many batches should not hold references to returned
@@ -82,7 +82,9 @@ object Dedup {
     // hashed shingles is (collision-negligibly) identical and far cheaper
     // than building shingle strings. __th is its own projection step so
     // token hashing runs once per row, not once per shingle.
-    // The lazy localCheckpoint materializes the shingle arrays BEFORE the
+    // The localCheckpoint (eager — lazy checkpoints left cleaned-up stages
+    // reporting late accumulator updates, spamming benign-but-noisy
+    // DAGScheduler ERRORs into bench logs) materializes the arrays BEFORE the
     // explode below: Catalyst would otherwise collapse the shingle
     // expression into the Generate, whose generator input is evaluated on
     // the interpreted (non-codegen) path — measured ~10x slower than
@@ -95,7 +97,7 @@ object Dedup {
         transform(split(lower(trim(col(textCol))), "\\s+"),
           t => xxhash64(t)).as("__th"))
       .select(col("__id"), hashedShingles(col("__th"), shingleK).as("__shh"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // Signatures as grouped min-aggregates over exploded shingles instead
     // of nested higher-order functions: every expression stays inside
     // whole-stage codegen and map-side partial aggregation shrinks the
@@ -187,7 +189,7 @@ object Dedup {
     // Generate (interpreted path) or evaluate once per join side
     val sigs = df.select(col(idCol).as("__id"),
       simhash(col(textCol)).as("__sig"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         concat(c.cast("string"), lit(":"),
@@ -212,7 +214,7 @@ object Dedup {
     // materialize shingle arrays once — both join sides read them
     val p = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
       shingles(col(textCol), k).as("__sh"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val a = p.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
       col("__blk"))
     val b = p.select(col("__id").as("id_b"), col("__sh").as("sh_b"),

@@ -527,6 +527,15 @@ object TundraQL {
              else SelectField(FieldRef(parts.head, parts.tail.toList), as))
         }
       } while (eatSym(","))
+      // Default aggregate names ignore the alias (SUM(a.x) and SUM(b.x)
+      // both default to sum_x; two COUNT(*) both to count) — a duplicate
+      // output name would surface later as an ambiguous-reference failure
+      // in ORDER BY. Reject at parse time with the fix spelled out.
+      val aggNames = out.collect { case SelectAgg(_, _, as) => as }
+      val dups = aggNames.diff(aggNames.distinct).distinct
+      require(dups.isEmpty,
+        s"duplicate aggregate output name(s): ${dups.mkString(", ")} — " +
+          "use AS to disambiguate (e.g. SUM(a.x) AS sum_a_x)")
       out.toList
     }
   }

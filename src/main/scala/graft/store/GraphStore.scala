@@ -166,19 +166,24 @@ final class GraphStore(
     val first = catalog.reserveNodeIds(label, n)
     val prefix = counts.map(_._2).scanLeft(0L)(_ + _).init
     val offsets = spark.createDataFrame(
-      counts.map(_._1).zip(prefix).map { case (p, off) => Row(p, off) }
+      counts.zip(prefix).map { case ((p, c), off) => Row(p, off, c) }
         .toSeq.asJava,
       StructType(Seq(StructField("__p", IntegerType, nullable = false),
-        StructField("__off", LongType, nullable = false))))
+        StructField("__off", LongType, nullable = false),
+        StructField("__cnt", LongType, nullable = false))))
     val fieldCols = st.fields.filter(_.name != "id").map(f =>
       (if (df.columns.contains(f.name)) col(f.name)
        else lit(null)).cast(f.dataType).as(f.name))
     // partition id + record index are stamped BEFORE the (narrow,
     // partitioning-preserving) broadcast join, so both jobs see the same
-    // layout the counts were taken from. left_outer + raise_error: if the
-    // source's partition layout ever differed between the count job and
-    // this evaluation (a non-deterministic source), the job FAILS instead
-    // of silently dropping the unmatched rows an inner join would eat.
+    // layout the counts were taken from. Both directions of a layout
+    // change between the count job and this evaluation (a
+    // non-deterministic source under task retry / unstable shuffle) FAIL
+    // loudly instead of corrupting the dense-id invariant: an unknown
+    // partition id hits the left_outer+raise_error on __off, and a
+    // partition that GREW (whose extra rows would collide with the next
+    // partition's id range — the dangerous direction) trips the
+    // __i >= __cnt guard. A shrunken partition only gaps ids.
     var appended = df
       .withColumn("__p", spark_partition_id())
       .withColumn("__i",
@@ -188,7 +193,11 @@ final class GraphStore(
         coalesce(col("__off"), raise_error(concat(
           lit("createNodes: partition layout changed under id assignment " +
             "(unknown partition id "), col("__p"), lit(")"))).cast(LongType)) +
-        col("__i")).as("id") +:
+        when(col("__i") < col("__cnt"), col("__i"))
+          .otherwise(raise_error(concat(
+            lit("createNodes: partition grew under id assignment " +
+              "(partition "), col("__p"), lit(" exceeded counted rows "),
+            col("__cnt"), lit(")"))).cast(LongType))).as("id") +:
         fieldCols.toIndexedSeq: _*)
     if (versioningEnabled) appended = NodeTable.addV0(appended, clock)
     t.base = Some(t.base.map(_.unionByName(appended)).getOrElse(appended))
@@ -616,9 +625,15 @@ final class GraphStore(
     val pointer = java.nio.file.Paths.get(s"$path/manifest.json")
     val v: Int =
       if (java.nio.file.Files.exists(pointer)) {
-        val prev = mapper.readTree(java.nio.file.Files.readString(pointer))
-        // legacy (pre-versioned) layout = data at the root: count it as v0
-        if (prev.has("version")) prev.get("version").asInt() + 1 else 1
+        scala.util.Try {
+          val prev = mapper.readTree(java.nio.file.Files.readString(pointer))
+          // legacy (pre-versioned) layout = data at the root: count it as v0
+          if (prev.has("version")) prev.get("version").asInt() + 1 else 1
+        }.getOrElse(
+          // corrupt pointer (e.g. crash mid-write on a pre-atomic-flip
+          // layout): number past every existing v-dir so nothing live is
+          // overwritten; the atomic flip below then heals the pointer
+          GraphStore.versionDirs(path).map(_._1).maxOption.getOrElse(0) + 1)
       } else 1
     val vPath = s"$path/v$v"
     val root = mapper.createObjectNode()
@@ -650,11 +665,18 @@ final class GraphStore(
       java.nio.file.Paths.get(s"$vPath/manifest.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     // flip the pointer last — a crash mid-commit leaves the previous
-    // snapshot current and the partial v-dir orphaned (never referenced)
+    // snapshot current and the partial v-dir orphaned (never referenced).
+    // The flip itself must be atomic: writeString truncates in place, so a
+    // crash DURING it would corrupt the pointer and strand both snapshots.
+    // Temp file + ATOMIC_MOVE makes the rename the single commit point.
     val ptr = mapper.createObjectNode()
     ptr.put("version", v)
-    java.nio.file.Files.writeString(pointer,
+    val tmp = java.nio.file.Paths.get(s"$path/.manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ptr))
+    java.nio.file.Files.move(tmp, pointer,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // the committed snapshot is now the cheapest lineage root: re-point
     // the in-memory tables at it so later mutations/commits build on
     // stable files instead of ever-deeper plans
@@ -666,7 +688,14 @@ final class GraphStore(
       if (t.base.isDefined)
         t.base = Some(spark.read.parquet(s"$vPath/edges/${name}__${s}__$d"))
     }
+    GraphStore.pin(path, this, v) // this store now reads v's files
   }
+
+  /** Release this store's snapshot pin (see [[GraphStore.gcSnapshots]]).
+    * Call when done with a restored store so GC can reclaim the version
+    * it was reading; using the store's lazy plans afterwards may fail if
+    * the snapshot is then collected. */
+  def close(): Unit = GraphStore.unpin(this)
 
   private def table(label: String): NodeTable =
     nodeTables.getOrElse(label,
@@ -749,10 +778,47 @@ object GraphStore {
     df.select(explode(rows).as("__row")).select(col("__row.*"))
   }
 
+  /** In-process snapshot pins: canonical path -> (store -> version its lazy
+    * plans read from). [[restore]] and [[GraphStore.commit]] register here;
+    * [[gcSnapshots]] refuses to drop a pinned version — otherwise a live
+    * store's next action would fail reading deleted parquet. Weak keys: an
+    * unreferenced store's pin vanishes with it. This protects THIS process
+    * only; cross-process readers are invisible (documented on
+    * [[gcSnapshots]]). */
+  private val pins = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Map[GraphStore, Integer]]()
+
+  private def canonical(path: String): String =
+    new java.io.File(path).getCanonicalPath
+
+  private[store] def pin(path: String, store: GraphStore, v: Int): Unit =
+    pins.computeIfAbsent(canonical(path), _ =>
+        java.util.Collections.synchronizedMap(
+          new java.util.WeakHashMap[GraphStore, Integer]()))
+      .put(store, v)
+
+  private[store] def unpin(store: GraphStore): Unit =
+    pins.values().asScala.foreach(m => m.synchronized { m.remove(store); () })
+
+  private def pinnedVersions(path: String): Set[Int] =
+    Option(pins.get(canonical(path))).map { m =>
+      m.synchronized(m.values().asScala.map(_.toInt).toSet)
+    }.getOrElse(Set.empty)
+
+  /** All `v<N>/` snapshot dirs under `path`, as (version, dir). */
+  private[store] def versionDirs(path: String): Array[(Int, java.io.File)] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => f.getName.drop(1).toInt -> f)
+
   /** Drop all but the newest `keep` snapshot versions under `path`
     * (the reference's compaction analog — old snapshots accumulate one
     * v<N>/ dir per commit otherwise). The current version is never
-    * dropped; returns the number of version dirs removed. */
+    * dropped, and neither is any version a live GraphStore IN THIS
+    * PROCESS is pinned to (see [[pin]]). Readers in OTHER processes are
+    * invisible here — only run gcSnapshots when no external process holds
+    * an un-recommitted restore of an old version. Returns the number of
+    * version dirs removed. */
   def gcSnapshots(path: String, keep: Int = 2): Int = {
     require(keep >= 1, "must keep at least the current snapshot")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -761,12 +827,11 @@ object GraphStore {
     val head = mapper.readTree(java.nio.file.Files.readString(pointer))
     if (!head.has("version")) return 0 // legacy layout: nothing versioned
     val current = head.get("version").asInt()
-    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array())
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(f => f.getName.drop(1).toInt -> f)
+    val pinned = pinnedVersions(path)
+    val dirs = versionDirs(path)
       .filter { case (v, _) => v <= current } // never touch a newer commit
       .sortBy(-_._1)
-    val doomed = dirs.drop(keep)
+    val doomed = dirs.drop(keep).filterNot { case (v, _) => pinned(v) }
     doomed.foreach { case (_, dir) =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array()).foreach(rm)
@@ -779,18 +844,35 @@ object GraphStore {
 
   /** Restore a snapshot written by [[GraphStore.commit]] — the current
     * version per the root manifest pointer (legacy root-level layouts
-    * restore directly). */
+    * restore directly). A missing/corrupt pointer (crash on a
+    * pre-atomic-flip layout, partial copy) falls back to the highest
+    * version whose own manifest is complete — a v-dir's manifest is
+    * written before the pointer flips, so a parseable one is a finished
+    * commit. */
   def restore(spark: SparkSession, path: String,
               clock: Clock = SystemClock): GraphStore = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val head = mapper.readTree(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$path/manifest.json")))
+    def readTree(p: String) = mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+    def fallback: (String, com.fasterxml.jackson.databind.JsonNode) =
+      versionDirs(path).sortBy(-_._1).iterator
+        .flatMap { case (v, _) =>
+          scala.util.Try((s"$path/v$v", readTree(s"$path/v$v/manifest.json")))
+            .toOption.filter(_._2.has("labels"))
+        }
+        .nextOption()
+        .getOrElse(throw new IllegalStateException(
+          s"no restorable snapshot under $path: root manifest unreadable " +
+            "and no complete v<N>/manifest.json found"))
     val (dataPath, root) =
-      if (head.has("version")) {
-        val v = head.get("version").asInt()
-        (s"$path/v$v", mapper.readTree(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(s"$path/v$v/manifest.json"))))
-      } else (path, head)
+      scala.util.Try(readTree(s"$path/manifest.json")).toOption match {
+        case Some(head) if head.has("version") =>
+          val v = head.get("version").asInt()
+          scala.util.Try((s"$path/v$v", readTree(s"$path/v$v/manifest.json")))
+            .getOrElse(fallback)
+        case Some(head) if head.has("labels") => (path, head) // legacy layout
+        case _ => fallback
+      }
     val store =
       new GraphStore(spark, root.get("versioning").asBoolean(), clock)
     root.get("labels").elements().asScala.foreach { ln =>
@@ -818,6 +900,8 @@ object GraphStore {
       store.edgeTables((name, s, d)) = t
     }
     store.catalog.edgeIdCounter.set(root.get("edgeCounter").asLong())
+    if (dataPath != path) // versioned layout: dataPath is $path/v<N>
+      pin(path, store, dataPath.stripPrefix(s"$path/v").toInt)
     store
   }
 }

@@ -65,6 +65,27 @@ class QlExtensionsSpec extends SparkSpec {
     assert(rowBag(res) === Map(Seq("acme", 2L) -> 1))
   }
 
+  test("duplicate default aggregate names rejected at parse time") {
+    val sh = seeded()
+    // SUM(u.age) and SUM(c.age) would both default to sum_age — an
+    // ambiguous output schema; the parser names the fix
+    val e = intercept[IllegalArgumentException] {
+      sh.execute("MATCH (u:User)-[:WORKS_AT]->(c:Company) " +
+        "SELECT SUM(u.age), SUM(c.age);")
+    }
+    assert(e.getMessage.contains("use AS"))
+    assert(e.getMessage.contains("sum_age"))
+    // two COUNT(*) collide on the bare default 'count' too
+    val e2 = intercept[IllegalArgumentException] {
+      sh.execute("MATCH (u:User) SELECT COUNT(*), COUNT(*);")
+    }
+    assert(e2.getMessage.contains("use AS"))
+    // AS disambiguation keeps it legal
+    val ok = sh.execute("MATCH (u:User) SELECT SUM(u.age) AS a, " +
+      "SUM(u.age) AS b;").get
+    assert(ok.collect().head.toSeq === Seq(120L, 120L))
+  }
+
   test("AS OF VALID via QL sees historical versions") {
     val clock = new MockClock(1000L)
     val store = new GraphStore(spark, versioningEnabled = true, clock = clock)

@@ -74,12 +74,59 @@ class SnapshotSpec extends SparkSpec {
     // snapshots never share/overwrite data files)
     assert(new java.io.File(s"$dir/v1").isDirectory)
     assert(new java.io.File(s"$dir/v2").isDirectory)
-    // GC drops old versions, keeps the current, and the DB still restores
+    // GC drops old versions, keeps the current, and the DB still restores.
+    // s and r are live stores whose lazy plans read v1/v2 — GC refuses to
+    // drop a pinned version until they release (close) their pins.
     r2.commit(dir) // v3
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 0)
+    assert(new java.io.File(s"$dir/v1").isDirectory)
+    s.close(); r.close()
     assert(GraphStore.gcSnapshots(dir, keep = 1) === 2)
     assert(!new java.io.File(s"$dir/v1").exists())
     assert(!new java.io.File(s"$dir/v2").exists())
     assert(new java.io.File(s"$dir/v3").isDirectory)
+    assert(GraphStore.restore(spark, dir).nodes("User").count() === 3)
+  }
+
+  test("gcSnapshots refuses to drop a version a live store is pinned to") {
+    val dir = Files.createTempDirectory("graft-snap-pin").toString
+    val a = new GraphStore(spark)
+    a.createSchema("User", "name" -> StringType)
+    a.createNode("User", Map("name" -> "alice"))
+    a.commit(dir) // v1 — a pins v1
+    val b = GraphStore.restore(spark, dir) // b pins v1
+    a.createNode("User", Map("name" -> "bob"))
+    a.commit(dir) // v2 — a re-pins to v2; only b still holds v1
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 0)
+    assert(b.nodes("User").count() === 1) // b's lazy plans still read v1
+    b.close()
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 1)
+    assert(!new java.io.File(s"$dir/v1").exists())
+    assert(GraphStore.restore(spark, dir).nodes("User").count() === 2)
+  }
+
+  test("corrupt/truncated root pointer: restore falls back to the newest " +
+      "complete version; commit heals the pointer") {
+    val dir = Files.createTempDirectory("graft-snap-crash").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.commit(dir) // v1
+    s.createNode("User", Map("name" -> "bob"))
+    s.commit(dir) // v2
+    // simulate a crash mid-pointer-write on a non-atomic layout
+    Files.writeString(java.nio.file.Paths.get(s"$dir/manifest.json"), "{\"ver")
+    val r = GraphStore.restore(spark, dir)
+    assert(r.nodes("User").count() === 2) // v2, the newest complete commit
+    // committing over the corrupt pointer numbers past v2 and heals it
+    r.createNode("User", Map("name" -> "carol"))
+    r.commit(dir)
+    assert(new java.io.File(s"$dir/v3").isDirectory)
+    val r2 = GraphStore.restore(spark, dir)
+    assert(r2.nodes("User").count() === 3)
+    // a partial v-dir (no manifest) is skipped by the fallback too
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/v9"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/manifest.json"), "")
     assert(GraphStore.restore(spark, dir).nodes("User").count() === 3)
   }
 
