@@ -253,7 +253,27 @@ object SparkEntry {
           edgeAlias = Some("e"))
         .where(ref("e.quantity") > 45.0)
         .selectAs("l.id", "l_id").selectAs("e.quantity", "quantity")
-        .selectAs("s.id", "s_id").build))
+        .selectAs("s.id", "s_id").build)),
+    // ---- SEMI hop: existence test — customers with >= 1 big order;
+    // the target alias binds no columns, its WHERE scopes the test
+    "q53_semi_join" -> ((s, dir) =>
+      planner(s, dir).plan(Q.from("c:customer")
+        .traverse("c", "placed", "o:orders", JoinKind.Semi)
+        .where(ref("o.totalprice") > 400000.0)
+        .selectAs("c.id", "c_id").selectAs("c.acctbal", "acctbal").build)),
+    // ---- ANTI hop: absence test — customers with NO big order
+    "q54_anti_join" -> ((s, dir) =>
+      planner(s, dir).plan(Q.from("c:customer")
+        .traverse("c", "placed", "o:orders", JoinKind.Anti)
+        .where(ref("o.totalprice") > 400000.0)
+        .selectAs("c.id", "c_id").selectAs("c.acctbal", "acctbal").build)),
+    // ---- undirected hop: same_nation stores one orientation (a < b);
+    // `-[..]-` sees both
+    "q55_undirected" -> ((s, dir) =>
+      planner(s, dir).plan(Q.from("a:supplier")
+        .where(ref("a.acctbal") > 9000.0)
+        .traverse("a", "same_nation", "b:supplier", undirected = true)
+        .selectAs("a.id", "a_id").selectAs("b.id", "b_id").build))
   )
 
   /** Beyond-reference relational surface ([ABSENT] in the reference,
@@ -304,6 +324,30 @@ object SparkEntry {
       val ev = TpchGraph.store(s, dir).nodes("events")
         .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
       EventStreams.windowedStats(ev).select("win_start", "etype", "n")
+    }),
+    // ---- as-of join: newest same-user click at or before each purchase
+    // (one shuffle+sort, never a per-left range scan)
+    "q51_asof_join" -> ((s, dir) => {
+      val ev = TpchGraph.store(s, dir).nodes("events")
+      val purchases = ev.filter(col("etype") === "purchase")
+        .select(col("id").as("pid"), col("userid"), col("ts"))
+      val clicks = ev.filter(col("etype") === "click")
+        .select(col("id").as("cid"), col("userid"), col("ts").as("cts"))
+      graft.operators.AsOfJoin.backward(purchases, clicks, Seq("userid"),
+        "ts", "cts").select(col("pid"), col("cid"))
+    }),
+    // ---- keyed interval join: same-user events within 1h after a signup
+    // (binned equi-join, never a nested-loop inequality join)
+    "q52_range_join" -> ((s, dir) => {
+      val ev = TpchGraph.store(s, dir).nodes("events")
+      val signups = ev.filter(col("etype") === "signup")
+        .select(col("id").as("aid"), col("userid"), col("ts"))
+      val acts = ev.select(col("id").as("bid"), col("userid"),
+        col("ts").as("bts"))
+      graft.operators.RangeJoin.byKeyAndWindow(signups, acts,
+        Seq("userid"), "ts", "bts", 0L, 3600L * 1000000000L)
+        .filter(col("bid") =!= col("aid"))
+        .select(col("aid"), col("bid"))
     })
   )
 
@@ -375,7 +419,21 @@ object SparkEntry {
       Multimodal.decode(Multimodal.attachBinary(
         TpchGraph.store(s, dir).nodes("documents"), "id", "text"))
         .select(col("id").as("doc_id"), col("format"), col("width"),
-          col("height")))
+          col("height"))),
+    // PII scrub: the synthetic corpus has no real PII, so deterministic
+    // fake PII (an email + a digit run derived from the id) is appended
+    // on BOTH sides before redaction — the masking itself is what's gated
+    "p43_pii_redact" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          TextAnalysis.redactPii(concat(col("text"),
+            lit(" contact: user"), col("id").cast("string"),
+            lit("@example.com ref "),
+            (col("id") * 7919).cast("string"))).as("redacted"))),
+    "p44_repetition" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          TextAnalysis.repetitionRatio(col("text")).as("rep_ratio")))
   )
 
   /** Temporal DIFF + variable-length paths (beyond-reference ops). */
@@ -569,6 +627,20 @@ object SparkEntry {
         "AS width, " +
         "CAST(octet_length(CAST(text AS BLOB)) % 768 + 1 AS INT) " +
         "AS height FROM documents"),
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all; the email pattern is RE2- and Java-identical
+    "p43_pii_redact" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(" +
+        "text || ' contact: user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com ref ' || CAST(doc_id * 7919 AS VARCHAR), " +
+        s"'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
+        "'[0-9]{3,}', '<NUM>', 'g') AS redacted FROM documents"),
+    "p44_repetition" ->
+      ("SELECT doc_id, CAST(1.0 AS DOUBLE) - " +
+        "len(list_distinct(regexp_split_to_array(trim(lower(text)), " +
+        "'\\s+'))) * 1.0 / " +
+        "greatest(len(regexp_split_to_array(trim(text), '\\s+')) * 1.0, " +
+        "1.0) AS rep_ratio FROM documents"),
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
         "WHERE c_custkey % 3 = 0"),
@@ -735,6 +807,33 @@ object SparkEntry {
     "q19_edge_props" ->
       (s"SELECT ${TpchGraph.LineitemIdSql} AS l_id, " +
         "l_quantity AS quantity, l_suppkey AS s_id FROM lineitem " +
-        "WHERE l_quantity > 45")
+        "WHERE l_quantity > 45"),
+    "q53_semi_join" ->
+      ("SELECT c_custkey AS c_id, c_acctbal AS acctbal FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE " +
+        "o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"),
+    "q54_anti_join" ->
+      ("SELECT c_custkey AS c_id, c_acctbal AS acctbal FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE " +
+        "o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"),
+    "q55_undirected" ->
+      ("WITH e AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst " +
+        "FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey " +
+        "AND a.s_suppkey < b.s_suppkey), " +
+        "u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e) " +
+        "SELECT s.s_suppkey AS a_id, u.dst AS b_id FROM supplier s " +
+        "JOIN u ON u.src = s.s_suppkey WHERE s.s_acctbal > 9000"),
+    // as-of = newest right at-or-before, ties broken by max event id —
+    // the engine's struct-ordered tie-break, spelled out as ORDER BY
+    "q51_asof_join" ->
+      ("SELECT p.event_id AS pid, (SELECT c.event_id FROM events c " +
+        "WHERE c.event_type = 'click' AND c.user_id = p.user_id " +
+        "AND c.ts <= p.ts ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) " +
+        "AS cid FROM events p WHERE p.event_type = 'purchase'"),
+    "q52_range_join" ->
+      ("SELECT a.event_id AS aid, b.event_id AS bid FROM events a " +
+        "JOIN events b ON a.user_id = b.user_id " +
+        "AND a.event_type = 'signup' AND b.ts >= a.ts " +
+        "AND b.ts < a.ts + INTERVAL 1 HOUR AND b.event_id <> a.event_id")
   )
 }

@@ -64,13 +64,18 @@ object Ast {
   final case class And(l: WhereExpr, r: WhereExpr) extends WhereExpr
   final case class Or(l: WhereExpr, r: WhereExpr) extends WhereExpr
 
-  /** Join semantics of a traversal hop (reference: src/query/join.cpp). */
+  /** Join semantics of a traversal hop (reference: src/query/join.cpp).
+    * Semi/Anti are beyond-reference (SURVEY §2.3 [ABSENT] row — "free in
+    * Spark"): existence/absence tests that bind NO columns for the hop's
+    * target or edge alias — the hop filters its source rows only. */
   sealed trait JoinKind
   object JoinKind {
     case object Inner extends JoinKind
     case object Left extends JoinKind
     case object Right extends JoinKind
     case object Full extends JoinKind
+    case object Semi extends JoinKind
+    case object Anti extends JoinKind
   }
 
   sealed trait Clause
@@ -90,7 +95,11 @@ object Ast {
       srcLabel: Option[String] = None,
       /** Variable-length hop `*min..max` (beyond-reference, SURVEY §2.3
         * [ABSENT] row) — INNER-only; the edge alias exposes `hops`. */
-      range: Option[(Int, Int)] = None
+      range: Option[(Int, Int)] = None,
+      /** Undirected hop `-[..]-` (beyond-reference, SURVEY §2.3 [ABSENT]
+        * row): the edge matches in either orientation. Self-label edge
+        * sets only. */
+      undirected: Boolean = false
   ) extends Clause
 
   /** SELECT item: bare alias (expands to all its columns, reference P1:
@@ -158,7 +167,8 @@ object Ast {
         edgeType: String,
         dst: String,
         kind: JoinKind = JoinKind.Inner,
-        edgeAlias: Option[String] = None
+        edgeAlias: Option[String] = None,
+        undirected: Boolean = false
     ): QueryBuilder = {
       val (dstAlias, dstLabel) = splitTyped(dst)
       val (srcAlias, srcLabel) = src.split(':') match {
@@ -167,7 +177,7 @@ object Ast {
         case _ => throw new IllegalArgumentException(s"bad src: $src")
       }
       clauses :+= TraverseClause(srcAlias, edgeType, edgeAlias, dstAlias,
-        dstLabel, kind, srcLabel)
+        dstLabel, kind, srcLabel, undirected = undirected)
       this
     }
     /** Variable-length hop `*min..max` (INNER; edge alias exposes

@@ -66,6 +66,28 @@ object TextAnalysis {
     aggregate(split(lower(text), ""), lit(7L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
+  /** Email addresses — RE2-compatible (the oracle's DuckDB regex engine)
+    * AND java.util.regex-compatible, so both engines see identical
+    * matches. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Digit runs of 3+ (phone fragments, ids, SSN-ish blocks). */
+  val DigitRunRe = "[0-9]{3,}"
+
+  /** PII scrub for training corpora: mask emails first (so their digits
+    * don't half-match), then long digit runs. Pure codegen'd projection —
+    * the 100 TB shape is one pass over the text column, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      DigitRunRe, "<NUM>")
+
+  /** Within-document repetition: 1 − |distinct tokens| / |tokens| — the
+    * cheap boilerplate/spam signal (template pages repeat their
+    * vocabulary). 0 = all tokens distinct, → 1 = one token repeated. */
+  def repetitionRatio(text: Column): Column =
+    lit(1.0) - size(array_distinct(tokens(lower(text)))).cast("double") /
+      greatest(tokenCountWs(text).cast("double"), lit(1.0))
+
   /** Convenience: annotate a document DataFrame with all signals. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -38,23 +38,37 @@ final class Planner(store: GraphStore) {
     val nodeAliases = mutable.LinkedHashMap[String, String]() // alias->label
     val edgeAliases = mutable.LinkedHashMap[String, String]() // alias->type
     val aliasOrder = mutable.ArrayBuffer[String]()
+    // Semi/Anti hops bind no output columns: their (fresh) target alias
+    // and edge alias exist only for single-alias WHERE pre-filters that
+    // scope the existence test. Referencing one anywhere else is an error.
+    val ghosts = mutable.Set[String]()
     nodeAliases(q.fromAlias) = q.fromLabel
     aliasOrder += q.fromAlias
     q.clauses.foreach {
-      case TraverseClause(src, et, ea, dst, dstLabel, _, srcLabel, _) =>
+      case t: TraverseClause =>
+        val TraverseClause(src, et, ea, dst, dstLabel, kind, srcLabel, _, _) = t
+        val existence = kind == JoinKind.Semi || kind == JoinKind.Anti
         srcLabel.foreach { l =>
           if (!nodeAliases.contains(src)) { nodeAliases(src) = l; aliasOrder += src }
           else require(nodeAliases(src) == l,
             s"alias $src rebound to different label")
         }
+        require(!ghosts(src),
+          s"semi/anti alias $src binds no columns; cannot traverse from it")
         if (!nodeAliases.contains(dst)) {
           nodeAliases(dst) = dstLabel; aliasOrder += dst
-        } else require(nodeAliases(dst) == dstLabel,
-          s"alias $dst rebound to different label")
+          if (existence) ghosts += dst
+        } else {
+          require(nodeAliases(dst) == dstLabel,
+            s"alias $dst rebound to different label")
+          // a later binding hop materializes a previously ghost alias
+          if (!existence) ghosts -= dst
+        }
         ea.foreach { a =>
           require(!nodeAliases.contains(a) && !edgeAliases.contains(a),
             s"edge alias $a already bound")
           edgeAliases(a) = et; aliasOrder += a
+          if (existence) ghosts += a
         }
         require(nodeAliases.contains(src),
           s"unknown traverse source alias: $src")
@@ -80,6 +94,11 @@ final class Planner(store: GraphStore) {
       require(nodeAliases.contains(a) || edgeAliases.contains(a),
         s"WHERE references unknown alias: $a")
     }
+    postFilters.flatMap(_.aliases).foreach { a =>
+      require(!ghosts(a), s"cross-alias WHERE references semi/anti alias " +
+        s"$a, which binds no columns (single-alias predicates on it scope " +
+        "the existence test instead)")
+    }
 
     // ---- Scans with pre-filters attached
     def scanNode(alias: String): DataFrame = {
@@ -93,7 +112,21 @@ final class Planner(store: GraphStore) {
     def scanEdge(t: TraverseClause, alias: String,
                  srcLabel: String): DataFrame = {
       val dstLabel = nodeAliases(t.dstAlias)
-      val raw = store.edges(t.edgeType, srcLabel, dstLabel, q.asOf)
+      val raw0 = store.edges(t.edgeType, srcLabel, dstLabel, q.asOf)
+      // undirected hop: the edge matches in either orientation — union the
+      // swapped projection (a narrow, shuffle-free doubling of the scan).
+      // Self-label sets only: a reversed cross-label edge would belong to
+      // an unregistered (dstLabel -> srcLabel) edge table.
+      val raw = if (!t.undirected) raw0 else {
+        require(srcLabel == dstLabel,
+          s"undirected hop needs a self-label edge set: " +
+            s"${t.edgeType} is $srcLabel->$dstLabel")
+        raw0.unionByName(raw0.select(raw0.columns.toIndexedSeq.map {
+          case "src" => col("dst").as("src")
+          case "dst" => col("src").as("dst")
+          case c     => col(c)
+        }: _*))
+      }
       val renamed = raw.columns.foldLeft(raw)((d, c) =>
         d.withColumnRenamed(c, s"$alias$SEP$c"))
       preFilters(alias).foldLeft(renamed)((d, e) =>
@@ -156,6 +189,8 @@ final class Planner(store: GraphStore) {
           val (lo, hi) = t.range.get
           require(t.kind == JoinKind.Inner,
             "variable-length hops support INNER only")
+          require(!t.undirected,
+            "variable-length hops are directed (BFS over the edge set)")
           require(srcBound && !dstBound,
             "variable-length hop needs a bound source and a fresh target")
           val raw = store.edges(t.edgeType, srcLabel,
@@ -174,6 +209,16 @@ final class Planner(store: GraphStore) {
           case (true, false) =>
             val tgt = scanNode(t.dstAlias)
             t.kind match {
+              case JoinKind.Semi =>
+                // existence test: keep source rows with >= 1 (filtered)
+                // edge+target; binds nothing (left_semi keeps df's columns)
+                df.join(eDf.join(tgt, eDst === dstId), srcId === eSrc,
+                  "left_semi")
+              case JoinKind.Anti =>
+                // absence test: keep source rows with NO (filtered)
+                // edge+target
+                df.join(eDf.join(tgt, eDst === dstId), srcId === eSrc,
+                  "left_anti")
               case JoinKind.Inner =>
                 df.join(eDf, srcId === eSrc)
                   .join(tgt, eDst === dstId)
@@ -230,6 +275,11 @@ final class Planner(store: GraphStore) {
                 withExtras(
                   df.join(eDf, srcId === eSrc && eDst === dstId,
                     "left_outer"), tgt)
+              case JoinKind.Semi =>
+                // edge-existence gate on the bound pair
+                df.join(eDf, srcId === eSrc && eDst === dstId, "left_semi")
+              case JoinKind.Anti =>
+                df.join(eDf, srcId === eSrc && eDst === dstId, "left_anti")
             }
           case (false, true) =>
             // multi-pattern second chain into a shared target alias
@@ -276,7 +326,10 @@ final class Planner(store: GraphStore) {
               s"disconnected pattern at ${t.srcAlias}->${t.dstAlias}")
         }
         bound += t.srcAlias
-        bound += t.dstAlias
+        // a semi/anti hop binds no target columns — dst joins `bound` only
+        // when a binding hop reaches it (it may already be bound: cyclic)
+        if (t.kind != JoinKind.Semi && t.kind != JoinKind.Anti)
+          bound += t.dstAlias
         if (t.edgeAlias.isEmpty)
           df = df.drop(df.columns.filter(_.startsWith(s"$eAlias$SEP")): _*)
     }
@@ -290,12 +343,17 @@ final class Planner(store: GraphStore) {
       case SelectAlias(a) =>
         require(nodeAliases.contains(a) || edgeAliases.contains(a),
           s"SELECT references unknown alias: $a")
+        require(!ghosts(a),
+          s"SELECT references semi/anti alias $a, which binds no columns")
         df.columns.filter(_.startsWith(s"$a$SEP")).toIndexedSeq
           .map(c => col(c).as(c.replaceFirst(SEP, ".")))
       case SelectField(r, as) =>
         require(nodeAliases.contains(r.alias) ||
           edgeAliases.contains(r.alias),
           s"SELECT references unknown alias: ${r.alias}")
+        require(!ghosts(r.alias),
+          s"SELECT references semi/anti alias ${r.alias}, " +
+            "which binds no columns")
         val c = refColumn(r, df, castTo = None)
         Seq(c.as(as.getOrElse(r.toString)))
       case _: SelectAgg => Nil

@@ -227,7 +227,7 @@ final class Shell(store: GraphStore,
           else (p.nodes(i), p.nodes(i + 1))
         clauses :+= TraverseClause(srcPat.alias, e.edgeType, e.alias,
           dstPat.alias, labelOf(dstPat.alias), e.kind,
-          Some(labelOf(srcPat.alias)), e.range)
+          Some(labelOf(srcPat.alias)), e.range, e.undirected)
       }
     }
     m.where.foreach(w => clauses :+= WhereClause(w))

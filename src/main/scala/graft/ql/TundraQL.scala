@@ -32,7 +32,9 @@ object TundraQL {
     * reference grammar has no `*` paths, SURVEY §2.3 [ABSENT] row). */
   final case class EdgePat(alias: Option[String], edgeType: String,
       kind: JoinKind, reversed: Boolean,
-      range: Option[(Int, Int)] = None)
+      range: Option[(Int, Int)] = None,
+      /** `-[..]-` (no arrowhead): match the edge in either orientation. */
+      undirected: Boolean = false)
   final case class PathPattern(nodes: List[NodePat], edges: List[EdgePat])
   final case class MatchStmt(patterns: List[PathPattern],
       where: Option[WhereExpr], select: List[SelectItem],
@@ -362,11 +364,15 @@ object TundraQL {
         else if (eatKw("LEFT")) JoinKind.Left
         else if (eatKw("RIGHT")) JoinKind.Right
         else if (eatKw("FULL")) JoinKind.Full
+        else if (eatKw("SEMI")) JoinKind.Semi
+        else if (eatKw("ANTI")) JoinKind.Anti
         else JoinKind.Inner
       expectSym("]")
-      if (reversed) expectSym("-")
-      else expectSym("->") // lexed as one token
-      EdgePat(alias, etype, kind, reversed, range)
+      val undirected =
+        if (reversed) { expectSym("-"); false }
+        else if (eatSym("->")) false // lexed as one token
+        else { expectSym("-"); true } // `-[..]-` = undirected
+      EdgePat(alias, etype, kind, reversed, range, undirected)
     }
 
     private def deleteStatement(): Statement = {
