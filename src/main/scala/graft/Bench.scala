@@ -88,6 +88,25 @@ object Bench {
         val vecs = store.nodes("embeddings").withColumnRenamed("id", "vec_id")
         Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),
           k = 10)
+      }),
+      "asof_join" -> (() => {
+        val ev = store.nodes("events")
+        graft.operators.AsOfJoin.backward(
+          ev.filter(col("etype") === "purchase")
+            .select(col("id").as("pid"), col("userid"), col("ts")),
+          ev.filter(col("etype") === "click")
+            .select(col("id").as("cid"), col("userid"),
+              col("ts").as("cts")),
+          Seq("userid"), "ts", "cts")
+      }),
+      "range_join" -> (() => {
+        val ev = store.nodes("events")
+        graft.operators.RangeJoin.byKeyAndWindow(
+          ev.filter(col("etype") === "signup")
+            .select(col("id").as("aid"), col("userid"), col("ts")),
+          ev.select(col("id").as("bid"), col("userid"),
+            col("ts").as("bts")),
+          Seq("userid"), "ts", "bts", 0L, 3600L * 1000000000L)
       })
     )
 

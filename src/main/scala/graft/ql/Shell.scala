@@ -26,6 +26,28 @@ final class Shell(store: GraphStore,
   def execute(sql: String): Option[DataFrame] =
     TundraQL.parseScript(sql).map(executeStmt).last
 
+  /** Execute a TundraQL script file (reference `--script`,
+    * SCRIPT_EXECUTION_FEATURE.md): statements run sequentially, a failed
+    * statement is reported and skipped, and the (executed, failed) counts
+    * are returned — the reference's execution statistics. `--` line
+    * comments are handled by the lexer. The file must parse as a whole;
+    * execution errors are per-statement. */
+  def executeScriptFile(path: String): (Int, Int) = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val stmts = TundraQL.parseScript(text)
+    var ok = 0
+    var failed = 0
+    stmts.foreach { st =>
+      try { executeStmt(st); ok += 1 }
+      catch {
+        case e: Exception =>
+          failed += 1
+          System.err.println(s"[script] statement failed: ${e.getMessage}")
+      }
+    }
+    (ok, failed)
+  }
+
   def executeStmt(st: Statement): Option[DataFrame] = st match {
     case CreateSchemaStmt(label, fields) =>
       store.createSchema(label, fields.map { case (n, t) =>

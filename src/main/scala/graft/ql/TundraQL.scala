@@ -75,6 +75,11 @@ object TundraQL {
       if (c.isWhitespace) i += 1
       else if (c == '/' && i + 1 < n && input(i + 1) == '/') {
         while (i < n && input(i) != '\n') i += 1
+      } else if (c == '-' && i + 1 < n && input(i + 1) == '-') {
+        // `--` line comment (reference script files use these,
+        // SCRIPT_EXECUTION_FEATURE.md); never ambiguous with edge arrows:
+        // patterns only ever use single dashes
+        while (i < n && input(i) != '\n') i += 1
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (input(i).isLetterOrDigit || input(i) == '_')) i += 1

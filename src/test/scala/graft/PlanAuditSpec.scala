@@ -79,4 +79,63 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join appeared in a hop chain:\n$plan")
   }
+
+  test("semi/anti hops compile to native (Broadcast)HashJoin semi/anti") {
+    val semi = planner.plan(Q.from("c:customer")
+      .traverse("c", "placed", "o:orders", JoinKind.Semi)
+      .where(ref("o.totalprice") > 400000.0)
+      .select("c.id").build)
+    val sp = physical(semi)
+    assert(sp.contains("LeftSemi"), s"no semi join:\n$sp")
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoopJoin"), sp)
+    val anti = planner.plan(Q.from("c:customer")
+      .traverse("c", "placed", "o:orders", JoinKind.Anti)
+      .select("c.id").build)
+    val ap = physical(anti)
+    assert(ap.contains("LeftAnti"), s"no anti join:\n$ap")
+  }
+
+  test("as-of join is ONE shuffle+sort, no nested loop") {
+    import org.apache.spark.sql.functions._
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val ev = store.nodes("events")
+    val purchases = ev.filter(col("etype") === "purchase")
+      .select(col("id").as("pid"), col("userid"), col("ts"))
+    val clicks = ev.filter(col("etype") === "click")
+      .select(col("id").as("cid"), col("userid"), col("ts").as("cts"))
+    val df = graft.operators.AsOfJoin.backward(purchases, clicks,
+      Seq("userid"), "ts", "cts")
+    val plan = physical(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of join fell back to a nested loop:\n$plan")
+    // the union shuffles once on the key for the window; no join at all
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"as-of join should be windowed, not joined:\n$plan")
+    // the AQE string repeats the plan under "== Initial Plan ==" — count
+    // shuffles in the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size === 1,
+      s"more than one shuffle in as-of join:\n$plan")
+  }
+
+  test("range join is an equi-join on (key, bin), no nested loop") {
+    import org.apache.spark.sql.functions._
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val ev = store.nodes("events")
+    val signups = ev.filter(col("etype") === "signup")
+      .select(col("id").as("aid"), col("userid"), col("ts"))
+    val acts = ev.select(col("id").as("bid"), col("userid"),
+      col("ts").as("bts"))
+    val df = graft.operators.RangeJoin.byKeyAndWindow(signups, acts,
+      Seq("userid"), "ts", "bts", 0L, 3600L * 1000000000L)
+    val plan = physical(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"range join is not an equi-join:\n$plan")
+  }
 }

@@ -310,6 +310,25 @@ class ShellSpec extends SparkSpec {
     assert(e.getMessage.contains("unexpected"))
   }
 
+  test("script file execution: -- comments, per-statement stats, " +
+      "failures skipped (SCRIPT_EXECUTION_FEATURE.md)") {
+    val sh = shell()
+    val f = java.nio.file.Files.createTempFile("graft-script", ".sql")
+    java.nio.file.Files.writeString(f,
+      """-- a reference-style script
+        |CREATE SCHEMA User (name: STRING, age: INT64); -- trailing comment
+        |CREATE NODE User (name = "Alice", age = 25);
+        |CREATE NODE User (name = "Bob", age = 30);
+        |-- this one fails at execution (unknown schema) but the script goes on
+        |CREATE NODE Ghost (name = "x");
+        |MATCH (u:User);
+        |""".stripMargin)
+    val (ok, failed) = sh.executeScriptFile(f.toString)
+    assert(ok === 4 && failed === 1)
+    val res = sh.execute("MATCH (u:User) SELECT u.name;").get
+    assert(rowBag(res) === Map(Seq("Alice") -> 1, Seq("Bob") -> 1))
+  }
+
   test("UPDATE MATCH on an edge alias rewrites edge properties (D6)") {
     val sh = shell()
     sh.execute("""
