@@ -319,6 +319,21 @@ object SparkEntry {
     "a25_approx_distinct" -> ((s, dir) =>
       TpchGraph.store(s, dir).nodes("orders")
         .agg(approx_count_distinct(col("custkey")).as("approx_customers"))),
+    // ---- exact percentiles (sort-based; integer inputs keep the linear
+    // interpolation bit-identical across engines)
+    "a26_percentile" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("orders")
+        .groupBy(col("status"))
+        .agg(percentile(col("custkey"), lit(0.5)).as("med"),
+          percentile(col("custkey"), lit(0.25)).as("q1"),
+          count(lit(1)).as("n"))),
+    // ---- ROLLUP subtotals (NULL group markers match ANSI)
+    "a27_rollup" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("lineitem")
+        .rollup(col("returnflag"), col("linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))),
     // ---- tumbling-window aggregation (batch path of the streaming op)
     "s26_window_agg" -> ((s, dir) => {
       val ev = TpchGraph.store(s, dir).nodes("events")
@@ -538,6 +553,17 @@ object SparkEntry {
     "a24_distinct_count" ->
       ("SELECT c_nationkey AS nationkey, " +
         "count(DISTINCT c_mktsegment) AS n_seg FROM customer GROUP BY 1"),
+    "a26_percentile" ->
+      ("SELECT o_orderstatus AS status, " +
+        "quantile_cont(o_custkey, 0.5) AS med, " +
+        "quantile_cont(o_custkey, 0.25) AS q1, count(*) AS n " +
+        "FROM orders GROUP BY 1"),
+    "a27_rollup" ->
+      ("SELECT l_returnflag AS returnflag, l_linestatus AS linestatus, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
     "s26_window_agg" ->
       ("SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, " +
         "event_type AS etype, count(*) AS n FROM events GROUP BY 1, 2"),

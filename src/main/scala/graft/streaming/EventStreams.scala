@@ -48,6 +48,25 @@ object EventStreams {
     else src.dropDuplicates(keyCols)
   }
 
+  /** Stream-stream keyed interval join: each left event pairs with the
+    * right events of the same key within `[l.ts, l.ts + window)`. This is
+    * THE streaming-legal form of a time-bounded join — Structured
+    * Streaming requires an equi-key plus a two-sided event-time bound so
+    * both state stores can evict rows past the watermark (an as-of join's
+    * unbounded look-back cannot stream; bound it with a window and it
+    * becomes this). Works unchanged on batch frames. Both inputs need
+    * TimestampType `ts`; rename right columns before the call. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   rightKey: String, rightTs: String, window: String,
+                   watermarkDelay: Option[String] = None): DataFrame = {
+    val l = watermarkDelay.fold(left)(d => left.withWatermark("ts", d))
+    val r = watermarkDelay.fold(right)(d =>
+      right.withWatermark(rightTs, d))
+    l.join(r, col(key) === col(rightKey) &&
+      col(rightTs) >= col("ts") &&
+      col(rightTs) < col("ts") + expr(s"INTERVAL $window"))
+  }
+
   case class SessionEvent(userid: Long, ts: java.sql.Timestamp,
       etype: String)
   case class SessionState(start: Long, last: Long, n: Int)

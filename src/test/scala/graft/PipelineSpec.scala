@@ -171,6 +171,33 @@ class PipelineSpec extends SparkSpec {
     assert(EventStreams.dedupStream(batch, Seq("fp")).count() === 1)
   }
 
+  test("streaming: stream-stream interval join, watermark-bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lmem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val rmem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val l = lmem.toDF().toDF("ts", "uid", "l_tag")
+    val r = rmem.toDF().toDF("r_ts", "r_uid", "r_tag")
+    val q = EventStreams.intervalJoin(l, r, "uid", "r_uid", "r_ts",
+      "10 MINUTES", Some("5 minutes"))
+      .select("l_tag", "r_tag")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      // keep event times away from the epoch: the initial watermark sits
+      // AT 1970-01-01, and rows landing within the delay of it hit the
+      // late-input path before the watermark ever advances
+      def ts(min: Int) = new java.sql.Timestamp((100 + min) * 60000L)
+      lmem.addData((ts(0), 1L, "signup1"))
+      rmem.addData((ts(5), 1L, "in_window"), (ts(15), 1L, "too_late"),
+        (ts(3), 2L, "other_user"))
+      q.processAllAvailable()
+      val out = spark.table("ij").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out === Set(("signup1", "in_window")))
+    } finally q.stop()
+  }
+
   test("corpus clean: quality gate + exact dedup composition") {
     import spark.implicits._
     val corpus = Seq(
