@@ -267,6 +267,18 @@ object SparkEntry {
         .traverse("c", "placed", "o:orders", JoinKind.Anti)
         .where(ref("o.totalprice") > 400000.0)
         .selectAs("c.id", "c_id").selectAs("c.acctbal", "acctbal").build)),
+    // ---- scalar functions + arithmetic in WHERE and SELECT
+    // (beyond-reference, SURVEY §2.6 — a computed filter and computed
+    // output columns through the planner's whitelist compiler)
+    "q56_scalar_exprs" -> ((s, dir) =>
+      planner(s, dir).plan(Q.from("c:customer")
+        .where(sfn("length", sref("c.mktsegment")) === slit(8))
+        .selectAs("c.id", "c_id")
+        .selectExpr(sfn("upper", sref("c.mktsegment")), "seg_u")
+        .selectExpr(sref("c.acctbal") * slit(2.0) + slit(1.0), "bal2")
+        .selectExpr(sfn("substr", sref("c.name"), slit(1), slit(8)),
+          "name8")
+        .build)),
     // ---- undirected hop: same_nation stores one orientation (a < b);
     // `-[..]-` sees both
     "q55_undirected" -> ((s, dir) =>
@@ -842,6 +854,10 @@ object SparkEntry {
       ("SELECT c_custkey AS c_id, c_acctbal AS acctbal FROM customer c " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE " +
         "o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"),
+    "q56_scalar_exprs" ->
+      ("SELECT c_custkey AS c_id, upper(c_mktsegment) AS seg_u, " +
+        "c_acctbal * 2.0 + 1.0 AS bal2, substr(c_name, 1, 8) AS name8 " +
+        "FROM customer WHERE length(c_mktsegment) = 8"),
     "q55_undirected" ->
       ("WITH e AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst " +
         "FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey " +

@@ -44,22 +44,60 @@ object Ast {
     }
   }
 
+  /** Scalar expression tree — beyond-reference (the reference grammar's
+    * `factor` is only identifier-path or literal, TundraQL.g4:102; SURVEY
+    * §2.6 [ABSENT] row says to expose what Spark gives for free).
+    * Functions are a fixed whitelist compiled to codegen'd
+    * `org.apache.spark.sql.functions`. */
+  sealed trait ScalarExpr {
+    def aliases: Set[String] = this match {
+      case SRef(r)          => Set(r.alias)
+      case SLit(_)          => Set.empty
+      case SFunc(_, args)   => args.flatMap(_.aliases).toSet
+      case SArith(_, l, r)  => l.aliases ++ r.aliases
+    }
+    def +(o: ScalarExpr): ScalarExpr = SArith('+', this, o)
+    def -(o: ScalarExpr): ScalarExpr = SArith('-', this, o)
+    def *(o: ScalarExpr): ScalarExpr = SArith('*', this, o)
+    def /(o: ScalarExpr): ScalarExpr = SArith('/', this, o)
+    def %(o: ScalarExpr): ScalarExpr = SArith('%', this, o)
+    def ===(o: ScalarExpr): WhereExpr = ExprComparison(this, CmpOp.Eq, o)
+    def =!=(o: ScalarExpr): WhereExpr = ExprComparison(this, CmpOp.NotEq, o)
+    def >(o: ScalarExpr): WhereExpr = ExprComparison(this, CmpOp.Gt, o)
+    def <(o: ScalarExpr): WhereExpr = ExprComparison(this, CmpOp.Lt, o)
+    def >=(o: ScalarExpr): WhereExpr = ExprComparison(this, CmpOp.Gte, o)
+    def <=(o: ScalarExpr): WhereExpr = ExprComparison(this, CmpOp.Lte, o)
+  }
+  final case class SRef(ref: FieldRef) extends ScalarExpr
+  final case class SLit(v: Any) extends ScalarExpr
+  final case class SFunc(name: String, args: List[ScalarExpr])
+      extends ScalarExpr
+  final case class SArith(op: Char, l: ScalarExpr, r: ScalarExpr)
+      extends ScalarExpr
+
   /** WHERE expression tree (reference: include/query/query.hpp:374-428). */
   sealed trait WhereExpr {
     def &&(other: WhereExpr): WhereExpr = And(this, other)
     def ||(other: WhereExpr): WhereExpr = Or(this, other)
     /** All aliases referenced anywhere in this expression. */
     def aliases: Set[String] = this match {
-      case Comparison(f, _, v: FieldRef) => Set(f.alias, v.alias)
-      case Comparison(f, _, _)           => Set(f.alias)
-      case And(l, r)                     => l.aliases ++ r.aliases
-      case Or(l, r)                      => l.aliases ++ r.aliases
+      case Comparison(f, _, v: FieldRef)  => Set(f.alias, v.alias)
+      case Comparison(f, _, _)            => Set(f.alias)
+      case ExprComparison(l, _, r)        => l.aliases ++ r.aliases
+      case And(l, r)                      => l.aliases ++ r.aliases
+      case Or(l, r)                       => l.aliases ++ r.aliases
     }
   }
   /** rhs is a literal (Int/Long/Double/String/Boolean/null) or a FieldRef
     * for cross-alias predicates (deferred post-WHERE, reference F7:
     * src/query/filter_executor.cpp:10-47). */
   final case class Comparison(field: FieldRef, op: CmpOp, rhs: Any)
+      extends WhereExpr
+  /** Comparison over scalar expressions (function calls / arithmetic on
+    * either side) — beyond-reference; plain field-vs-literal comparisons
+    * stay [[Comparison]] so the reference's strict-typing rules (F3)
+    * apply there unchanged. */
+  final case class ExprComparison(l: ScalarExpr, op: CmpOp, r: ScalarExpr)
       extends WhereExpr
   final case class And(l: WhereExpr, r: WhereExpr) extends WhereExpr
   final case class Or(l: WhereExpr, r: WhereExpr) extends WhereExpr
@@ -107,6 +145,10 @@ object Ast {
   sealed trait SelectItem
   final case class SelectAlias(alias: String) extends SelectItem
   final case class SelectField(ref: FieldRef, as: Option[String] = None)
+      extends SelectItem
+  /** Computed SELECT item (scalar function / arithmetic) — beyond the
+    * reference (its select list is bare fields only); requires AS. */
+  final case class SelectExpr(expr: ScalarExpr, as: String)
       extends SelectItem
   /** Aggregate SELECT item — beyond the reference (its grammar has no
     * aggregation, SURVEY §2 preamble); exposed because Spark provides it
@@ -207,6 +249,10 @@ object Ast {
     def selectAs(ref: String, as: String): QueryBuilder = {
       selectItems :+= SelectField(FieldRef.parse(ref), Some(as)); this
     }
+    /** Computed SELECT item (scalar function / arithmetic). */
+    def selectExpr(expr: ScalarExpr, as: String): QueryBuilder = {
+      selectItems :+= SelectExpr(expr, as); this
+    }
     def agg(fn: AggFn, ref: String, as: String): QueryBuilder = {
       selectItems :+= SelectAgg(fn, Some(FieldRef.parse(ref)), as); this
     }
@@ -250,6 +296,13 @@ object Ast {
     def from(alias: String, label: String): QueryBuilder =
       new QueryBuilder(alias, label)
   }
+
+  /** Scalar DSL: `sfn("length", sref("u.name")) > slit(5)`,
+    * `sref("u.age") + slit(1)`. */
+  def sref(s: String): ScalarExpr = SRef(FieldRef.parse(s))
+  def slit(v: Any): ScalarExpr = SLit(v)
+  def sfn(name: String, args: ScalarExpr*): ScalarExpr =
+    SFunc(name, args.toList)
 
   /** Predicate DSL: `ref("u.age") > 30`, `ref("u.name") contains "x"`. */
   final case class RefOps(ref: FieldRef) {

@@ -356,6 +356,15 @@ final class Planner(store: GraphStore) {
             "which binds no columns")
         val c = refColumn(r, df, castTo = None)
         Seq(c.as(as.getOrElse(r.toString)))
+      case SelectExpr(expr, as) =>
+        expr.aliases.foreach { a =>
+          require(nodeAliases.contains(a) || edgeAliases.contains(a),
+            s"SELECT expression references unknown alias: $a")
+          require(!ghosts(a),
+            s"SELECT expression references semi/anti alias $a, " +
+              "which binds no columns")
+        }
+        Seq(compileScalar(expr, df).as(as))
       case _: SelectAgg => Nil
     }
     val aggItems = q.select.collect { case a: SelectAgg => a }
@@ -409,6 +418,8 @@ final class Planner(store: GraphStore) {
   private def compile(e: WhereExpr, df: DataFrame): Column = e match {
     case And(l, r) => compile(l, df) && compile(r, df)
     case Or(l, r)  => compile(l, df) || compile(r, df)
+    case ExprComparison(l, op, r) =>
+      applyOp(compileScalar(l, df), op, compileScalar(r, df))
     case Comparison(f, op, rhs) =>
       val lhsType = refType(f, df)
       validateTypes(f, lhsType, op, rhs, df)
@@ -423,6 +434,57 @@ final class Planner(store: GraphStore) {
             s"NULL only supports = / != (reference F3): $f $op")
         }
         case v => applyOp(lhs, op, lit(v))
+      }
+  }
+
+  /** Compile a scalar expression (beyond-reference, SURVEY §2.6): a fixed
+    * function whitelist over codegen'd `sql.functions`, plus arithmetic.
+    * Everything stays inside whole-stage codegen — no UDFs. */
+  private def compileScalar(e: ScalarExpr, df: DataFrame): Column = e match {
+    case SRef(r) => refColumn(r, df, castTo = None)
+    case SLit(v) => lit(v)
+    case SArith(op, l, r) =>
+      val (a, b) = (compileScalar(l, df), compileScalar(r, df))
+      op match {
+        case '+' => a + b
+        case '-' => a - b
+        case '*' => a * b
+        case '/' => a / b
+        case '%' => a % b
+        case other => throw new IllegalArgumentException(
+          s"unknown arithmetic operator $other")
+      }
+    case SFunc(name, args) =>
+      def c(i: Int) = compileScalar(args(i), df)
+      def intLit(i: Int): Int = args(i) match {
+        case SLit(v: Int)  => v
+        case SLit(v: Long) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"$name argument ${i + 1} must be an integer literal, got $other")
+      }
+      def arity(n: Int): Unit = require(args.length == n,
+        s"$name takes $n argument(s), got ${args.length}")
+      name.toLowerCase match {
+        case "length" => arity(1); length(c(0))
+        case "lower"  => arity(1); lower(c(0))
+        case "upper"  => arity(1); upper(c(0))
+        case "trim"   => arity(1); trim(c(0))
+        case "abs"    => arity(1); abs(c(0))
+        case "round" =>
+          require(args.length == 1 || args.length == 2,
+            s"round takes 1 or 2 arguments, got ${args.length}")
+          if (args.length == 1) round(c(0)) else round(c(0), intLit(1))
+        case "substr" =>
+          arity(3); substring(c(0), intLit(1), intLit(2))
+        case "concat" =>
+          require(args.nonEmpty, "concat needs arguments")
+          concat(args.indices.map(c): _*)
+        case "coalesce" =>
+          require(args.nonEmpty, "coalesce needs arguments")
+          coalesce(args.indices.map(c): _*)
+        case other => throw new IllegalArgumentException(
+          s"unknown function $other (supported: length, lower, upper, " +
+            "trim, abs, round, substr, concat, coalesce)")
       }
   }
 

@@ -475,7 +475,7 @@ object TundraQL {
       } else term()
 
     private def term(): WhereExpr = {
-      val lhs = factorRef()
+      val lhs = scalarExpr()
       val op = next() match {
         case Sym("=")  => CmpOp.Eq
         case Sym("!=") => CmpOp.NotEq
@@ -485,12 +485,15 @@ object TundraQL {
         case Sym("<=") => CmpOp.Lte
         case other     => fail(s"expected comparison op, got $other")
       }
-      val rhs: Any = peek match {
-        case Id("NULL") => next(); null
-        case Id(_)      => factorRef()
-        case _          => value()
+      val rhs = scalarExpr()
+      // plain field-vs-literal / field-vs-field comparisons stay the
+      // classic Comparison node so the reference's strict typing (F3)
+      // applies unchanged; anything computed is an ExprComparison
+      (lhs, rhs) match {
+        case (SRef(f), SLit(v)) => Comparison(f, op, v)
+        case (SRef(f), SRef(r)) => Comparison(f, op, r)
+        case _                  => ExprComparison(lhs, op, rhs)
       }
-      Comparison(lhs, op, rhs)
     }
 
     private def factorRef(): FieldRef = {
@@ -500,42 +503,98 @@ object TundraQL {
       FieldRef(parts.head, parts.tail.toList)
     }
 
+    // ---- scalar expressions (beyond-reference, SURVEY §2.6): function
+    // calls + arithmetic with * / % over + - precedence
+    private def scalarFactor(): ScalarExpr = peek match {
+      case Id("NULL") => next(); SLit(null)
+      case Sym("(") =>
+        next()
+        val e = scalarExpr()
+        expectSym(")")
+        e
+      case Id(_) =>
+        val name = ident()
+        if (eatSym("(")) {
+          val args = mutable.ListBuffer[ScalarExpr]()
+          if (!eatSym(")")) {
+            args += scalarExpr()
+            while (eatSym(",")) args += scalarExpr()
+            expectSym(")")
+          }
+          SFunc(name, args.toList)
+        } else {
+          val parts = mutable.ListBuffer(name)
+          while (eatSym(".")) parts += ident()
+          require(parts.length >= 2, s"expected alias.field, got $parts")
+          SRef(FieldRef(parts.head, parts.tail.toList))
+        }
+      case _ => SLit(value())
+    }
+    private def scalarTerm(): ScalarExpr = {
+      var e = scalarFactor()
+      while (!atEnd && (peek == Sym("*") || peek == Sym("/") ||
+          peek == Sym("%"))) {
+        val Sym(op) = next(): @unchecked
+        e = SArith(op.head, e, scalarFactor())
+      }
+      e
+    }
+    private def scalarExpr(): ScalarExpr = {
+      var e = scalarTerm()
+      while (!atEnd && (peek == Sym("+") || peek == Sym("-"))) {
+        val Sym(op) = next(): @unchecked
+        e = SArith(op.head, e, scalarTerm())
+      }
+      e
+    }
+
     private def selectClause(): List[SelectItem] = {
       val out = mutable.ListBuffer[SelectItem]()
+      val aggNamesU = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+      def nextIsSym(s: String) =
+        pos + 1 < toks.length && toks(pos + 1) == Sym(s)
       do {
-        val first = ident()
-        if (eatSym("(")) {
-          // aggregate item (beyond-reference, SURVEY §2 preamble):
-          // COUNT(*) | COUNT([DISTINCT] a.f) | SUM/AVG/MIN/MAX(a.f)
-          val distinct = eatKw("DISTINCT")
-          val fn = first.toUpperCase match {
-            case "COUNT" => if (distinct) AggFn.CountDistinct else AggFn.Count
-            case "SUM"   => AggFn.Sum
-            case "AVG"   => AggFn.Avg
-            case "MIN"   => AggFn.Min
-            case "MAX"   => AggFn.Max
-            case other   => fail(s"unknown aggregate function: $other")
-          }
-          require(!distinct || first.equalsIgnoreCase("COUNT"),
-            "DISTINCT only supported in COUNT")
-          val ref =
-            if (eatSym("*")) {
-              require(fn == AggFn.Count, "* only allowed in COUNT(*)")
-              None
-            } else Some(factorRef())
-          expectSym(")")
-          val as =
-            if (eatKw("AS")) ident()
-            else first.toLowerCase +
-              ref.map("_" + _.path.mkString("_")).getOrElse("")
-          out += SelectAgg(fn, ref, as)
-        } else {
-          val parts = mutable.ListBuffer(first)
-          while (eatSym(".")) parts += ident()
-          val as = if (eatKw("AS")) Some(ident()) else None
-          out +=
-            (if (parts.length == 1) SelectAlias(parts.head)
-             else SelectField(FieldRef(parts.head, parts.tail.toList), as))
+        peek match {
+          case Id(name) if aggNamesU(name.toUpperCase) && nextIsSym("(") =>
+            // aggregate item (beyond-reference, SURVEY §2 preamble):
+            // COUNT(*) | COUNT([DISTINCT] a.f) | SUM/AVG/MIN/MAX(a.f)
+            val first = ident(); expectSym("(")
+            val distinct = eatKw("DISTINCT")
+            val fn = first.toUpperCase match {
+              case "COUNT" =>
+                if (distinct) AggFn.CountDistinct else AggFn.Count
+              case "SUM" => AggFn.Sum
+              case "AVG" => AggFn.Avg
+              case "MIN" => AggFn.Min
+              case "MAX" => AggFn.Max
+              case other => fail(s"unknown aggregate function: $other")
+            }
+            require(!distinct || first.equalsIgnoreCase("COUNT"),
+              "DISTINCT only supported in COUNT")
+            val ref =
+              if (eatSym("*")) {
+                require(fn == AggFn.Count, "* only allowed in COUNT(*)")
+                None
+              } else Some(factorRef())
+            expectSym(")")
+            val as =
+              if (eatKw("AS")) ident()
+              else first.toLowerCase +
+                ref.map("_" + _.path.mkString("_")).getOrElse("")
+            out += SelectAgg(fn, ref, as)
+          case Id(name) if !nextIsSym("(") && !nextIsSym(".") =>
+            next() // bare alias: expands to all its columns
+            out += SelectAlias(name)
+          case _ =>
+            // field ref, scalar function call, or arithmetic (SURVEY §2.6)
+            scalarExpr() match {
+              case SRef(r) =>
+                val as = if (eatKw("AS")) Some(ident()) else None
+                out += SelectField(r, as)
+              case computed =>
+                expectKw("AS") // computed items need an output name
+                out += SelectExpr(computed, ident())
+            }
         }
       } while (eatSym(","))
       // Default aggregate names ignore the alias (SUM(a.x) and SUM(b.x)

@@ -65,6 +65,54 @@ class QlExtensionsSpec extends SparkSpec {
     assert(rowBag(res) === Map(Seq("acme", 2L) -> 1))
   }
 
+  test("scalar functions + arithmetic in WHERE and SELECT (QL)") {
+    val sh = seeded()
+    val res = sh.execute(
+      "MATCH (u:User) WHERE length(u.team) = 3 AND u.age % 20 = 10 " +
+        "SELECT u.name, upper(u.team) AS team_u, u.age * 2 + 1 AS a2;").get
+    assert(res.columns.toSeq === Seq("u.name", "team_u", "a2"))
+    // len-3 teams = eng AND ops; age%20=10 keeps a (30) and c (50)
+    assert(rowBag(res) === Map(
+      Seq("a", "ENG", 61L) -> 1, Seq("c", "OPS", 101L) -> 1))
+    // precedence: * binds tighter than +
+    val prec = sh.execute(
+      "MATCH (u:User) WHERE u.name = \"a\" " +
+        "SELECT u.age + 2 * 10 AS x, (u.age + 2) * 10 AS y;").get
+    assert(prec.collect().head.toSeq === Seq(50L, 320L))
+    // concat/substr/round compile; computed items need AS
+    val f = sh.execute(
+      "MATCH (u:User) WHERE u.name = \"c\" " +
+        "SELECT concat(u.name, u.team) AS nt, substr(u.team, 1, 2) AS t2, " +
+        "round(u.age / 7, 1) AS r;").get
+    assert(f.collect().head.toSeq === Seq("cops", "op", 7.1))
+    val e = intercept[IllegalArgumentException] {
+      sh.execute("MATCH (u:User) SELECT u.age + 1;")
+    }
+    assert(e.getMessage.contains("AS"))
+    val uf = intercept[IllegalArgumentException] {
+      sh.execute("MATCH (u:User) SELECT frobnicate(u.age) AS x;").get
+        .collect()
+    }
+    assert(uf.getMessage.contains("unknown function"))
+  }
+
+  test("scalar expressions via the builder DSL") {
+    val store = new GraphStore(spark)
+    store.createSchema("User",
+      "name" -> org.apache.spark.sql.types.StringType,
+      "age" -> org.apache.spark.sql.types.LongType)
+    Seq(("alice", 30L), ("bo", 41L)).foreach { case (n, a) =>
+      store.createNode("User", Map("name" -> n, "age" -> a))
+    }
+    val planner = new graft.planner.Planner(store)
+    val res = planner.plan(Q.from("u:User")
+      .where(sfn("length", sref("u.name")) > slit(2))
+      .selectExpr(sfn("upper", sref("u.name")), "nm")
+      .selectExpr(sref("u.age") * slit(2L), "a2")
+      .build)
+    assert(rowBag(res) === Map(Seq("ALICE", 60L) -> 1))
+  }
+
   test("duplicate default aggregate names rejected at parse time") {
     val sh = seeded()
     // SUM(u.age) and SUM(c.age) would both default to sum_age — an
