@@ -346,6 +346,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("quantity").cast("decimal(18,2)"))
             .cast("double").as("sum_qty"))),
+    // ---- PIVOT with an explicit value list (Spark leaves empty cells
+    // NULL where a filtered count gives 0 — coalesce to match)
+    "a28_pivot" -> ((s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY")
+      TpchGraph.store(s, dir).nodes("customer")
+        .groupBy(col("nationkey"))
+        .pivot("mktsegment", segs)
+        .agg(count(lit(1)))
+        .select(col("nationkey") +:
+          segs.map(g => coalesce(col(g), lit(0L)).as(g)): _*)
+    }),
     // ---- tumbling-window aggregation (batch path of the streaming op)
     "s26_window_agg" -> ((s, dir) => {
       val ev = TpchGraph.store(s, dir).nodes("events")
@@ -576,6 +588,14 @@ object SparkEntry {
         "CAST(sum(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) " +
         "AS DOUBLE) AS sum_qty FROM lineitem " +
         "GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "a28_pivot" ->
+      ("SELECT c_nationkey AS nationkey, " +
+        "count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS \"AUTOMOBILE\", " +
+        "count(*) FILTER (c_mktsegment = 'BUILDING') AS \"BUILDING\", " +
+        "count(*) FILTER (c_mktsegment = 'FURNITURE') AS \"FURNITURE\", " +
+        "count(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS \"HOUSEHOLD\", " +
+        "count(*) FILTER (c_mktsegment = 'MACHINERY') AS \"MACHINERY\" " +
+        "FROM customer GROUP BY 1"),
     "s26_window_agg" ->
       ("SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, " +
         "event_type AS etype, count(*) AS n FROM events GROUP BY 1, 2"),

@@ -89,4 +89,20 @@ class VectorExpressionsSpec extends SparkSpec {
         Seq(3.0f, 4.0f), ArrayType(FloatType)))
     assert(mismatch.eval(null) === null)
   }
+
+  test("GraftExtensions registers graft_* SQL functions " +
+      "(SparkSessionExtensions surface)") {
+    graft.functions.GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "graft_l2sq(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS l2, " +
+        "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect().head
+    assert(row.getDouble(0) === 11.0)
+    assert(row.getDouble(1) === 25.0)
+    assert(row.getDouble(2) === 1.0)
+    // the injector path wires the same triples
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext) // must not throw
+  }
 }
