@@ -59,12 +59,15 @@ object TextAnalysis {
   def langId(text: Column, threshold: Double = 0.05): Column =
     when(stopwordRatio(text) >= threshold, "en").otherwise("und")
 
-  /** Document fingerprint: polynomial rolling hash over the characters of
+  /** Document fingerprint: polynomial rolling hash over the codepoints of
     * the lowercased text, mod 1e9+7 — identical formula is expressible in
-    * DuckDB (list_reduce + ascii) for the oracle gate. */
+    * DuckDB (list_reduce + ascii) for the oracle gate. Native codegen'd
+    * expression ([[graft.functions.PolyHash]]); the HOF formulation it
+    * replaced is pinned equivalent in VectorExpressionsSpec. */
   def fingerprint(text: Column): Column =
-    aggregate(split(lower(text), ""), lit(7L),
-      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   /** Email addresses — RE2-compatible (the oracle's DuckDB regex engine)
     * AND java.util.regex-compatible, so both engines see identical

@@ -90,6 +90,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(mismatch.eval(null) === null)
   }
 
+  test("PolyHash matches the HOF fingerprint formulation on BMP text") {
+    import spark.implicits._
+    val texts = Seq("The Quick Brown Fox", "", "  spaced  out  ",
+      "punktO!? 123", "Ünïcødé tèxt", "a").toDF("text")
+    def hof(c: org.apache.spark.sql.Column) =
+      aggregate(split(lower(c), ""), lit(7L),
+        (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+    val rows = texts.select(
+      graft.pipeline.TextAnalysis.fingerprint(col("text")).as("native"),
+      hof(col("text")).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), r))
+    // null in, null out; interpreted eval agrees with codegen
+    val n = texts.select(graft.pipeline.TextAnalysis.fingerprint(
+      lit(null).cast("string"))).collect()
+    assert(n.forall(_.isNullAt(0)))
+    assert(graft.functions.PolyHash(
+      org.apache.spark.sql.catalyst.expressions.Literal("Abc"))
+      .eval(null) ===
+      ((((7L * 31 + 'a') % 1000000007L) * 31 + 'b') % 1000000007L * 31
+        + 'c') % 1000000007L)
+  }
+
   test("GraftExtensions registers graft_* SQL functions " +
       "(SparkSessionExtensions surface)") {
     graft.functions.GraftExtensions.register(spark)
