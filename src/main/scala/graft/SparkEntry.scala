@@ -364,6 +364,17 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
       EventStreams.windowedStats(ev).select("win_start", "etype", "n")
     }),
+    // ---- CUBE: all grouping-set combinations
+    "a29_cube" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("lineitem")
+        .cube(col("returnflag"), col("linestatus"))
+        .agg(count(lit(1)).as("n"))),
+    // ---- gap-based sessionization, relational formulation (the batch
+    // twin of the stateful streaming sessionize — same gap rule)
+    "s27_sessionize" -> ((s, dir) =>
+      EventStreams.sessionizeBatch(
+        TpchGraph.store(s, dir).nodes("events"), gapMs = 30L * 60000L)
+        .select("userid", "sess_start", "sess_end", "n_events")),
     // ---- as-of join: newest same-user click at or before each purchase
     // (one shuffle+sort, never a per-left range scan)
     "q51_asof_join" -> ((s, dir) => {
@@ -599,6 +610,19 @@ object SparkEntry {
     "s26_window_agg" ->
       ("SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, " +
         "event_type AS etype, count(*) AS n FROM events GROUP BY 1, 2"),
+    "a29_cube" ->
+      ("SELECT l_returnflag AS returnflag, l_linestatus AS linestatus, " +
+        "count(*) AS n FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus)"),
+    "s27_sessionize" ->
+      ("WITH b AS (SELECT user_id, ts, CASE WHEN epoch_ns(ts) - " +
+        "epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > " +
+        "1800000000000 THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) AS sess FROM b) " +
+        "SELECT user_id AS userid, min(epoch_ns(ts)) AS sess_start, " +
+        "max(epoch_ns(ts)) AS sess_end, count(*) AS n_events " +
+        "FROM s GROUP BY user_id, sess"),
     "p30_dedup_exact" ->
       ("SELECT min(doc_id) AS doc_id, count(*) AS cnt FROM documents " +
         "GROUP BY text"),

@@ -48,6 +48,29 @@ object EventStreams {
     else src.dropDuplicates(keyCols)
   }
 
+  /** Relational (batch/backfill) sessionization — the window-function
+    * formulation of [[sessionize]]'s gap rule: a session breaks where
+    * the gap to the previous same-user event exceeds `gapMs`; the
+    * running count of breaks is the session id. Equal-timestamp ties
+    * cannot change the result (a 0 gap never breaks), so the output is
+    * deterministic and oracle-checkable. Two window passes over one
+    * shuffle on `userid` + one aggregate — no per-user state, scales as
+    * a plain sort-based window at 100 TB. `ts` is epoch-nanos (long). */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("userid").orderBy("ts")
+    val gapNs = gapMs * 1000000L
+    events
+      .withColumn("__brk",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1)
+          .otherwise(0))
+      .withColumn("__sess", sum(col("__brk")).over(w))
+      .groupBy(col("userid"), col("__sess"))
+      .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+        count(lit(1)).as("n_events"))
+      .drop("__sess")
+  }
+
   /** Stream-stream keyed interval join: each left event pairs with the
     * right events of the same key within `[l.ts, l.ts + window)`. This is
     * THE streaming-legal form of a time-bounded join — Structured

@@ -52,6 +52,15 @@ object TpchGraph {
         else d
       }
     }
+    // Truncate an epoch-nano long to microsecond precision, exactly (no
+    // float division — these exceed a double's exact integer range). The
+    // nanosAsLong conf is session-order-dependent: TIMESTAMP(NANOS)
+    // columns arrive either as NTZ (normalized to micros*1000 above) or
+    // as raw-nano longs that SKIP that branch. The oracle's DuckDB reader
+    // always truncates to micros, so every engine-side timestamp long
+    // must land on micros*1000 too — otherwise sub-microsecond residue
+    // flips rows at as-of/interval boundaries.
+    def usTrunc(c: org.apache.spark.sql.Column) = c - pmod(c, lit(1000L))
     def read(t: String): DataFrame = {
       val normed = readRaw(t)
       if (cache) normed.cache() else normed
@@ -66,10 +75,12 @@ object TpchGraph {
     // cache lineitem WITH the derived id — the md5 id feeds both the node
     // table and three edge sets, and recomputing it per query would
     // otherwise dominate every lineitem join
-    val lineitem0 = readRaw("lineitem").withColumn("lid",
-      conv(substring(md5(concat_ws("|", col("l_orderkey"),
-        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_shipdate"))), 1, 15), 16, 10).cast("long"))
+    val lineitem0 = readRaw("lineitem")
+      .withColumn("l_shipdate", usTrunc(col("l_shipdate")))
+      .withColumn("lid",
+        conv(substring(md5(concat_ws("|", col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_shipdate"))), 1, 15), 16, 10).cast("long"))
     val lineitem = if (cache) lineitem0.cache() else lineitem0
     val events = read("events")
 
@@ -96,7 +107,7 @@ object TpchGraph {
       orders.select(col("o_orderkey").as("id"),
         col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
         col("o_totalprice").as("totalprice"),
-        col("o_orderdate").as("orderdate"),
+        usTrunc(col("o_orderdate")).as("orderdate"),
         col("o_orderpriority").as("priority")), "id")
     s.attachNodes("lineitem",
       lineitem.select(col("lid").as("id"),
@@ -113,7 +124,7 @@ object TpchGraph {
     // props derived identically in engine and oracle:
     //   props = map('type', event_type, 'k', json props.k)
     s.attachNodes("events",
-      events.select(col("event_id").as("id"), col("ts"),
+      events.select(col("event_id").as("id"), usTrunc(col("ts")).as("ts"),
         col("user_id").as("userid"), col("event_type").as("etype"),
         col("value"),
         map(lit("type"), col("event_type"),
