@@ -589,14 +589,19 @@ final class GraphStore(
     }
 
   /** All edges named `edgeType` regardless of endpoints (SHOW EDGES t,
-    * reference D11). */
+    * reference D11). An unknown type yields an EMPTY frame, not an
+    * error — the reference shell prints "No edges found of type 'X'"
+    * (apps/tundra_shell.cpp:1245). */
   def edgesNamed(edgeType: String): DataFrame = {
     val dfs = edgeTables.collect {
       case ((n, s, d), _) if n == edgeType =>
         edges(n, s, d).select("id", "src", "dst", "created_ts")
     }.toSeq
-    require(dfs.nonEmpty, s"unknown edge type: $edgeType")
-    dfs.reduce(_ unionByName _)
+    if (dfs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(Seq("id", "src", "dst", "created_ts")
+          .map(StructField(_, LongType, nullable = false))))
+    else dfs.reduce(_ unionByName _)
   }
 
   def edgeTypeFor(edgeType: String, srcLabel: String): Option[EdgeTypeInfo] =
