@@ -483,7 +483,12 @@ object SparkEntry {
     "p44_repetition" -> ((s, dir) =>
       TpchGraph.store(s, dir).nodes("documents")
         .select(col("id").as("doc_id"),
-          TextAnalysis.repetitionRatio(col("text")).as("rep_ratio")))
+          TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))),
+    // deterministic held-out split: hash-bucketed, stable as the corpus
+    // grows, engine/oracle agree exactly
+    "p45_split" -> ((s, dir) =>
+      Corpus.assignSplits(TpchGraph.store(s, dir).nodes("documents"), "id")
+        .select(col("id").as("doc_id"), col("split")))
   )
 
   /** Temporal DIFF + variable-length paths (beyond-reference ops). */
@@ -717,6 +722,11 @@ object SparkEntry {
         "'@example.com ref ' || CAST(doc_id * 7919 AS VARCHAR), " +
         s"'${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
         "'[0-9]{3,}', '<NUM>', 'g') AS redacted FROM documents"),
+    "p45_split" ->
+      ("SELECT doc_id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 " +
+        "THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, " +
+        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, " +
+        "15)) AS BIGINT) % 100 AS b FROM documents)"),
     "p44_repetition" ->
       ("SELECT doc_id, CAST(1.0 AS DOUBLE) - " +
         "len(list_distinct(regexp_split_to_array(trim(lower(text)), " +

@@ -18,6 +18,29 @@ object Corpus {
       docs.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality),
       idCol, Seq(textCol))
 
+  /** Deterministic train/validation/test split assignment by content-id
+    * hash — the standard way to keep held-out sets STABLE as a corpus
+    * grows (a random split reshuffles documents across splits on every
+    * run and between engines; a hash split never moves a document). The
+    * bucket is the first 60 bits of md5(id) mod 100 — a pure projection
+    * (no shuffle, no state), and the exact formula is expressible in
+    * DuckDB for the oracle gate (same trick as TpchGraph.LineitemIdSql).
+    *
+    * @param trainPct buckets `[0, trainPct)` -> "train"
+    * @param valPct   buckets `[trainPct, trainPct+valPct)` -> "val";
+    *                 the rest -> "test" */
+  def assignSplits(docs: DataFrame, idCol: String, trainPct: Int = 90,
+                   valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val bucket = pmod(conv(substring(
+      md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"), lit(100))
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Full pipeline: quality gate, exact dedup, then drop near-duplicates
     * (minhash-LSH; the lower-id member of each near-dup pair survives).
     * Returns the surviving representative ids. */
