@@ -236,6 +236,21 @@ object SparkEntry {
       store.edges("placed", "customer", "orders").select(
         col("src").as("src"), col("dst").as("dst"))
     }),
+    // ---- D6 edge path: UPDATE edge properties by MATCH, then read back
+    // (matched edge ids -> distributed prop rewrite, reference
+    // src/update/update_executor.cpp:177-209)
+    "q57_edge_update_readback" -> ((s, dir) => {
+      val store = TpchGraph.store(s, dir)
+      val ids = new Planner(store).plan(Q.from("l:lineitem")
+        .traverse("l", "supplied_by", "s:supplier", edgeAlias = Some("e"))
+        .where(ref("s.acctbal") > 9000.0)
+        .selectAs("e.id", "id").build)
+      store.updateEdgesMatched("supplied_by", "lineitem", "supplier", ids,
+        Map("quantity" -> (col("quantity") + 1000.0)))
+      store.edges("supplied_by", "lineitem", "supplier")
+        .select(col("src").as("l_id"), col("dst").as("s_id"),
+          col("quantity"))
+    }),
     // ---- T1/T2 valid-time as-of (sees the retroactive correction)
     "q17_asof_valid" -> ((s, dir) =>
       new Planner(versionedCustomers(s, dir)).plan(
@@ -891,6 +906,11 @@ object SparkEntry {
     "q47_delete_edges_readback" ->
       ("SELECT o_custkey AS src, o_orderkey AS dst FROM orders " +
         "WHERE o_totalprice <= 400000"),
+    "q57_edge_update_readback" ->
+      (s"SELECT ${TpchGraph.LineitemIdSql} AS l_id, " +
+        "l_suppkey AS s_id, CASE WHEN s_acctbal > 9000 THEN " +
+        "l_quantity + 1000.0 ELSE l_quantity END AS quantity " +
+        "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey"),
     "q17_asof_valid" ->
       ("SELECT c_custkey AS c_id, CASE WHEN c_custkey % 3 = 0 THEN " +
         "c_acctbal + 100 ELSE c_acctbal END AS acctbal FROM customer"),

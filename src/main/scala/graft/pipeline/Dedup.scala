@@ -105,6 +105,10 @@ object Dedup {
     val exploded = base.select(col("__id"), explode(col("__shh")).as("__s"))
     // __sz = |shingle set| rides along for free (exploded rows are the
     // distinct shingles) and powers the verify-stage size prune below.
+    // (A Kirsch-Mitzenmacher two-hash family — h_i = h1 + i·h2, masked
+    // for ANSI overflow rules — was measured here and did NOT move the
+    // wall clock: the aggregate's cost is the 65 min-buffers + shuffle,
+    // not the per-shingle hashing. Keeping k independent xxhash64 seeds.)
     val sigCols = count(lit(1)).as("__sz") +: (0 until numHashes).map(i =>
       min(xxhash64(col("__s"), lit(i))).as(s"__h$i"))
     val sigDf = exploded.groupBy("__id")
