@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,6 +39,141 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Fused token statistics — `struct(n_ws, stop_cnt, char_sum, punct_cnt,
+  * n_chars)` in ONE native pass, replacing four higher-order/regex
+  * expressions that each re-split the text (HOFs are CodegenFallback:
+  * per-token UTF8String allocations, interpreted folds).
+  *
+  * Field semantics replicate the HOF formulations EXACTLY (pinned in
+  * VectorExpressionsSpec):
+  *  - `n_ws`     = `size(split(trim(text), "\\s+"))` — trim strips
+  *    0x20 only; Java split keeps a leading "" when the trimmed string
+  *    starts with regex-\s (tab/newline), yields [""] for empty input,
+  *    and drops trailing empties.
+  *  - `stop_cnt` = tokens of `lower(text)` that are stopwords.
+  *  - `char_sum` = total codepoints across tokens (= sum of length(t)).
+  *  - `punct_cnt`= occurrences of `[.,;:!?()-]` in the RAW text.
+  *  - `n_chars`  = `length(text)` (codepoints) of the RAW text.
+  */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = TextStats.schema
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"TextStats expects a string, got ${child.dataType.catalogString}")
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxStopLen: Int =
+    if (stopwords.isEmpty) 0 else stopwords.map(_.length).max
+
+  override def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String], stopSet, maxStopLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet,
+      "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} =
+         |  ${TextStats.getClass.getName.stripSuffix("$")}.compute(
+         |    $c, $setRef, $maxStopLen);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_ws", IntegerType, nullable = false),
+    StructField("stop_cnt", IntegerType, nullable = false),
+    StructField("char_sum", LongType, nullable = false),
+    StructField("punct_cnt", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false)))
+
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  private def isPunct(c: Char): Boolean = c match {
+    case '.' | ',' | ';' | ':' | '!' | '?' | '(' | ')' | '-' => true
+    case _ => false
+  }
+
+  /** Strip 0x20 (and only 0x20 — `trim()` semantics) from both ends. */
+  private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
+
+  /** Token count per Java `split("\\s+")` + non-ws codepoint total. */
+  private def countTokens(t: String): (Int, Long) = {
+    if (t.isEmpty) return (1, 0L) // "".split gives [""]
+    var tokens = if (isRegexWs(t.charAt(0))) 1 else 0 // leading "" token
+    var chars = 0L
+    var inRun = false
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (isRegexWs(c)) inRun = false
+      else {
+        if (!inRun) { tokens += 1; inRun = true }
+        // count codepoints, not UTF-16 units: skip low surrogates
+        if (!Character.isLowSurrogate(c)) chars += 1
+      }
+      i += 1
+    }
+    (tokens, chars)
+  }
+
+  /** Stopword hits among the tokens of `t` (already lowercased). The
+    * length gate skips the substring allocation for tokens longer than
+    * any stopword. */
+  private def countStops(t: String, stops: java.util.HashSet[String],
+                         maxLen: Int): Int = {
+    var n = 0
+    var i = 0
+    while (i < t.length) {
+      if (!isRegexWs(t.charAt(i))) {
+        var j = i
+        while (j < t.length && !isRegexWs(t.charAt(j))) j += 1
+        if (j - i <= maxLen && stops.contains(t.substring(i, j))) n += 1
+        i = j
+      } else i += 1
+    }
+    n
+  }
+
+  def compute(s: UTF8String, stops: java.util.HashSet[String],
+              maxStopLen: Int): InternalRow = {
+    val raw = s.toString
+    val (nWs, charSum) = countTokens(trimSpaces(raw))
+    val stopCnt =
+      countStops(trimSpaces(s.toLowerCase.toString), stops, maxStopLen)
+    var punct = 0
+    var nChars = 0
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (isPunct(c)) punct += 1
+      if (!Character.isLowSurrogate(c)) nChars += 1
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](nWs, stopCnt, charSum, punct, nChars))
+  }
 }
 
 object PolyHash {

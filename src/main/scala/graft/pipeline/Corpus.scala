@@ -15,7 +15,8 @@ object Corpus {
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minQuality: Double = 0.5): DataFrame =
     Dedup.exact(
-      docs.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality),
+      docs.filter(
+        TextAnalysis.qualityScoreFast(col(textCol)) >= minQuality),
       idCol, Seq(textCol))
 
   /** Deterministic train/validation/test split assignment by content-id

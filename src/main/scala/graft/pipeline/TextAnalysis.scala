@@ -91,15 +91,51 @@ object TextAnalysis {
     lit(1.0) - size(array_distinct(tokens(lower(text)))).cast("double") /
       greatest(tokenCountWs(text).cast("double"), lit(1.0))
 
-  /** Convenience: annotate a document DataFrame with all signals. */
+  /** Fused token statistics (one native pass —
+    * [[graft.functions.TextStats]]); field semantics identical to the
+    * HOF formulations above, pinned equivalent in the test suite. */
+  def stats(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TextStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        EnStopwords))
+
+  /** The quality formula over a [[stats]] struct — same arithmetic as
+    * [[qualityScore]], sourcing counts from the fused pass. */
+  private def qualityOf(st: Column): Column = {
+    val nTok = greatest(st.getField("n_ws").cast("double"), lit(1.0))
+    val ratio = st.getField("stop_cnt").cast("double") / nTok
+    val awl = st.getField("char_sum").cast("double") / nTok
+    ratio * 0.5 +
+      when(awl.between(3.0, 8.0), 0.3).otherwise(0.0) +
+      when(st.getField("punct_cnt").cast("double") /
+        greatest(st.getField("n_chars").cast("double"), lit(1.0)) < 0.1,
+        0.2).otherwise(0.0)
+  }
+
+  /** [[qualityScore]] backed by the fused native pass — bit-identical
+    * output (same Column arithmetic over the same integer counts). */
+  def qualityScoreFast(text: Column): Column = qualityOf(stats(text))
+
+  /** Convenience: annotate a document DataFrame with all signals. One
+    * fused native pass feeds every token-derived column. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCountWs(t))
+    val withStats = df.withColumn("__st", stats(t))
+    val st = col("__st")
+    val nTok = greatest(st.getField("n_ws").cast("double"), lit(1.0))
+    withStats
+      .withColumn("n_tokens", st.getField("n_ws"))
       .withColumn("n_tokens_bpe", tokenCountBpe(t))
-      .withColumn("stopword_ratio", stopwordRatio(t))
-      .withColumn("avg_word_len", avgWordLen(t))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("lang_pred", langId(t))
+      .withColumn("stopword_ratio",
+        st.getField("stop_cnt").cast("double") / nTok)
+      .withColumn("avg_word_len",
+        st.getField("char_sum").cast("double") / nTok)
+      .withColumn("quality", qualityOf(st))
+      .withColumn("lang_pred",
+        when(st.getField("stop_cnt").cast("double") / nTok >= 0.05, "en")
+          .otherwise("und"))
       .withColumn("fingerprint", fingerprint(t))
+      .drop("__st")
   }
 }

@@ -112,6 +112,35 @@ class VectorExpressionsSpec extends SparkSpec {
         + 'c') % 1000000007L)
   }
 
+  test("TextStats fused pass matches every HOF formulation, " +
+      "edge cases included") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis._
+    val texts = Seq(
+      "the quick brown fox", "", " ", "   ", "\tleading tab",
+      "trailing space  ", "a  b   c", "The AND of IT", "one",
+      "punct.! (heavy), stuff-; really?:", "line\nbreaks\r\nhere",
+      "Ünïcødé wörds the", "vertical\ftab").toDF("text")
+    val t = col("text")
+    val rows = texts.select(
+      stats(t).as("st"),
+      tokenCountWs(t).as("h_n"), stopwordCount(t).as("h_stop"),
+      aggregate(tokens(t), lit(0L), (acc, x) => acc + length(x))
+        .as("h_chars"),
+      punctCount(t).as("h_punct"), length(t).as("h_len"),
+      qualityScoreFast(t).as("q_fast"), qualityScore(t).as("q_hof"))
+      .collect()
+    rows.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getAs[Int]("n_ws") === r.getAs[Int]("h_n"), r)
+      assert(st.getAs[Int]("stop_cnt") === r.getAs[Int]("h_stop"), r)
+      assert(st.getAs[Long]("char_sum") === r.getAs[Long]("h_chars"), r)
+      assert(st.getAs[Int]("punct_cnt") === r.getAs[Int]("h_punct"), r)
+      assert(st.getAs[Int]("n_chars") === r.getAs[Int]("h_len"), r)
+      assert(r.getAs[Double]("q_fast") === r.getAs[Double]("q_hof"), r)
+    }
+  }
+
   test("GraftExtensions registers graft_* SQL functions " +
       "(SparkSessionExtensions surface)") {
     graft.functions.GraftExtensions.register(spark)
