@@ -111,8 +111,18 @@ object Dedup {
     // not the per-shingle hashing. Keeping k independent xxhash64 seeds.)
     val sigCols = count(lit(1)).as("__sz") +: (0 until numHashes).map(i =>
       min(xxhash64(col("__s"), lit(i))).as(s"__h$i"))
+    // The signature table feeds TWO aggregation subtrees (raw buckets and
+    // the oversized-bucket id list) — Catalyst does not dedupe them, so
+    // without materialization the 65-buffer aggregate runs twice.
+    // Checkpointing is safe at any scale: n rows × 65 longs, far smaller
+    // than the corpus. Measured 1.0s → 0.55s end-to-end at sf0.1.
+    // (`exploded` is deliberately NOT checkpointed even though the verify
+    // stage re-derives it: it is O(total shingles) — corpus-sized — and
+    // re-running a cheap explode over the checkpointed base beats pinning
+    // that much data in executor storage at the 100 TB scale.)
     val sigDf = exploded.groupBy("__id")
       .agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint(eager = true)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws(",", (lit(b.toString) +:
         (b * r until (b + 1) * r).map(i => col(s"__h$i"))): _*))
