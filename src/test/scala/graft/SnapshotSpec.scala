@@ -149,6 +149,27 @@ class SnapshotSpec extends SparkSpec {
     assert(ageAt(2500L) === Seq(2))
   }
 
+  test("captured query plans are snapshot-isolated from later mutations " +
+      "(reference concurrency contract: readers see consistent state)") {
+    import org.apache.spark.sql.functions._
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType, "age" -> LongType)
+    s.createNode("User", Map("name" -> "a", "age" -> 1L))
+    s.createNode("User", Map("name" -> "b", "age" -> 2L))
+    // a captured frame is an immutable plan over an immutable buffer
+    // snapshot — mutations rebind the table's base, they never touch
+    // frames already handed out (multi-reader/single-writer isolation;
+    // the reference's concurrency tests pin reader consistency, which
+    // Spark's immutable plans give by construction)
+    val before = s.nodes("User")
+    s.updateWhere("User", lit(true), Map("age" -> lit(99L)))
+    s.deleteWhere("User", col("name") === "b")
+    assert(rowBag(before.select("name", "age")) ===
+      Map(Seq("a", 1L) -> 1, Seq("b", 2L) -> 1))
+    assert(rowBag(s.nodes("User").select("name", "age")) ===
+      Map(Seq("a", 99L) -> 1))
+  }
+
   test("createNodes assigns dense contiguous ids across partitions") {
     import spark.implicits._
     val s = new GraphStore(spark)
