@@ -294,6 +294,24 @@ object SparkEntry {
         .selectExpr(sfn("substr", sref("c.name"), slit(1), slit(8)),
           "name8")
         .build)),
+    // ---- DISTINCT projection through the full QL path (parser -> shell
+    // -> planner)
+    "q58_distinct" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir)).execute(
+        "MATCH (c:customer) SELECT DISTINCT c.mktsegment AS seg, " +
+          "c.nationkey AS nk;").get),
+    // ---- HAVING over aggregate output names (QL path)
+    "q59_having" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir)).execute(
+        "MATCH (c:customer)-[:in_nation]->(n:nation) " +
+          "SELECT n.name AS nation, COUNT(*) AS cnt HAVING cnt > 60;").get),
+    // ---- IN list (QL sugar, desugared to an OR chain so strict typing
+    // applies per value)
+    "q60_in_list" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir)).execute(
+        "MATCH (c:customer) WHERE c.mktsegment IN " +
+          "(\"BUILDING\", \"MACHINERY\") " +
+          "SELECT c.id AS c_id, c.mktsegment AS seg;").get),
     // ---- undirected hop: same_nation stores one orientation (a < b);
     // `-[..]-` sees both
     "q55_undirected" -> ((s, dir) =>
@@ -932,6 +950,16 @@ object SparkEntry {
       ("SELECT c_custkey AS c_id, upper(c_mktsegment) AS seg_u, " +
         "c_acctbal * 2.0 + 1.0 AS bal2, substr(c_name, 1, 8) AS name8 " +
         "FROM customer WHERE length(c_mktsegment) = 8"),
+    "q58_distinct" ->
+      ("SELECT DISTINCT c_mktsegment AS seg, c_nationkey AS nk " +
+        "FROM customer"),
+    "q59_having" ->
+      ("SELECT n_name AS nation, count(*) AS cnt FROM customer " +
+        "JOIN nation ON n_nationkey = c_nationkey GROUP BY 1 " +
+        "HAVING count(*) > 60"),
+    "q60_in_list" ->
+      ("SELECT c_custkey AS c_id, c_mktsegment AS seg FROM customer " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"),
     "q55_undirected" ->
       ("WITH e AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst " +
         "FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey " +

@@ -176,6 +176,10 @@ object Ast {
     * (reference: include/query/temporal_context.hpp:20-39). */
   final case class TemporalSnapshot(validTime: Long = INF, txTime: Long = INF)
 
+  /** Post-aggregation filter over an OUTPUT column (an aggregate's AS
+    * name or a group key's output name) — beyond-reference HAVING. */
+  final case class HavingCond(outName: String, op: CmpOp, value: Any)
+
   final case class GraphQuery(
       fromAlias: String,
       fromLabel: String,
@@ -183,7 +187,9 @@ object Ast {
       select: List[SelectItem] = Nil,
       asOf: Option[TemporalSnapshot] = None,
       orderBy: List[OrderKey] = Nil,
-      limit: Option[Long] = None
+      limit: Option[Long] = None,
+      distinct: Boolean = false,
+      having: List[HavingCond] = Nil
   )
 
   // --------------------------------------------------------------------
@@ -200,6 +206,8 @@ object Ast {
     private var snapshot: Option[TemporalSnapshot] = None
     private var ordering = List.empty[OrderKey]
     private var limitN: Option[Long] = None
+    private var distinctFlag = false
+    private var havingConds = List.empty[HavingCond]
 
     def where(expr: WhereExpr): QueryBuilder = {
       clauses :+= WhereClause(expr); this
@@ -266,6 +274,12 @@ object Ast {
       ordering :+= OrderKey(key, asc = true); this
     }
     def limit(n: Long): QueryBuilder = { limitN = Some(n); this }
+    /** Row-level DISTINCT over the projected output. */
+    def distinct(): QueryBuilder = { distinctFlag = true; this }
+    /** HAVING over an output column name (agg AS name or group key). */
+    def having(outName: String, op: CmpOp, value: Any): QueryBuilder = {
+      havingConds :+= HavingCond(outName, op, value); this
+    }
     def asOfValidTime(vt: Long): QueryBuilder = {
       snapshot = Some(snapshot.getOrElse(TemporalSnapshot()).copy(validTime = vt)); this
     }
@@ -277,7 +291,7 @@ object Ast {
     }
     def build: GraphQuery =
       GraphQuery(fromAlias, fromLabel, clauses, selectItems, snapshot,
-        ordering, limitN)
+        ordering, limitN, distinctFlag, havingConds)
 
     private def splitTyped(s: String): (String, String) = s.split(':') match {
       case Array(a, l) => (a, l)

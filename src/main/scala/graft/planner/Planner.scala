@@ -396,12 +396,20 @@ final class Planner(store: GraphStore) {
         if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
       }
-    // ---- ORDER BY / LIMIT over output columns (beyond-reference)
+    // ---- HAVING / DISTINCT / ORDER BY / LIMIT over output columns
+    // (beyond-reference; SQL order: HAVING -> DISTINCT -> ORDER -> LIMIT)
     def outCol(n: String): Column =
       if (n.contains(".")) col(s"`$n`") else col(n)
+    val havinged = q.having.foldLeft(projected) { (d, h) =>
+      require(d.columns.contains(h.outName),
+        s"HAVING references unknown output column: ${h.outName} " +
+          s"(have: ${d.columns.mkString(", ")})")
+      d.filter(applyOp(outCol(h.outName), h.op, lit(h.value)))
+    }
+    val distincted = if (q.distinct) havinged.distinct() else havinged
     val ordered =
-      if (q.orderBy.isEmpty) projected
-      else projected.orderBy(q.orderBy.map(k =>
+      if (q.orderBy.isEmpty) distincted
+      else distincted.orderBy(q.orderBy.map(k =>
         if (k.asc) outCol(k.key).asc else outCol(k.key).desc): _*)
     q.limit.fold(ordered) { n =>
       require(n >= 0 && n <= Int.MaxValue,

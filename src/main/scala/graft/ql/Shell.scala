@@ -254,7 +254,7 @@ final class Shell(store: GraphStore,
     }
     m.where.foreach(w => clauses :+= WhereClause(w))
     GraphQuery(first.alias, labelOf(first.alias), clauses, m.select,
-      m.asOf, m.orderBy, m.limit)
+      m.asOf, m.orderBy, m.limit, m.distinct, m.having)
   }
 
   /** Selector → matching id set (apps/tundra_shell.cpp:385-462); an

@@ -40,7 +40,9 @@ object TundraQL {
       where: Option[WhereExpr], select: List[SelectItem],
       asOf: Option[TemporalSnapshot] = None,
       orderBy: List[OrderKey] = Nil,
-      limit: Option[Long] = None) extends Statement
+      limit: Option[Long] = None,
+      distinct: Boolean = false,
+      having: List[HavingCond] = Nil) extends Statement
   final case class DeleteNodeByIdStmt(label: String, id: Long)
       extends Statement
   final case class DeletePatternStmt(pattern: PathPattern,
@@ -298,8 +300,32 @@ object TundraQL {
           Some(snap)
         } else None
       val where = if (eatKw("WHERE")) Some(expression()) else None
+      var distinct = false
       val select =
-        if (eatKw("SELECT")) selectClause() else List.empty[SelectItem]
+        if (eatKw("SELECT")) {
+          distinct = eatKw("DISTINCT")
+          selectClause()
+        } else List.empty[SelectItem]
+      // HAVING over output names (agg AS names / group keys) —
+      // beyond-reference (SURVEY §2 preamble)
+      val having =
+        if (eatKw("HAVING")) {
+          val conds = mutable.ListBuffer[HavingCond]()
+          do {
+            val name = ident()
+            val op = next() match {
+              case Sym("=")  => CmpOp.Eq
+              case Sym("!=") => CmpOp.NotEq
+              case Sym(">")  => CmpOp.Gt
+              case Sym(">=") => CmpOp.Gte
+              case Sym("<")  => CmpOp.Lt
+              case Sym("<=") => CmpOp.Lte
+              case other     => fail(s"expected comparison op, got $other")
+            }
+            conds += HavingCond(name, op, value())
+          } while (eatKw("AND"))
+          conds.toList
+        } else Nil
       // ORDER BY / LIMIT — beyond-reference (SURVEY §2 preamble)
       val orderBy =
         if (eatKw("ORDER")) {
@@ -314,7 +340,7 @@ object TundraQL {
           keys.toList
         } else Nil
       val limit = if (eatKw("LIMIT")) Some(longLit()) else None
-      MatchStmt(pats, where, select, asOf, orderBy, limit)
+      MatchStmt(pats, where, select, asOf, orderBy, limit, distinct, having)
     }
 
     private def longLit(): Long = next() match {
@@ -476,6 +502,20 @@ object TundraQL {
 
     private def term(): WhereExpr = {
       val lhs = scalarExpr()
+      // IN list — beyond-reference sugar, desugared to an OR chain of
+      // equality comparisons so strict typing (F3) applies per value
+      if (eatKw("IN")) {
+        expectSym("(")
+        val vals = mutable.ListBuffer[Any](value())
+        while (eatSym(",")) vals += value()
+        expectSym(")")
+        return vals.map[WhereExpr] { v =>
+          lhs match {
+            case SRef(f) => Comparison(f, CmpOp.Eq, v)
+            case e       => ExprComparison(e, CmpOp.Eq, SLit(v))
+          }
+        }.reduce(Or(_, _))
+      }
       val op = next() match {
         case Sym("=")  => CmpOp.Eq
         case Sym("!=") => CmpOp.NotEq

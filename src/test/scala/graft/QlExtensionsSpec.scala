@@ -65,6 +65,33 @@ class QlExtensionsSpec extends SparkSpec {
     assert(rowBag(res) === Map(Seq("acme", 2L) -> 1))
   }
 
+  test("SELECT DISTINCT, HAVING, IN lists (QL)") {
+    val sh = seeded()
+    val d = sh.execute("MATCH (u:User) SELECT DISTINCT u.team;").get
+    assert(rowBag(d) === Map(Seq("eng") -> 1, Seq("ops") -> 1))
+    // HAVING filters on the aggregate's output name, post-grouping
+    val h = sh.execute("MATCH (u:User) SELECT u.team, COUNT(*) AS n " +
+      "HAVING n > 1;").get
+    assert(rowBag(h) === Map(Seq("eng", 2L) -> 1))
+    val h2 = sh.execute("MATCH (u:User) SELECT u.team, COUNT(*) AS n, " +
+      "SUM(u.age) AS total HAVING n > 0 AND total < 60;").get
+    assert(rowBag(h2) === Map(Seq("ops", 1L, 50L) -> 1)) // eng total 70 out
+    val e = intercept[IllegalArgumentException] {
+      sh.execute("MATCH (u:User) SELECT u.team, COUNT(*) AS n " +
+        "HAVING bogus > 1;").get.collect()
+    }
+    assert(e.getMessage.contains("unknown output column"))
+    // IN desugars to equality OR chain (strict typing per value)
+    val in = sh.execute("MATCH (u:User) WHERE u.name IN (\"a\", \"c\") " +
+      "SELECT u.name;").get
+    assert(rowBag(in) === Map(Seq("a") -> 1, Seq("c") -> 1))
+    val typed = intercept[IllegalArgumentException] {
+      sh.execute("MATCH (u:User) WHERE u.name IN (1, 2) SELECT u.name;")
+        .get.collect()
+    }
+    assert(typed.getMessage.contains("type error"))
+  }
+
   test("scalar functions + arithmetic in WHERE and SELECT (QL)") {
     val sh = seeded()
     val res = sh.execute(
