@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.GraphAnalytics
 import graft.core.Ast._
 import graft.core.MockClock
-import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.planner.Planner
 import graft.store.GraphStore
 import graft.streaming.EventStreams
@@ -408,6 +408,12 @@ object SparkEntry {
       EventStreams.sessionizeBatch(
         TpchGraph.store(s, dir).nodes("events"), gapMs = 30L * 60000L)
         .select("userid", "sess_start", "sess_end", "n_events")),
+    // ---- streaming dedup, batch twin: only the key projection is gated
+    // (dropDuplicates keeps an arbitrary survivor row; the first-arrival
+    // rule is pinned by the streaming spec's MemoryStream test)
+    "s28_stream_dedup" -> ((s, dir) =>
+      EventStreams.dedupStream(TpchGraph.store(s, dir).nodes("events"),
+        Seq("userid", "etype")).select("userid", "etype")),
     // ---- as-of join: newest same-user click at or before each purchase
     // (one shuffle+sort, never a per-left range scan)
     "q51_asof_join" -> ((s, dir) => {
@@ -521,7 +527,48 @@ object SparkEntry {
     // grows, engine/oracle agree exactly
     "p45_split" -> ((s, dir) =>
       Corpus.assignSplits(TpchGraph.store(s, dir).nodes("documents"), "id")
-        .select(col("id").as("doc_id"), col("split")))
+        .select(col("id").as("doc_id"), col("split"))),
+    // benchmark decontamination: docs sharing 3-grams with a benchmark
+    // set (fixture: the id%97==0 subset of the corpus itself — members
+    // show ratio 1.0 by construction; the gated semantics are the
+    // overlap counts/ratios, which is what matters)
+    "p46_decontaminate" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+      Curation.decontaminate(docs, docs.filter(col("id") % 97 === 0),
+        "id", "text", k = 3, ratioThreshold = 0.5)
+        .select(col("id").as("doc_id"), col("overlap_cnt"),
+          col("overlap_ratio"), col("contaminated"))
+    }),
+    // token-budget sequence packing (sort-and-chunk by id order)
+    "p47_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(TpchGraph.store(s, dir).nodes("documents"),
+        "id", "text", budgetTokens = 512)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("bin"))),
+    // deterministic stratified sampling: 60% of predicted-en docs, 10%
+    // of the rest, selected by the same md5 buckets as p45's splits
+    "p48_stratified_sample" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+      Curation.stratifiedSample(docs, "id",
+        TextAnalysis.langId(col("text")), Map("en" -> 60, "und" -> 10))
+        .select(col("id").as("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+    // duplicate clusters: transitive closure (GraphX connected
+    // components) over the p32 exact-Jaccard pairs -> min-id canonical
+    "p49_dup_clusters" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "id", "text",
+        blockCol = "source", k = 3, threshold = 0.01)
+      Curation.dupClusters(docs, "id", pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+    // symmetric int8 embedding quantization (qvec joined to a string so
+    // the harness can sort/hash — the q14 array-column lesson)
+    "p50_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(
+        TpchGraph.store(s, dir).nodes("embeddings")
+          .withColumnRenamed("id", "vec_id"))
+        .select(col("vec_id"), col("scale"), col("qvec")))
   )
 
   /** Temporal DIFF + variable-length paths (beyond-reference ops). */
@@ -766,6 +813,71 @@ object SparkEntry {
         "'\\s+'))) * 1.0 / " +
         "greatest(len(regexp_split_to_array(trim(text), '\\s+')) * 1.0, " +
         "1.0) AS rep_ratio FROM documents"),
+    "p46_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+        "FROM documents), " +
+        s"g AS (SELECT doc_id, $duckShingles AS sh FROM t), " +
+        "bg AS (SELECT DISTINCT unnest(sh) AS gram FROM g " +
+        "WHERE doc_id % 97 = 0), " +
+        "x AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS gram " +
+        "FROM g), " +
+        "o AS (SELECT x.doc_id, max(x.total) AS total, " +
+        "count(bg.gram) AS overlap_cnt " +
+        "FROM x LEFT JOIN bg ON x.gram = bg.gram GROUP BY x.doc_id) " +
+        "SELECT doc_id, overlap_cnt, " +
+        "overlap_cnt * 1.0 / greatest(total * 1.0, 1.0) AS overlap_ratio, " +
+        "overlap_cnt * 1.0 / greatest(total * 1.0, 1.0) >= 0.5 " +
+        "AS contaminated FROM o"),
+    "p47_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING) AS bef FROM t) " +
+        "SELECT doc_id, n_tokens, " +
+        "CAST(coalesce(bef, 0) // 512 AS BIGINT) AS bin FROM c"),
+    "p48_stratified_sample" ->
+      ("WITH l AS (SELECT doc_id, CASE WHEN " +
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), " +
+        s"'\\s+'), t -> t IN $duckStops)) * 1.0 / " +
+        "greatest(len(regexp_split_to_array(trim(text), '\\s+')) * 1.0, " +
+        "1.0) >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred " +
+        "FROM documents) " +
+        "SELECT doc_id, lang_pred FROM l WHERE " +
+        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, " +
+        "15)) AS BIGINT) % 100 < " +
+        "CASE lang_pred WHEN 'en' THEN 60 WHEN 'und' THEN 10 " +
+        "ELSE 0 END"),
+    // min-label propagation to a fixpoint = connected components; the
+    // lbl < e.b prune is safe because a node's own id always propagates
+    "p49_dup_clusters" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, source, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+        "FROM documents), " +
+        s"sh AS (SELECT doc_id, source, $duckShingles AS sh FROM t), " +
+        "pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a " +
+        "JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.01), " +
+        "e AS (SELECT ia AS a, ib AS b FROM pr " +
+        "UNION ALL SELECT ib, ia FROM pr), " +
+        "cc AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
+        "UNION SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.id " +
+        "WHERE cc.lbl < e.b) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster FROM cc GROUP BY id"),
+    "p50_quantize_int8" ->
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale " +
+        "FROM embeddings) " +
+        "SELECT vec_id, scale, array_to_string(list_transform(embedding, " +
+        "x -> CAST(CAST(CASE WHEN scale = 0 THEN 0 ELSE " +
+        "floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INT) AS VARCHAR))" +
+        ", ',') AS qvec FROM e"),
+    "s28_stream_dedup" ->
+      "SELECT DISTINCT user_id AS userid, event_type AS etype FROM events",
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
         "WHERE c_custkey % 3 = 0"),

@@ -104,4 +104,28 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× memory cut before an ANN index is built or embeddings are shipped
+    * to a vector store. Per vector: `scale = max|x| / 127`,
+    * `q_i = floor(x_i/scale + 0.5)` (explicit floor-plus-half instead of
+    * a round() builtin so the engine and the DuckDB oracle run the exact
+    * same IEEE ops — round() half-rule conventions differ). A zero vector
+    * quantizes to zeros with scale 0. Pure projection: the 100 TB cost is
+    * the scan; no shuffle, no state. Output: id, `scale` (double),
+    * `qvec` (comma-joined ints — a string so the verify harness can sort
+    * and hash it; reconstruct with `split` + `cast` + `x * scale`). */
+  def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = (maxAbs / 127.0).as("scale")
+    vectors.select(col(idCol), v, scale)
+      .withColumn("qvec", concat_ws(",",
+        transform(v, x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(floor(x.cast("double") / col("scale") + 0.5)
+              .cast("int")).cast("string"))))
+      .select(col(idCol), col("scale"), col("qvec"))
+  }
 }

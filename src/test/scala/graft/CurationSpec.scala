@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Similarity}
+
+/** Behavior tests for the corpus-curation operators (decontamination,
+  * sequence packing, stratified sampling, duplicate clustering, int8
+  * quantization).
+  */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),     // exact dup of 0
+      (2L, "alpha beta gamma something else now"), // shares a 3-gram with 0
+      (3L, "totally unrelated words appear here"),
+      (4L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("decontaminate flags docs sharing k-grams with the benchmark") {
+    val bench = docs.filter(col("doc_id") === 0)
+    val res = Curation.decontaminate(docs, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("overlap_cnt"), r.getAs[Boolean]("contaminated")))
+      .toMap
+    // doc 0/1: all 3 of their 3-grams are benchmark grams
+    assert(res(0L) === ((3L, true)))
+    assert(res(1L) === ((3L, true)))
+    // doc 2: exactly one shared 3-gram ("alpha beta gamma"), 4 total
+    assert(res(2L) === ((1L, false)))
+    assert(res(3L) === ((0L, false)))
+    assert(res(4L) === ((0L, false)))
+    // every input doc is present in the output
+    assert(res.size === 5)
+  }
+
+  test("packSequences: bins follow the global exclusive prefix sum") {
+    import spark.implicits._
+    // token counts: 5, 5, 6, 5, 2 — budget 10:
+    // before = 0, 5, 10, 16, 21 -> bins 0, 0, 1, 1, 2
+    val res = Curation.packSequences(docs, "doc_id", "text",
+      budgetTokens = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(res === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // chunked execution (forcing several range chunks) must agree with
+    // the single-chunk global result — the prefix-offset plumbing is
+    // what's under test
+    val chunked = Curation.packSequences(docs, "doc_id", "text",
+      budgetTokens = 10, chunks = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(chunked === res)
+  }
+
+  test("packSequences on an empty frame returns no rows") {
+    assert(Curation.packSequences(docs.filter(col("doc_id") < 0),
+      "doc_id", "text", budgetTokens = 10).count() === 0)
+  }
+
+  test("stratifiedSample keeps exactly the rows under their stratum rate") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("id", "stratum")
+    val res = Curation.stratifiedSample(rows, "id", col("stratum"),
+      Map("a" -> 50, "b" -> 10))
+    // recompute the expected keep-set with the same bucket formula
+    val bucketed = rows.withColumn("__b",
+      pmod(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = bucketed.collect {
+      case (id, "a", b) if b < 50 => id
+      case (id, "b", b) if b < 10 => id
+    }.toSet
+    assert(res.collect().map(_.getLong(0)).toSet === expected)
+    assert(expected.nonEmpty)
+    // determinism: same call, same sample
+    assert(Curation.stratifiedSample(rows, "id", col("stratum"),
+      Map("a" -> 50, "b" -> 10)).collect().map(_.getLong(0)).toSet
+      === expected)
+  }
+
+  test("dupClusters: transitive closure, min-id canonical, singletons") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val res = Curation.dupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0-1-2 collapse transitively even though 0-2 was never compared
+    assert(res(0L) === 0L && res(1L) === 0L && res(2L) === 0L)
+    assert(res(3L) === 3L && res(4L) === 4L) // singletons own-cluster
+    val kept = Curation.canonical(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 3L, 4L))
+  }
+
+  test("quantizeInt8: max element maps to ±127, zero vector to zeros") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.5f, -1.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.quantizeInt8(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[String]("qvec"))).toMap
+    assert(res(0L)._1 === 1.0 / 127.0)
+    assert(res(0L)._2 === "127,64,-127") // 0.5/scale = 63.5 -> floor(64.0)
+    assert(res(1L)._1 === 0.0)
+    assert(res(1L)._2 === "0,0,0")
+  }
+}
