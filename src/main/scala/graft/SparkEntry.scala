@@ -312,6 +312,17 @@ object SparkEntry {
         "MATCH (c:customer) WHERE c.mktsegment IN " +
           "(\"BUILDING\", \"MACHINERY\") " +
           "SELECT c.id AS c_id, c.mktsegment AS seg;").get),
+    // ---- user-level set ops between MATCH results (QL path): rich
+    // BUILDING customers minus the ones with a cheap order, plus every
+    // AUTOMOBILE customer — exercises EXCEPT + UNION chaining
+    "q61_setops_ql" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir)).execute(
+        "MATCH (c:customer) WHERE c.mktsegment = \"BUILDING\" " +
+          "AND c.acctbal > 5000.0 SELECT c.id AS c_id " +
+          "EXCEPT MATCH (c:customer)-[:placed]->(o:orders) " +
+          "WHERE o.totalprice < 50000.0 SELECT c.id AS c_id " +
+          "UNION MATCH (c:customer) WHERE c.mktsegment = \"AUTOMOBILE\" " +
+          "AND c.acctbal > 9000.0 SELECT c.id AS c_id;").get),
     // ---- undirected hop: same_nation stores one orientation (a < b);
     // `-[..]-` sees both
     "q55_undirected" -> ((s, dir) =>
@@ -1072,6 +1083,15 @@ object SparkEntry {
     "q60_in_list" ->
       ("SELECT c_custkey AS c_id, c_mktsegment AS seg FROM customer " +
         "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"),
+    // left-assoc chain: (BUILDING-rich EXCEPT cheap-order) UNION auto-rich
+    "q61_setops_ql" ->
+      ("(SELECT c_custkey AS c_id FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000 " +
+        "EXCEPT SELECT c.c_custkey AS c_id FROM customer c " +
+        "JOIN orders o ON o.o_custkey = c.c_custkey " +
+        "WHERE o.o_totalprice < 50000) " +
+        "UNION SELECT c_custkey AS c_id FROM customer " +
+        "WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000"),
     "q55_undirected" ->
       ("WITH e AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst " +
         "FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey " +

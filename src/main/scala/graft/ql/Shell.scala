@@ -91,6 +91,29 @@ final class Shell(store: GraphStore,
 
     case m: MatchStmt => Some(planner.plan(toQuery(m)))
 
+    case SetOpStmt(op, all, left, right) =>
+      // user-level set ops between MATCH results (beyond-reference —
+      // the reference has id-set algebra only inside join strategies,
+      // src/query/join.cpp; SURVEY §2.3). Column names must line up;
+      // resolve positionally-independent via unionByName.
+      val l = executeStmt(left).getOrElse(
+        throw new IllegalArgumentException(s"$op: left side returned no rows frame"))
+      val r = executeStmt(right).getOrElse(
+        throw new IllegalArgumentException(s"$op: right side returned no rows frame"))
+      require(l.columns.sorted.sameElements(r.columns.sorted),
+        s"$op requires matching output columns: " +
+          s"${l.columns.mkString(",")} vs ${r.columns.mkString(",")}")
+      // backtick-quote: output names contain dots ("u.name")
+      val rAligned = r.select(
+        l.columns.map(c => col("`" + c + "`")).toIndexedSeq: _*)
+      Some(op match {
+        case "union" =>
+          val u = l.unionByName(rAligned)
+          if (all) u else u.distinct()
+        case "intersect" => l.intersect(rAligned)
+        case "except"    => l.except(rAligned)
+      })
+
     case ExplainStmt(m) =>
       import store.spark.implicits._
       val df = planner.plan(toQuery(m))

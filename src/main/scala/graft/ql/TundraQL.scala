@@ -59,6 +59,13 @@ object TundraQL {
   /** `EXPLAIN MATCH ...` — beyond-reference; returns the optimized +
     * physical Spark plan as a one-column frame. */
   final case class ExplainStmt(m: MatchStmt) extends Statement
+  /** `MATCH … UNION [ALL] | INTERSECT | EXCEPT MATCH …` — user-level set
+    * operations between MATCH results (beyond-reference: the reference has
+    * id-set algebra only inside join strategies, SURVEY §2.3). Chains are
+    * left-associative; each side's SELECT must produce the same output
+    * columns. ORDER BY/LIMIT bind to their own MATCH. */
+  final case class SetOpStmt(op: String, all: Boolean, left: Statement,
+      right: MatchStmt) extends Statement
 
   // ---------------- lexer ----------------
   private sealed trait Tok
@@ -178,8 +185,27 @@ object TundraQL {
         case Id("SHOW")    => showStatement()
         case other         => fail(s"unexpected $other")
       }
+      // set-operation chain between MATCH statements, left-associative
+      var combined = st
+      var more = combined.isInstanceOf[MatchStmt]
+      while (more) {
+        val op =
+          if (eatKw("UNION")) Some("union")
+          else if (eatKw("INTERSECT")) Some("intersect")
+          else if (eatKw("EXCEPT")) Some("except")
+          else None
+        op match {
+          case None => more = false
+          case Some(o) =>
+            val all = o == "union" && eatKw("ALL")
+            matchStatement() match {
+              case m: MatchStmt => combined = SetOpStmt(o, all, combined, m)
+              case other => fail(s"expected MATCH after $o, got $other")
+            }
+        }
+      }
       expectSym(";")
-      st
+      combined
     }
 
     private def createStatement(): Statement = {

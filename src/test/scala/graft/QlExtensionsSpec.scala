@@ -203,6 +203,35 @@ class QlExtensionsSpec extends SparkSpec {
     assert(rowBag(two) === Map(Seq("c") -> 1))
   }
 
+  test("UNION / INTERSECT / EXCEPT between MATCH results (QL)") {
+    val sh = seeded()
+    // UNION dedups; UNION ALL keeps both copies
+    val u = sh.execute("MATCH (u:User) WHERE u.team = \"eng\" " +
+      "SELECT u.name UNION MATCH (u:User) WHERE u.age >= 40 " +
+      "SELECT u.name;").get
+    assert(rowBag(u) === Map(Seq("a") -> 1, Seq("b") -> 1, Seq("c") -> 1))
+    val ua = sh.execute("MATCH (u:User) WHERE u.team = \"eng\" " +
+      "SELECT u.name UNION ALL MATCH (u:User) WHERE u.age >= 40 " +
+      "SELECT u.name;").get
+    assert(rowBag(ua) === Map(Seq("a") -> 1, Seq("b") -> 2, Seq("c") -> 1))
+    val i = sh.execute("MATCH (u:User) WHERE u.team = \"eng\" " +
+      "SELECT u.name INTERSECT MATCH (u:User) WHERE u.age >= 40 " +
+      "SELECT u.name;").get
+    assert(rowBag(i) === Map(Seq("b") -> 1))
+    // left-associative chain: (eng EXCEPT age>=40) UNION ops
+    val chain = sh.execute("MATCH (u:User) WHERE u.team = \"eng\" " +
+      "SELECT u.name EXCEPT MATCH (u:User) WHERE u.age >= 40 " +
+      "SELECT u.name UNION MATCH (u:User) WHERE u.team = \"ops\" " +
+      "SELECT u.name;").get
+    assert(rowBag(chain) === Map(Seq("a") -> 1, Seq("c") -> 1))
+    // mismatched output columns are rejected up front
+    val e = intercept[IllegalArgumentException] {
+      sh.execute("MATCH (u:User) SELECT u.name UNION " +
+        "MATCH (u:User) SELECT u.age;")
+    }
+    assert(e.getMessage.contains("matching output columns"))
+  }
+
   test("builder surface: agg, orderBy, limit") {
     val store = new GraphStore(spark)
     store.createSchema("User",
