@@ -98,34 +98,39 @@ object Dedup {
           t => xxhash64(t)).as("__th"))
       .select(col("__id"), hashedShingles(col("__th"), shingleK).as("__shh"))
       .localCheckpoint(eager = true)
-    // Signatures as grouped min-aggregates over exploded shingles instead
-    // of nested higher-order functions: every expression stays inside
-    // whole-stage codegen and map-side partial aggregation shrinks the
-    // shuffle to one row per document.
+    // Signatures in ONE fused native pass per row
+    // ([[graft.functions.MinHashSig]] — bit-identical to the former
+    // explode → groupBy(id).agg(64 min buffers) formulation, which paid
+    // a corpus×shingles row explosion plus an aggregation hash map;
+    // history: that aggregate itself replaced a ~10× slower nested-HOF
+    // projection, and a Kirsch-Mitzenmacher two-hash family was measured
+    // and did NOT move the wall clock). `exploded` remains the
+    // verify-stage's shingle table.
     val exploded = base.select(col("__id"), explode(col("__shh")).as("__s"))
-    // __sz = |shingle set| rides along for free (exploded rows are the
-    // distinct shingles) and powers the verify-stage size prune below.
-    // (A Kirsch-Mitzenmacher two-hash family — h_i = h1 + i·h2, masked
-    // for ANSI overflow rules — was measured here and did NOT move the
-    // wall clock: the aggregate's cost is the 65 min-buffers + shuffle,
-    // not the per-shingle hashing. Keeping k independent xxhash64 seeds.)
-    val sigCols = count(lit(1)).as("__sz") +: (0 until numHashes).map(i =>
-      min(xxhash64(col("__s"), lit(i))).as(s"__h$i"))
     // The signature table feeds TWO aggregation subtrees (raw buckets and
     // the oversized-bucket id list) — Catalyst does not dedupe them, so
-    // without materialization the 65-buffer aggregate runs twice.
-    // Checkpointing is safe at any scale: n rows × 65 longs, far smaller
-    // than the corpus. Measured 1.0s → 0.55s end-to-end at sf0.1.
+    // without materialization the signature pass runs twice.
+    // Checkpointing is safe at any scale: n rows × (numHashes+2) longs,
+    // far smaller than the corpus.
     // (`exploded` is deliberately NOT checkpointed even though the verify
     // stage re-derives it: it is O(total shingles) — corpus-sized — and
     // re-running a cheap explode over the checkpointed base beats pinning
     // that much data in executor storage at the 100 TB scale.)
-    val sigDf = exploded.groupBy("__id")
-      .agg(sigCols.head, sigCols.tail: _*)
+    val sigDf = base.select(col("__id"),
+      size(col("__shh")).as("__sz"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__shh")),
+          numHashes)).as("__sig"))
       .localCheckpoint(eager = true)
+    // Band key = xxhash64 over (band index, its r signature slots):
+    // any injective-modulo-collision function of the slot values yields
+    // the same candidate buckets as the former md5(concat_ws) string —
+    // equality of the r mins is what buckets — and a 64-bit collision
+    // merely adds a candidate pair that exact verification then drops.
     val bandCols = (0 until bands).map { b =>
-      md5(concat_ws(",", (lit(b.toString) +:
-        (b * r until (b + 1) * r).map(i => col(s"__h$i"))): _*))
+      xxhash64((lit(b) +: (b * r until (b + 1) * r)
+        .map(i => element_at(col("__sig"), i + 1))): _*)
     }
     // Candidate generation carries ONLY (id, set size, bucket): with
     // skewed corpora a bucket can hold O(n) rows, and duplicating shingle

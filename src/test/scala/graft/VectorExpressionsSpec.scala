@@ -141,6 +141,46 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSig matches the min-aggregate SQL formulation bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 50L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong())))
+    val df = rows.toDF("id", "sh")
+      .select(col("id"), array_distinct(col("sh")).as("sh"))
+    val k = 16
+    // SQL path: explode + per-family min(xxhash64(s, i))
+    val agged = df.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(min(xxhash64(col("s"), lit(0))).as("h0"),
+        (1 until k).map(i =>
+          min(xxhash64(col("s"), lit(i))).as(s"h$i")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 until k).map(i => r.getAs[Long](s"h$i"))).toMap
+    // native fused pass
+    val fused = df.select(col("id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh")),
+          k)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, _) =>
+      assert(fused(id) === agged(id), s"signature mismatch for id $id")
+    }
+    // interpreted eval agrees with codegen
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(3L, -9L, 42L))
+    val viaEval = graft.functions.MinHashSig.compute(arr, 4).toSeq
+    val viaDf = Seq((0L, Seq(3L, -9L, 42L))).toDF("id", "sh")
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh")),
+          4)))
+      .collect().head.getSeq[Long](0)
+    assert(viaEval === viaDf)
+  }
+
   test("GraftExtensions registers graft_* SQL functions " +
       "(SparkSessionExtensions surface)") {
     graft.functions.GraftExtensions.register(spark)

@@ -7,6 +7,7 @@ both (columns sorted by name, rows sorted lexicographically, values
 rendered as strings), and diffs.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -40,6 +41,9 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        # filtered Verify runs dump a subset; absent dumps are not failures
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue
         try:
             eng = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
