@@ -542,6 +542,22 @@ object TundraQL {
           }
         }.reduce(Or(_, _))
       }
+      // string predicates (F2 — the reference exposes these only through
+      // its C++ builder enum, include/query/query.hpp:74-84; its grammar
+      // has no tokens for them, so this is beyond-reference QL surface).
+      // Strict typing (F3): field vs string literal only.
+      val strOp =
+        if (eatKw("CONTAINS")) Some(CmpOp.Contains)
+        else if (eatKw("STARTS_WITH")) Some(CmpOp.StartsWith)
+        else if (eatKw("ENDS_WITH")) Some(CmpOp.EndsWith)
+        else None
+      strOp.foreach { op =>
+        val rhs = value()
+        return lhs match {
+          case SRef(f) => Comparison(f, op, rhs)
+          case _ => fail(s"$op expects a field reference on the left")
+        }
+      }
       val op = next() match {
         case Sym("=")  => CmpOp.Eq
         case Sym("!=") => CmpOp.NotEq

@@ -232,6 +232,25 @@ class QlExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("matching output columns"))
   }
 
+  test("CONTAINS / STARTS_WITH / ENDS_WITH in QL WHERE") {
+    val sh = seeded()
+    val c = sh.execute("MATCH (u:User) WHERE u.team CONTAINS \"n\" " +
+      "SELECT u.name;").get
+    assert(rowBag(c) === Map(Seq("a") -> 1, Seq("b") -> 1)) // eng only
+    val s = sh.execute("MATCH (u:User) WHERE u.team STARTS_WITH \"op\" " +
+      "SELECT u.name;").get
+    assert(rowBag(s) === Map(Seq("c") -> 1))
+    val e = sh.execute("MATCH (u:User) WHERE u.team ENDS_WITH \"g\" " +
+      "SELECT u.name;").get
+    assert(rowBag(e) === Map(Seq("a") -> 1, Seq("b") -> 1))
+    // strict typing (F3): string ops demand string operands
+    val bad = intercept[IllegalArgumentException] {
+      sh.execute("MATCH (u:User) WHERE u.age CONTAINS \"3\" " +
+        "SELECT u.name;").get.collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("string"))
+  }
+
   test("builder surface: agg, orderBy, limit") {
     val store = new GraphStore(spark)
     store.createSchema("User",
