@@ -637,7 +637,28 @@ object SparkEntry {
     // iterative float fixpoint → rows-only check
     "g44_pagerank" -> ((s, dir) =>
       GraphAnalytics.pageRank(TpchGraph.store(s, dir),
-        Seq(("same_nation", "supplier", "supplier")), iters = 5))
+        Seq(("same_nation", "supplier", "supplier")), iters = 5)),
+    // landmark BFS over nation cliques ∪ an id-chain (the chain makes
+    // distances nontrivial — cliques alone are diameter ≤ 1); the oracle
+    // is a real recursive-CTE BFS, so Pregel's min-dist propagation is
+    // exactly pinned
+    "g45_shortest_paths" -> ((s, dir) => {
+      val base = TpchGraph.store(s, dir)
+      val st = new GraphStore(s)
+      st.attachNodes("supplier", base.nodes("supplier"), "id")
+      st.attachEdges("same_nation", "supplier", "supplier",
+        base.edges("same_nation", "supplier", "supplier")
+          .select("src", "dst"))
+      val sup = base.nodes("supplier").select(col("id"))
+      st.attachEdges("next_sup", "supplier", "supplier",
+        sup.select(col("id").as("src"), (col("id") + 1).as("dst"))
+          .join(sup.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+      GraphAnalytics.shortestPaths(st,
+        Seq(("same_nation", "supplier", "supplier"),
+          ("next_sup", "supplier", "supplier")),
+        Seq(("supplier", 0L)))
+        .select(col("id").as("s_id"), col("dist"))
+    })
   )
 
   /** DuckDB dialect: sequential float64 dot-product fold — bit-for-bit
@@ -913,7 +934,27 @@ object SparkEntry {
     "g43_triangles" ->
       ("SELECT s_suppkey AS id, (cnt - 1) * (cnt - 2) // 2 AS triangles " +
         "FROM (SELECT s_suppkey, count(*) OVER " +
-        "(PARTITION BY s_nationkey) AS cnt FROM supplier)")
+        "(PARTITION BY s_nationkey) AS cnt FROM supplier)"),
+    // recursive-CTE BFS: min dist to supplier 0 over the undirected
+    // union of nation cliques and the consecutive-id chain; the dist<40
+    // cap only bounds recursion (diameter ≪ 40: the chain alone caps at
+    // n-1 only when n ≤ 40; nation cliques shortcut everything else)
+    "g45_shortest_paths" ->
+      ("WITH RECURSIVE sn AS (SELECT a.s_suppkey AS src, b.s_suppkey " +
+        "AS dst FROM supplier a JOIN supplier b " +
+        "ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey), " +
+        "ch AS (SELECT s_suppkey AS src, s_suppkey + 1 AS dst " +
+        "FROM supplier WHERE s_suppkey + 1 IN " +
+        "(SELECT s_suppkey FROM supplier)), " +
+        "e AS (SELECT src AS a, dst AS b FROM sn " +
+        "UNION ALL SELECT dst, src FROM sn " +
+        "UNION ALL SELECT src, dst FROM ch " +
+        "UNION ALL SELECT dst, src FROM ch), " +
+        "d AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS dist " +
+        "UNION SELECT e.b, d.dist + 1 FROM d JOIN e ON e.a = d.id " +
+        "WHERE d.dist < 40) " +
+        "SELECT id AS s_id, CAST(min(dist) AS INT) AS dist " +
+        "FROM d GROUP BY id")
   )
 
   private def referenceOracles: Map[String, String] = Map(

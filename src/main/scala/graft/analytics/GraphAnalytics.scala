@@ -31,9 +31,12 @@ object GraphAnalytics {
   }
 
   /** Build a GraphX graph from one or more (edgeType, srcLabel, dstLabel)
-    * edge sets of the store. */
+    * edge sets of the store. `undirected` adds the reversed orientation of
+    * every edge (a narrow 2× of the edge RDD, applied before partitioning
+    * — never a 2× of any joined result). */
   def lift(store: GraphStore,
-           edgeSets: Seq[(String, String, String)]): Graph[Long, Int] = {
+           edgeSets: Seq[(String, String, String)],
+           undirected: Boolean = false): Graph[Long, Int] = {
     val labels = edgeSets.flatMap(e => Seq(e._2, e._3)).distinct
     val labelIdx = labels.zipWithIndex.toMap
     val vertexDfs = labels.map { l =>
@@ -43,10 +46,12 @@ object GraphAnalytics {
     val vertices = vertexDfs.reduce(_ union _)
       .rdd.map(r => (r.getLong(0): VertexId, r.getLong(0)))
     val edgeRdds = edgeSets.map { case (t, s, d) =>
-      store.edges(t, s, d).select(
+      val fwd = store.edges(t, s, d).select(
         namespaced(labelIdx(s).toLong, col("src")).as("s"),
         namespaced(labelIdx(d).toLong, col("dst")).as("d"))
         .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      if (undirected) fwd.union(fwd.map(e => Edge(e.dstId, e.srcId, 1)))
+      else fwd
     }
     Graph(vertices, edgeRdds.reduce(_ union _),
       defaultVertexAttr = 0L,
@@ -80,6 +85,39 @@ object GraphAnalytics {
     import spark.implicits._
     g.triangleCount().vertices.toDF("vid", "triangles")
       .select(denamespace(col("vid")).as("id"), col("triangles"))
+  }
+
+  /** Unweighted landmark shortest paths → (id, landmark, dist), reachable
+    * pairs only. GraphX Pregel: per round, frontier-sized messages flow
+    * along edges and each vertex keeps its min-distance map — O(diameter)
+    * rounds, cost per round proportional to the active frontier, never
+    * the whole graph. Landmarks are (label, id) pairs namespaced like the
+    * lift; `undirected` matches an undirected reading of the edges. */
+  def shortestPaths(store: GraphStore,
+                    edgeSets: Seq[(String, String, String)],
+                    landmarks: Seq[(String, Long)],
+                    undirected: Boolean = true): DataFrame = {
+    val labels = edgeSets.flatMap(e => Seq(e._2, e._3)).distinct
+    val labelIdx = labels.zipWithIndex.toMap
+    val lm = landmarks.map { case (label, id) =>
+      require(labelIdx.contains(label), s"landmark label $label not in graph")
+      require(id >= 0 && id < MaxId, s"landmark id $id out of range")
+      (labelIdx(label).toLong << IdBits) | id
+    }
+    val g = lift(store, edgeSets, undirected)
+    val spark = store.spark
+    import spark.implicits._
+    // ShortestPaths follows OUT-edges from each vertex toward landmarks;
+    // with `undirected` both orientations exist so the distinction
+    // vanishes. Unreachable landmarks are simply absent from the map.
+    org.apache.spark.graphx.lib.ShortestPaths.run(g, lm)
+      .vertices
+      .flatMap { case (vid, dists) =>
+        dists.map { case (l, d) => (vid, l, d) }
+      }
+      .toDF("vid", "lm", "dist")
+      .select(denamespace(col("vid")).as("id"),
+        denamespace(col("lm")).as("landmark"), col("dist"))
   }
 
   /** PageRank → (id, rank). Iterative float algorithm: verified
