@@ -105,6 +105,25 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Persist an IVF index: centroids (tiny) plus the assigned vector
+    * table written `partitionBy("cluster")` — probing `nProbe` clusters
+    * after [[loadIndex]] then reads ONLY those cluster directories
+    * (parquet partition pruning), which is the point of an IVF layout on
+    * disk: query cost scales with nProbe/nCentroids of the stored bytes,
+    * not the corpus. */
+  def saveIndex(path: String, centroids: DataFrame,
+                assigned: DataFrame): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Load a persisted IVF index → (centroids, assigned). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/vectors"))
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4× memory cut before an ANN index is built or embeddings are shipped
     * to a vector store. Per vector: `scale = max|x| / 127`,

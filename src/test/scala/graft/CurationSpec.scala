@@ -96,6 +96,32 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(0L, 3L, 4L))
   }
 
+  test("IVF index persists: probe results identical, partitions pruned") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(vecs, k = 4, iters = 2)
+    val assigned = Similarity.ivfAssign(vecs, centroids)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.saveIndex(dir, centroids, assigned)
+    val (c2, a2) = Similarity.loadIndex(spark, dir)
+    val q = vecs.filter(col("vec_id") < 2)
+    def res(c: org.apache.spark.sql.DataFrame,
+            a: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(a, c, q, k = 5, nProbe = 2)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nn_id"),
+          r.getAs[Int]("rank"))).toSet
+    assert(res(c2, a2) === res(centroids, assigned))
+    // the probed read plans a pruned partition scan: the vectors table
+    // arrives partitioned by cluster, so cluster is a partition column
+    assert(a2.schema.fieldNames.contains("cluster"))
+    val pruned = a2.filter(col("cluster") === 0)
+      .queryExecution.executedPlan.toString
+    assert(!pruned.contains("PartitionFilters: []"),
+      s"expected a partition filter on cluster:\n$pruned")
+  }
+
   test("quantizeInt8: max element maps to ±127, zero vector to zeros") {
     import spark.implicits._
     val vecs = Seq(
