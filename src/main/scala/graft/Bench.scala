@@ -107,7 +107,16 @@ object Bench {
           ev.select(col("id").as("bid"), col("userid"),
             col("ts").as("bts")),
           Seq("userid"), "ts", "bts", 0L, 3600L * 1000000000L)
-      })
+      }),
+      "decontaminate" -> (() => {
+        val docs = store.nodes("documents")
+        graft.pipeline.Curation.decontaminate(docs,
+          docs.filter(col("id") % 97 === 0), "id", "text", k = 3)
+      }),
+      "pack_sequences" -> (() => graft.pipeline.Curation.packSequences(
+        store.nodes("documents"), "id", "text", budgetTokens = 2048)),
+      "quantize_int8" -> (() => Similarity.quantizeInt8(
+        store.nodes("embeddings").withColumnRenamed("id", "vec_id")))
     )
 
     def timeOnce(f: () => DataFrame): Double = {

@@ -579,7 +579,18 @@ object SparkEntry {
       Similarity.quantizeInt8(
         TpchGraph.store(s, dir).nodes("embeddings")
           .withColumnRenamed("id", "vec_id"))
-        .select(col("vec_id"), col("scale"), col("qvec")))
+        .select(col("vec_id"), col("scale"), col("qvec"))),
+    // vocabulary build: exact top-k corpus terms, term-asc tie-break
+    "p51_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(TpchGraph.store(s, dir).nodes("documents"),
+        "text", k = 50)),
+    // TF-IDF integer skeleton (tf, df); the float tfidf column is
+    // spec-gated (ln() last-ulp differs across libms)
+    "p52_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(TpchGraph.store(s, dir).nodes("documents"),
+        "id", "text", vocab = 20)
+        .select(col("doc").as("doc_id"), col("term"), col("tf"),
+          col("df")))
   )
 
   /** Temporal DIFF + variable-length paths (beyond-reference ops). */
@@ -910,6 +921,26 @@ object SparkEntry {
         ", ',') AS qvec FROM e"),
     "s28_stream_dedup" ->
       "SELECT DISTINCT user_id AS userid, event_type AS etype FROM events",
+    "p51_top_terms" ->
+      ("SELECT term, cnt, CAST(rank AS INT) AS rank FROM " +
+        "(SELECT term, count(*) AS cnt, row_number() OVER " +
+        "(ORDER BY count(*) DESC, term) AS rank FROM " +
+        "(SELECT unnest(regexp_split_to_array(trim(lower(text)), " +
+        "'\\s+')) AS term FROM documents) GROUP BY term) " +
+        "WHERE rank <= 50"),
+    "p52_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) " +
+        "AS term FROM documents), " +
+        "top AS (SELECT term FROM (SELECT term, row_number() OVER " +
+        "(ORDER BY count(*) DESC, term) AS rank FROM tok GROUP BY term) " +
+        "WHERE rank <= 20), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok " +
+        "GROUP BY doc_id, term), " +
+        "dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok " +
+        "GROUP BY term) " +
+        "SELECT tf.doc_id, tf.term, tf.tf, dfq.df FROM tf " +
+        "JOIN top USING (term) JOIN dfq USING (term)"),
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
         "WHERE c_custkey % 3 = 0"),

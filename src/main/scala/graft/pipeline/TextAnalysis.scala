@@ -117,6 +117,47 @@ object TextAnalysis {
     * output (same Column arithmetic over the same integer counts). */
   def qualityScoreFast(text: Column): Column = qualityOf(stats(text))
 
+  /** Corpus vocabulary: the `k` most frequent lowercased whitespace
+    * tokens with document frequency — the exact top-k a tokenizer-vocab
+    * build runs. One explode + one map-side-combined count shuffle
+    * (distinct tokens, not corpus tokens, cross the wire), then a
+    * rank-k cut. Ties break on the term ascending so the cut is
+    * deterministic and oracle-checkable. At 100 TB the count table is
+    * vocabulary-sized; the final global sort ranks only that table. */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-document TF-IDF over the top-`vocab` corpus terms:
+    * `tf · ln(N / df)`. The integer skeleton (tf, df — the joins and
+    * counts that ARE the operator) is oracle-gated; the float `tfidf`
+    * projection is spec-gated only, because `ln` is not guaranteed
+    * bit-identical across engines' libm in the last ulp. Document
+    * frequency comes from one distinct-(doc, term) aggregate; the
+    * vocabulary cut bounds output width. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String,
+            vocab: Int): DataFrame = {
+    val n = df.count()
+    val docTerm = df.select(col(idCol).as("doc"),
+      explode(array_distinct(tokens(lower(col(textCol))))).as("term"))
+    val dfreq = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = topTerms(df, textCol, vocab).select("term")
+    val tf = df.select(col(idCol).as("doc"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(top), "term")
+      .join(broadcast(dfreq.join(top, "term")), "term")
+      .select(col("doc"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(lit(n.toDouble) / col("df").cast("double"))).as("tfidf"))
+  }
+
   /** Convenience: annotate a document DataFrame with all signals. One
     * fused native pass feeds every token-derived column. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {

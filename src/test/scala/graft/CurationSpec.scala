@@ -122,6 +122,29 @@ class CurationSpec extends SparkSpec {
       s"expected a partition filter on cluster:\n$pruned")
   }
 
+  test("topTerms: exact counts, rank ties break on term") {
+    import spark.implicits._
+    val d = Seq((0L, "b a a"), (1L, "b c")).toDF("doc_id", "text")
+    val res = graft.pipeline.TextAnalysis.topTerms(d, "text", 2)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt"),
+        r.getAs[Int]("rank"))).toSet
+    // a and b both count 2; tie breaks alphabetically
+    assert(res === Set(("a", 2L, 1), ("b", 2L, 2)))
+  }
+
+  test("tfIdf: counts exact, tfidf follows tf*ln(N/df)") {
+    import spark.implicits._
+    val d = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val res = graft.pipeline.TextAnalysis.tfIdf(d, "doc_id", "text", 10)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("tfidf"))).toMap
+    assert(res((0L, "a")) === ((2L, 2L, 2.0 * math.log(2.0 / 2.0))))
+    assert(res((0L, "b")) === ((1L, 1L, 1.0 * math.log(2.0 / 1.0))))
+    assert(res((1L, "c"))._1 === 1L)
+    assert(res.size === 4)
+  }
+
   test("quantizeInt8: max element maps to ±127, zero vector to zeros") {
     import spark.implicits._
     val vecs = Seq(
