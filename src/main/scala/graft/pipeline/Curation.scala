@@ -31,14 +31,28 @@ object Curation {
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, k: Int = 3,
                     ratioThreshold: Double = 0.5): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(Dedup.shingles(col(textCol), k)).as("__gram"))
+    // Grams are compared as xxhash64 longs, never as strings: tokens are
+    // hashed once in a codegen'd projection, gram hashes derive from
+    // k-slices of the token-hash array, and the (id, gram-hash array)
+    // rows — far smaller than the text — are materialized eagerly BEFORE
+    // the explode. Without that, Catalyst collapses the gram expression
+    // into the Generate, whose input runs on the interpreted path
+    // (measured 6.8s → 0.9s at sf0.1, the same trap minhashLsh
+    // documents). Hash-equality is string-equality modulo negligible
+    // 64-bit collisions (same argument as minhash's hashed Jaccard).
+    val tokenHashes = transform(split(lower(trim(col(textCol))), "\\s+"),
+      t => xxhash64(t)).as("__th")
+    val benchGrams = benchmark.select(tokenHashes)
+      .select(Dedup.hashedShingles(col("__th"), k).as("__gh"))
+      .localCheckpoint(eager = true)
+      .select(explode(col("__gh")).as("__gram"))
       .distinct()
       .withColumn("__hit", lit(1))
-    docs
-      .select(col(idCol).as("__id"), Dedup.shingles(col(textCol), k).as("__g"))
-      .select(col("__id"), size(col("__g")).as("__total"),
-        explode(col("__g")).as("__gram"))
+    docs.select(col(idCol).as("__id"), tokenHashes)
+      .select(col("__id"), Dedup.hashedShingles(col("__th"), k).as("__gh"))
+      .localCheckpoint(eager = true)
+      .select(col("__id"), size(col("__gh")).as("__total"),
+        explode(col("__gh")).as("__gram"))
       .join(broadcast(benchGrams), Seq("__gram"), "left_outer")
       .groupBy("__id")
       .agg(max(col("__total")).as("__total"),

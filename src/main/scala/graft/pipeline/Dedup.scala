@@ -57,7 +57,7 @@ object Dedup {
     * strings — the dominant cost of [[shingles]] is concat_ws allocation.
     * `tokenHashes` must be a materialized column (not inlined into the
     * lambda) so it is computed once per row. */
-  private def hashedShingles(tokenHashes: Column, k: Int): Column =
+  private[pipeline] def hashedShingles(tokenHashes: Column, k: Int): Column =
     array_distinct(
       when(size(tokenHashes) < k, array(xxhash64(tokenHashes)))
         .otherwise(transform(sequence(lit(0), size(tokenHashes) - k),
