@@ -121,6 +121,44 @@ class PlanAuditSpec extends SparkSpec {
       s"more than one shuffle in as-of join:\n$plan")
   }
 
+  test("decontaminate broadcasts the benchmark gram set") {
+    import org.apache.spark.sql.functions._
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val docs = store.nodes("documents")
+    val df = graft.pipeline.Curation.decontaminate(docs,
+      docs.filter(col("id") % 97 === 0), "id", "text", k = 3)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join against the benchmark set:\n$plan")
+    // the per-doc aggregate must partial-combine on the exploded grams
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no map-side combine on the overlap count:\n$plan")
+  }
+
+  test("packSequences windows per range chunk, never one global partition") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val df = graft.pipeline.Curation.packSequences(
+      store.nodes("documents"), "id", "text", budgetTokens = 512,
+      chunks = 8)
+    val plan = physical(df)
+    // the running sum partitions by the derived chunk column — a global
+    // (empty partition spec) window would serialize the corpus
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("windowspecdefinition(__c"),
+      s"window not partitioned by chunk:\n$plan")
+  }
+
+  test("topTerms aggregates map-side before the term shuffle") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val df = graft.pipeline.TextAnalysis.topTerms(
+      store.nodes("documents"), "text", 50)
+    val plan = physical(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"term counting lacks partial aggregation:\n$plan")
+  }
+
   test("range join is an equi-join on (key, bin), no nested loop") {
     import org.apache.spark.sql.functions._
     val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
