@@ -121,6 +121,21 @@ class PlanAuditSpec extends SparkSpec {
       s"more than one shuffle in as-of join:\n$plan")
   }
 
+  test("RIGHT-self extras reuse the matched subtree's exchange") {
+    // The J5 formula computes `matched ∪ (all_targets anti covered)`;
+    // covered derives from the same matched join subtree, and Spark's
+    // ReuseExchange must dedupe it — otherwise every outer self-hop
+    // scans and joins the edge table twice (the round-1 review flagged
+    // exactly this as the at-scale cost).
+    val df = planner.plan(Q.from("s:supplier")
+      .traverse("s", "same_nation", "t:supplier", JoinKind.Right)
+      .select("s.id", "t.id").build)
+    val plan = physical(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"matched subtree not shared in RIGHT-self plan:\n$plan")
+  }
+
   test("decontaminate broadcasts the benchmark gram set") {
     import org.apache.spark.sql.functions._
     val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
