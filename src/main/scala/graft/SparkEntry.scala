@@ -261,6 +261,15 @@ object SparkEntry {
       new Planner(versionedCustomers(s, dir)).plan(
         Q.from("c:customer").asOf(1000L, 1500L)
           .selectAs("c.id", "c_id").selectAs("c.acctbal", "acctbal").build)),
+    // ---- valid-time history truncation (SCD2 retention): every read
+    // at vt past the watermark must be bit-identical after compaction
+    "q62_compact_readback" -> ((s, dir) => {
+      val store = versionedCustomers(s, dir) // correction closes heads at vt=500
+      store.compactVersions("customer", 2100L)
+      new Planner(store).plan(
+        Q.from("c:customer").asOfValidTime(2500L)
+          .selectAs("c.id", "c_id").selectAs("c.acctbal", "acctbal").build)
+    }),
     // ---- J9 edge alias: predicates + projection on typed edge props
     "q19_edge_props" -> ((s, dir) =>
       planner(s, dir).plan(Q.from("l:lineitem")
@@ -1129,6 +1138,10 @@ object SparkEntry {
         "c_acctbal + 100 ELSE c_acctbal END AS acctbal FROM customer"),
     "q18_asof_bitemporal" ->
       "SELECT c_custkey AS c_id, c_acctbal AS acctbal FROM customer",
+    // same post-correction view as q17 — compaction must not change it
+    "q62_compact_readback" ->
+      ("SELECT c_custkey AS c_id, CASE WHEN c_custkey % 3 = 0 THEN " +
+        "c_acctbal + 100 ELSE c_acctbal END AS acctbal FROM customer"),
     "q19_edge_props" ->
       (s"SELECT ${TpchGraph.LineitemIdSql} AS l_id, " +
         "l_quantity AS quantity, l_suppkey AS s_id FROM lineitem " +

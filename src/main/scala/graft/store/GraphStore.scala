@@ -696,6 +696,47 @@ final class GraphStore(
     GraphStore.pin(path, this, v) // this store now reads v's files
   }
 
+  /** Valid-time history retention (SCD2 compaction): physically drop
+    * version rows no read at `vt >= beforeValid` can ever return.
+    * Visibility is `_vf <= vt < _vt` + newest-`_ver`-wins, and updates
+    * never close `_vt` (shadowing is by version number), so two row
+    * classes are reclaimable at watermark W:
+    *
+    *  - ended intervals: `_vt <= W` (interval-end deletes) — invisible
+    *    at any vt >= W outright;
+    *  - shadowed history: rows with `_vf <= W` whose id also has a
+    *    NEWER version with `_vf <= W < _vt` — that newer row is visible
+    *    and wins at every vt >= W the older row could serve.
+    *
+    * One per-id max aggregate + one co-partitioned join — a distributed
+    * filter, never a chain walk (the storage-lifecycle analog of the
+    * reference's shard compaction). Reads at `vt < beforeValid` become
+    * undefined — pick the watermark like a streaming watermark.
+    * (The tx axis needs no compaction: `_tt` is never closed; tx
+    * supersession is already just `_tf` + newest-version-wins.)
+    * Durability still comes from [[commit]]. */
+  def compactVersions(label: String, beforeValid: Long): Unit = {
+    require(versioningEnabled, "compactVersions needs a versioned store")
+    val t = table(label)
+    t.flush(spark)
+    t.base.foreach(b => t.base =
+      Some(GraphStore.compactHistory(b, beforeValid)))
+    t.noteMutation()
+  }
+
+  /** [[compactVersions]] for an edge table. */
+  def compactEdgeVersions(edgeType: String, srcLabel: String,
+                          dstLabel: String, beforeValid: Long): Unit = {
+    require(versioningEnabled, "compactVersions needs a versioned store")
+    val t = edgeTables.getOrElse((edgeType, srcLabel, dstLabel),
+      throw new IllegalArgumentException(
+        s"unknown edge type: $edgeType ($srcLabel->$dstLabel)"))
+    t.flush(spark)
+    t.base.foreach(b => t.base =
+      Some(GraphStore.compactHistory(b, beforeValid)))
+    t.noteMutation()
+  }
+
   /** Release this store's snapshot pin (see [[GraphStore.gcSnapshots]]).
     * Call when done with a restored store so GC can reclaim the version
     * it was reading; using the store's lazy plans afterwards may fail if
@@ -747,6 +788,20 @@ object GraphStore {
     val nv = if (v == null) lit(null) else lit(v.toString)
     when(m.isNull, map(lit(key), nv)).otherwise(
       map_concat(map_filter(m, (mk, _) => mk =!= key), map(lit(key), nv)))
+  }
+
+  /** The [[GraphStore.compactVersions]] filter — see its Scaladoc for
+    * the two reclaimable row classes. */
+  private[store] def compactHistory(base: DataFrame,
+                                    w: Long): DataFrame = {
+    val covers = base
+      .filter(col(VersionCols.Vf) <= w && col(VersionCols.Vt) > w)
+      .groupBy("id").agg(max(col(VersionCols.Ver)).as("__cover"))
+    base.join(covers, Seq("id"), "left_outer")
+      .filter(col(VersionCols.Vt) > w &&
+        (col(VersionCols.Vf) > w || col("__cover").isNull ||
+          col(VersionCols.Ver) === col("__cover")))
+      .drop("__cover")
   }
 
   /** Eager lineage truncation for [[NodeTable.noteMutation]] /

@@ -74,6 +74,35 @@ class TemporalSpec extends SparkSpec {
     assert(ageAt(s, Some(TemporalSnapshot(1500L, 2500L))) === Seq(25))
   }
 
+  test("compactVersions: reads past the valid watermark unchanged, " +
+      "closed history reclaimed") {
+    val (s, clock) = fixture()
+    clock.set(1000L)
+    val id = s.createNode("User", Map("name" -> "alice", "age" -> 25))
+    clock.set(2000L)
+    s.updateNode("User", id, Map("age" -> 26))
+    // pre-compaction: valid history below the future watermark readable
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 1500L))) === Seq(25))
+    s.compactVersions("User", 2100L)
+    // everything at vt >= watermark is bit-identical
+    assert(ageAt(s, None) === Seq(26))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 2500L))) === Seq(26))
+    // history below the watermark is physically reclaimed (undefined)
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 1500L))) === Seq())
+    // a later retroactive correction + compaction keep composing
+    clock.set(4000L)
+    s.updateWhere("User",
+      org.apache.spark.sql.functions.col("id") === id,
+      Map("age" -> org.apache.spark.sql.functions.lit(99)),
+      validFrom = Some(2500L))
+    assert(ageAt(s, None) === Seq(99))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 2200L))) === Seq(26))
+    s.compactVersions("User", 2600L)
+    assert(ageAt(s, None) === Seq(99))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 3000L))) === Seq(99))
+    assert(ageAt(s, Some(TemporalSnapshot(validTime = 2200L))) === Seq())
+  }
+
   test("multiple entities version independently") {
     val (s, clock) = fixture()
     clock.set(1000L)
