@@ -658,6 +658,10 @@ object SparkEntry {
     "g44_pagerank" -> ((s, dir) =>
       GraphAnalytics.pageRank(TpchGraph.store(s, dir),
         Seq(("same_nation", "supplier", "supplier")), iters = 5)),
+    // degree profile over the same_nation graph, isolated nodes at 0
+    "g46_degrees" -> ((s, dir) =>
+      GraphAnalytics.degrees(TpchGraph.store(s, dir),
+        Seq(("same_nation", "supplier", "supplier")))),
     // landmark BFS over nation cliques ∪ an id-chain (the chain makes
     // distances nontrivial — cliques alone are diameter ≤ 1); the oracle
     // is a real recursive-CTE BFS, so Pregel's min-dist propagation is
@@ -975,6 +979,19 @@ object SparkEntry {
       ("SELECT s_suppkey AS id, (cnt - 1) * (cnt - 2) // 2 AS triangles " +
         "FROM (SELECT s_suppkey, count(*) OVER " +
         "(PARTITION BY s_nationkey) AS cnt FROM supplier)"),
+    "g46_degrees" ->
+      ("WITH sn AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst " +
+        "FROM supplier a JOIN supplier b " +
+        "ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey) " +
+        "SELECT s_suppkey AS id, " +
+        "CAST(coalesce(i.c, 0) AS INT) AS in_deg, " +
+        "CAST(coalesce(o.c, 0) AS INT) AS out_deg, " +
+        "CAST(coalesce(i.c, 0) + coalesce(o.c, 0) AS INT) AS deg " +
+        "FROM supplier " +
+        "LEFT JOIN (SELECT src, count(*) AS c FROM sn GROUP BY src) o " +
+        "ON o.src = s_suppkey " +
+        "LEFT JOIN (SELECT dst, count(*) AS c FROM sn GROUP BY dst) i " +
+        "ON i.dst = s_suppkey"),
     // recursive-CTE BFS: min dist to supplier 0 over the undirected
     // union of nation cliques and the consecutive-id chain; the dist<40
     // cap only bounds recursion (diameter ≪ 40: the chain alone caps at

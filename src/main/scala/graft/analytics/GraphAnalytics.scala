@@ -87,6 +87,28 @@ object GraphAnalytics {
       .select(denamespace(col("vid")).as("id"), col("triangles"))
   }
 
+  /** Per-node degree profile → (id, in_deg, out_deg, deg) including
+    * isolated nodes (degree 0) — the standard first look at a graph's
+    * shape (skew detection before a traversal-heavy workload: a hot
+    * vertex here is a hot join key later). Aggregation-only — one
+    * map-side-combined count per direction, no Pregel. */
+  def degrees(store: GraphStore,
+              edgeSets: Seq[(String, String, String)]): DataFrame = {
+    val g = lift(store, edgeSets)
+    val spark = store.spark
+    import spark.implicits._
+    val v = g.vertices.map(_._1).toDF("vid")
+    val outd = g.outDegrees.toDF("vid", "out_deg")
+    val ind = g.inDegrees.toDF("vid", "in_deg")
+    v.join(outd, Seq("vid"), "left_outer")
+      .join(ind, Seq("vid"), "left_outer")
+      .select(denamespace(col("vid")).as("id"),
+        coalesce(col("in_deg"), lit(0)).as("in_deg"),
+        coalesce(col("out_deg"), lit(0)).as("out_deg"),
+        (coalesce(col("in_deg"), lit(0)) +
+          coalesce(col("out_deg"), lit(0))).as("deg"))
+  }
+
   /** Unweighted landmark shortest paths → (id, landmark, dist), reachable
     * pairs only. GraphX Pregel: per round, frontier-sized messages flow
     * along edges and each vertex keeps its min-distance map — O(diameter)

@@ -43,6 +43,18 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(res === Map(0L -> 4, 1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
   }
 
+  test("degrees: directed counts, isolated nodes at zero") {
+    val st = chainStore() // chain 0->1->2->3->4 plus shortcut 0->3
+    val res = GraphAnalytics.degrees(st,
+      Seq(("next", "N", "N"), ("short", "N", "N")))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("in_deg"), r.getAs[Int]("out_deg"),
+          r.getAs[Int]("deg"))).toMap
+    assert(res === Map(
+      0L -> ((0, 2, 2)), 1L -> ((1, 1, 2)), 2L -> ((1, 1, 2)),
+      3L -> ((2, 1, 3)), 4L -> ((1, 0, 1))))
+  }
+
   test("connectedComponents splits on missing edges") {
     val st = new GraphStore(spark)
     st.createSchema("N", "name" -> StringType)
