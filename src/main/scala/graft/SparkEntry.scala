@@ -261,6 +261,22 @@ object SparkEntry {
       new Planner(versionedCustomers(s, dir)).plan(
         Q.from("c:customer").asOf(1000L, 1500L)
           .selectAs("c.id", "c_id").selectAs("c.acctbal", "acctbal").build)),
+    // ---- OFFSET paging through the full QL path (tie-broken ordering
+    // so the page is deterministic)
+    "q64_offset" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir)).execute(
+        "MATCH (c:customer) SELECT c.id AS c_id, c.acctbal AS acctbal " +
+          "ORDER BY acctbal DESC, c_id LIMIT 20 OFFSET 10;").get),
+    // ---- salted skew join: result must be EXACTLY the plain join's
+    "q63_skew_join" -> ((s, dir) => {
+      val store = TpchGraph.store(s, dir)
+      val orders = store.nodes("orders")
+        .select(col("id").as("o_id"), col("custkey"))
+      val cust = store.nodes("customer")
+        .select(col("id").as("custkey"), col("mktsegment").as("seg"))
+      graft.operators.SkewJoin.salted(orders, cust, Seq("custkey"),
+        factor = 8)
+    }),
     // ---- valid-time history truncation (SCD2 retention): every read
     // at vt past the watermark must be bit-identical after compaction
     "q62_compact_readback" -> ((s, dir) => {
@@ -1155,6 +1171,13 @@ object SparkEntry {
         "c_acctbal + 100 ELSE c_acctbal END AS acctbal FROM customer"),
     "q18_asof_bitemporal" ->
       "SELECT c_custkey AS c_id, c_acctbal AS acctbal FROM customer",
+    "q63_skew_join" ->
+      ("SELECT o.o_orderkey AS o_id, o.o_custkey AS custkey, " +
+        "c.c_mktsegment AS seg FROM orders o " +
+        "JOIN customer c ON c.c_custkey = o.o_custkey"),
+    "q64_offset" ->
+      ("SELECT c_custkey AS c_id, c_acctbal AS acctbal FROM customer " +
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 10"),
     // same post-correction view as q17 — compaction must not change it
     "q62_compact_readback" ->
       ("SELECT c_custkey AS c_id, CASE WHEN c_custkey % 3 = 0 THEN " +

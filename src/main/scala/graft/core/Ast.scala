@@ -189,7 +189,8 @@ object Ast {
       orderBy: List[OrderKey] = Nil,
       limit: Option[Long] = None,
       distinct: Boolean = false,
-      having: List[HavingCond] = Nil
+      having: List[HavingCond] = Nil,
+      offset: Option[Long] = None
   )
 
   // --------------------------------------------------------------------
@@ -206,6 +207,7 @@ object Ast {
     private var snapshot: Option[TemporalSnapshot] = None
     private var ordering = List.empty[OrderKey]
     private var limitN: Option[Long] = None
+    private var offsetN: Option[Long] = None
     private var distinctFlag = false
     private var havingConds = List.empty[HavingCond]
 
@@ -274,6 +276,9 @@ object Ast {
       ordering :+= OrderKey(key, asc = true); this
     }
     def limit(n: Long): QueryBuilder = { limitN = Some(n); this }
+    /** Skip the first `n` output rows (applies after ORDER BY,
+      * before LIMIT — SQL `LIMIT … OFFSET …` semantics). */
+    def offset(n: Long): QueryBuilder = { offsetN = Some(n); this }
     /** Row-level DISTINCT over the projected output. */
     def distinct(): QueryBuilder = { distinctFlag = true; this }
     /** HAVING over an output column name (agg AS name or group key). */
@@ -291,7 +296,7 @@ object Ast {
     }
     def build: GraphQuery =
       GraphQuery(fromAlias, fromLabel, clauses, selectItems, snapshot,
-        ordering, limitN, distinctFlag, havingConds)
+        ordering, limitN, distinctFlag, havingConds, offsetN)
 
     private def splitTyped(s: String): (String, String) = s.split(':') match {
       case Array(a, l) => (a, l)

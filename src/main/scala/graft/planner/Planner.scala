@@ -411,10 +411,15 @@ final class Planner(store: GraphStore) {
       if (q.orderBy.isEmpty) distincted
       else distincted.orderBy(q.orderBy.map(k =>
         if (k.asc) outCol(k.key).asc else outCol(k.key).desc): _*)
-    q.limit.fold(ordered) { n =>
+    val offsetted = q.offset.fold(ordered) { n =>
+      require(n >= 0 && n <= Int.MaxValue,
+        s"OFFSET must be in [0, ${Int.MaxValue}], got $n")
+      ordered.offset(n.toInt)
+    }
+    q.limit.fold(offsetted) { n =>
       require(n >= 0 && n <= Int.MaxValue,
         s"LIMIT must be in [0, ${Int.MaxValue}], got $n")
-      ordered.limit(n.toInt)
+      offsetted.limit(n.toInt)
     }
   }
 

@@ -277,7 +277,7 @@ final class Shell(store: GraphStore,
     }
     m.where.foreach(w => clauses :+= WhereClause(w))
     GraphQuery(first.alias, labelOf(first.alias), clauses, m.select,
-      m.asOf, m.orderBy, m.limit, m.distinct, m.having)
+      m.asOf, m.orderBy, m.limit, m.distinct, m.having, m.offset)
   }
 
   /** Selector → matching id set (apps/tundra_shell.cpp:385-462); an

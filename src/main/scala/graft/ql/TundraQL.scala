@@ -42,7 +42,8 @@ object TundraQL {
       orderBy: List[OrderKey] = Nil,
       limit: Option[Long] = None,
       distinct: Boolean = false,
-      having: List[HavingCond] = Nil) extends Statement
+      having: List[HavingCond] = Nil,
+      offset: Option[Long] = None) extends Statement
   final case class DeleteNodeByIdStmt(label: String, id: Long)
       extends Statement
   final case class DeletePatternStmt(pattern: PathPattern,
@@ -366,7 +367,9 @@ object TundraQL {
           keys.toList
         } else Nil
       val limit = if (eatKw("LIMIT")) Some(longLit()) else None
-      MatchStmt(pats, where, select, asOf, orderBy, limit, distinct, having)
+      val offset = if (eatKw("OFFSET")) Some(longLit()) else None
+      MatchStmt(pats, where, select, asOf, orderBy, limit, distinct,
+        having, offset)
     }
 
     private def longLit(): Long = next() match {

@@ -39,6 +39,16 @@ class QlExtensionsSpec extends SparkSpec {
     assert(asc.collect().map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("OFFSET pages past ORDER BY (QL + builder)") {
+    val sh = seeded()
+    val res = sh.execute(
+      "MATCH (u:User) SELECT u.name ORDER BY u.name LIMIT 2 OFFSET 1;").get
+    assert(res.collect().map(_.getString(0)).toSeq === Seq("b", "c"))
+    val bare = sh.execute(
+      "MATCH (u:User) SELECT u.name ORDER BY u.name OFFSET 2;").get
+    assert(bare.collect().map(_.getString(0)).toSeq === Seq("c"))
+  }
+
   test("aggregates with implicit GROUP BY via QL") {
     val sh = seeded()
     val res = sh.execute(
