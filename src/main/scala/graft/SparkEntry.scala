@@ -605,6 +605,15 @@ object SparkEntry {
         TpchGraph.store(s, dir).nodes("embeddings")
           .withColumnRenamed("id", "vec_id"))
         .select(col("vec_id"), col("scale"), col("qvec"))),
+    // frame sampling over binary payloads: frames are md5'd so the
+    // harness hashes strings, not raw bytes (q14 array-column lesson)
+    "p53_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.attachBinary(
+        TpchGraph.store(s, dir).nodes("documents"), "id", "text"),
+        n = 3, frameBytes = 64)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"),
+          length(col("frame")).cast("int").as("frame_len"))),
     // vocabulary build: exact top-k corpus terms, term-asc tie-break
     "p51_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(TpchGraph.store(s, dir).nodes("documents"),
@@ -950,6 +959,20 @@ object SparkEntry {
         ", ',') AS qvec FROM e"),
     "s28_stream_dedup" ->
       "SELECT DISTINCT user_id AS userid, event_type AS etype FROM events",
+    // DuckDB has no BLOB substring; the corpus is pure ASCII (checked:
+    // octet_length(blob) == length(text) for every row), so VARCHAR
+    // character slicing IS the byte slicing and md5 agrees byte-for-byte
+    "p53_frame_sample" ->
+      ("WITH m AS (SELECT doc_id, text, length(text) AS len " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, text, len, unnest(range(3)) AS fi FROM m), " +
+        "s AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx, " +
+        "CASE WHEN len <= 64 THEN 0 ELSE (len - 64) * fi // 2 END AS st, " +
+        "len, text FROM f) " +
+        "SELECT doc_id, frame_idx, " +
+        "md5(substring(text, CAST(st + 1 AS BIGINT), " +
+        "CAST(least(64, len - st) AS BIGINT))) AS frame_md5, " +
+        "CAST(least(64, len - st) AS INT) AS frame_len FROM s"),
     "p51_top_terms" ->
       ("SELECT term, cnt, CAST(rank AS INT) AS rank FROM " +
         "(SELECT term, count(*) AS cnt, row_number() OVER " +
