@@ -346,6 +346,12 @@ final class Shell(store: GraphStore,
           case CmpOp.StartsWith           => lhs.startsWith(rhs.toString)
           case CmpOp.EndsWith             => lhs.endsWith(rhs.toString)
         }
+      case other =>
+        // scalar-expression predicates (ExprComparison) are a MATCH-path
+        // feature; DELETE/UPDATE rewrites keep the reference's
+        // field-vs-literal WHERE surface
+        throw new IllegalArgumentException(
+          s"unsupported WHERE form for a mutation rewrite: $other")
     }
 
   private def dataType(t: String): DataType = t match {
