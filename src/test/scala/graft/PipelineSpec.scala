@@ -171,6 +171,29 @@ class PipelineSpec extends SparkSpec {
     assert(EventStreams.dedupStream(batch, Seq("fp")).count() === 1)
   }
 
+  test("streaming: stream-static enrichment join is streaming-legal") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the static side needs no watermark and keeps NO state — each
+    // micro-batch hash-joins against the (broadcastable) dimension;
+    // this is the standard event-enrichment shape at any scale
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("uid", "tier")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = mem.toDF().toDF("ts", "uid", "value")
+      .join(dim, Seq("uid"), "left_outer")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      mem.addData((ts(1), 1L, 10.0), (ts(2), 3L, 30.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => (r.getAs[Long]("uid"), r.getAs[Double]("value"),
+          r.getAs[String]("tier"))).toSet
+      assert(out === Set((1L, 10.0, "gold"), (3L, 30.0, null)))
+    } finally q.stop()
+  }
+
   test("streaming: durable parquet sink resumes from its checkpoint") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
