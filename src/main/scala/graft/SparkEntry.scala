@@ -683,6 +683,11 @@ object SparkEntry {
     "g44_pagerank" -> ((s, dir) =>
       GraphAnalytics.pageRank(TpchGraph.store(s, dir),
         Seq(("same_nation", "supplier", "supplier")), iters = 5)),
+    // deterministic LPA: nation cliques converge to min-id communities
+    // in one superstep (self-inclusive tally, min tie-break)
+    "g47_communities" -> ((s, dir) =>
+      GraphAnalytics.labelPropagation(TpchGraph.store(s, dir),
+        Seq(("same_nation", "supplier", "supplier")))),
     // degree profile over the same_nation graph, isolated nodes at 0
     "g46_degrees" -> ((s, dir) =>
       GraphAnalytics.degrees(TpchGraph.store(s, dir),
@@ -1018,6 +1023,9 @@ object SparkEntry {
       ("SELECT s_suppkey AS id, (cnt - 1) * (cnt - 2) // 2 AS triangles " +
         "FROM (SELECT s_suppkey, count(*) OVER " +
         "(PARTITION BY s_nationkey) AS cnt FROM supplier)"),
+    "g47_communities" ->
+      ("SELECT s_suppkey AS id, min(s_suppkey) OVER " +
+        "(PARTITION BY s_nationkey) AS community FROM supplier"),
     "g46_degrees" ->
       ("WITH sn AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst " +
         "FROM supplier a JOIN supplier b " +

@@ -142,6 +142,41 @@ object GraphAnalytics {
         denamespace(col("lm")).as("landmark"), col("dist"))
   }
 
+  /** Deterministic label-propagation communities → (id, community).
+    * Synchronous LPA with two deliberate choices that make the result
+    * reproducible (GraphX's built-in LabelPropagation breaks ties
+    * arbitrarily and oscillates on bipartite shapes):
+    * (a) the vertex's OWN label joins the neighbor tally — damping that
+    * kills the classic 2-cycle oscillation (a pair would otherwise swap
+    * labels forever); (b) ties break to the SMALLEST label. On clique
+    * graphs this converges in one superstep to the min id per clique.
+    * Pregel cost: edges × iterations, frontier = everything (LPA is a
+    * dense iteration by nature); labels flow along edge direction, so
+    * pass `undirected = true` (default) for community semantics. */
+  def labelPropagation(store: GraphStore,
+                       edgeSets: Seq[(String, String, String)],
+                       maxIters: Int = 5,
+                       undirected: Boolean = true): DataFrame = {
+    import org.apache.spark.graphx._
+    val g = lift(store, edgeSets, undirected)
+    val spark = store.spark
+    import spark.implicits._
+    val init = g.mapVertices((vid, _) => vid: VertexId)
+    val res = Pregel(init, Map.empty[VertexId, Long], maxIters)(
+      vprog = (_, attr, msg) =>
+        if (msg.isEmpty) attr
+        else {
+          val tally = msg.updated(attr, msg.getOrElse(attr, 0L) + 1L)
+          tally.maxBy { case (l, c) => (c, -l) }._1
+        },
+      sendMsg = t => Iterator((t.dstId, Map(t.srcAttr -> 1L))),
+      mergeMsg = (a, b) => (a.keySet ++ b.keySet)
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+    res.vertices.toDF("vid", "community")
+      .select(denamespace(col("vid")).as("id"),
+        denamespace(col("community")).as("community"))
+  }
+
   /** PageRank → (id, rank). Iterative float algorithm: verified
     * rows-only (no closed-form oracle). */
   def pageRank(store: GraphStore, edgeSets: Seq[(String, String, String)],

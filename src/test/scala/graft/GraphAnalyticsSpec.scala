@@ -55,6 +55,24 @@ class GraphAnalyticsSpec extends SparkSpec {
       3L -> ((2, 1, 3)), 4L -> ((1, 0, 1))))
   }
 
+  test("labelPropagation: deterministic min-label communities, " +
+      "pairs do not oscillate") {
+    val st = new GraphStore(spark)
+    st.createSchema("N", "name" -> StringType)
+    (0 until 8).foreach(i => st.createNode("N", Map("name" -> s"n$i")))
+    // triangle {0,1,2}, triangle {3,4,5}, pair {6,7}
+    Seq((0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (6, 7))
+      .foreach { case (a, b) => st.connect("N", a, "e", "N", b) }
+    val res = GraphAnalytics.labelPropagation(st, Seq(("e", "N", "N")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 6L, 7L -> 6L))
+    // determinism: a second run is identical
+    val again = GraphAnalytics.labelPropagation(st, Seq(("e", "N", "N")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === res)
+  }
+
   test("connectedComponents splits on missing edges") {
     val st = new GraphStore(spark)
     st.createSchema("N", "name" -> StringType)
