@@ -74,3 +74,61 @@ object MinHashSig {
     mins
   }
 }
+
+/** 64-bit SimHash of a text's token multiset in ONE fused native pass:
+  * tokenize (`split(lower(trim(text)), "\\s+")` semantics, reproduced
+  * with the same UTF8String trim/lower and Java-regex split Spark's
+  * `split` uses), hash each token with `xxhash64` (seed 42, the SQL
+  * function's), and keep 64 signed bit-counters; bit b of the output is
+  * 1 when more token hashes set bit b than not. Bit-identical to the
+  * nested-HOF formulation it replaces, which evaluated `64 × tokens`
+  * interpreted lambda steps per row. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"SimHash64 expects a (default-collation) string, got " +
+        child.dataType.catalogString)
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${SimHash64.getClass.getName.stripSuffix("$")}.compute($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object SimHash64 {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    // SQL-exact preprocessing: trim strips ASCII spaces only, lower is
+    // UTF8String.toLowerCase, split is Java regex with limit -1
+    val toks = text.trim().toLowerCase.toString.split("\\s+", -1)
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)), 42L)
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}

@@ -186,8 +186,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: bit b is 1 when more token
-    * hashes have bit b set than not. Pure projection. */
-  def simhash(text: Column): Column = {
+    * hashes have bit b set than not. One fused native pass
+    * ([[graft.functions.SimHash64]]); bit-identical to [[simhashHof]],
+    * pinned in VectorExpressionsSpec. */
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** The higher-order-function formulation [[simhash]] replaced — kept
+    * as the executable spec of the bit layout (64 × tokens interpreted
+    * lambda steps per row; never use on a hot path). */
+  private[graft] def simhashHof(text: Column): Column = {
     val hs = transform(split(lower(trim(text)), "\\s+"),
       t => xxhash64(t))
     aggregate(sequence(lit(0), lit(63)), lit(0L),

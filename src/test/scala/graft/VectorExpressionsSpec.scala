@@ -181,6 +181,25 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaEval === viaDf)
   }
 
+  test("SimHash64 matches the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "the quick brown fox", "THE QUICK BROWN FOX", "  padded  text  ",
+      "single", "", "tab\tseparated words", "dup dup dup words words",
+      "punctuation, heavy! text? with #symbols")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val both = df.select(col("id"),
+      graft.pipeline.Dedup.simhash(col("text")).as("native"),
+      graft.pipeline.Dedup.simhashHof(col("text")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[Long]("native") === r.getAs[Long]("hof"),
+        s"simhash mismatch for id ${r.getAs[Long]("id")}")
+    }
+  }
+
   test("GraftExtensions registers graft_* SQL functions " +
       "(SparkSessionExtensions surface)") {
     graft.functions.GraftExtensions.register(spark)
