@@ -605,6 +605,14 @@ object SparkEntry {
         TpchGraph.store(s, dir).nodes("embeddings")
           .withColumnRenamed("id", "vec_id"))
         .select(col("vec_id"), col("scale"), col("qvec"))),
+    // incremental ingestion: new batch (id >= 250) anti-joined against
+    // the accumulated corpus's (id < 250) text keys
+    "p54_dedup_incremental" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+      Dedup.exactAgainst(docs.filter(col("id") >= 250),
+        docs.filter(col("id") < 250), Seq("text"))
+        .select(col("id").as("doc_id"))
+    }),
     // frame sampling over binary payloads: frames are md5'd so the
     // harness hashes strings, not raw bytes (q14 array-column lesson)
     "p53_frame_sample" -> ((s, dir) =>
@@ -967,6 +975,9 @@ object SparkEntry {
     // DuckDB has no BLOB substring; the corpus is pure ASCII (checked:
     // octet_length(blob) == length(text) for every row), so VARCHAR
     // character slicing IS the byte slicing and md5 agrees byte-for-byte
+    "p54_dedup_incremental" ->
+      ("SELECT doc_id FROM documents WHERE doc_id >= 250 " +
+        "AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)"),
     "p53_frame_sample" ->
       ("WITH m AS (SELECT doc_id, text, length(text) AS len " +
         "FROM documents), " +

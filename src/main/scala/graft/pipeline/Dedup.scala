@@ -34,6 +34,19 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("cnt"))
 
+  /** Incremental-ingestion dedup: drop rows of a NEW batch whose key
+    * already exists in the accumulated corpus — one `left_anti` hash
+    * join against the corpus's distinct keys. This is the shape batch
+    * ingestion runs every cycle: the corpus side is key-columns-only
+    * (pruned scan — in practice a persisted fingerprint/key table), the
+    * anti join never materializes matches, and within-batch duplicates
+    * are untouched (compose with [[exact]] for those). */
+  def exactAgainst(newBatch: DataFrame, corpus: DataFrame,
+                   keyCols: Seq[String]): DataFrame =
+    newBatch.join(
+      corpus.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+
   /** Word k-shingles of a text column, distinct, lowercased. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")

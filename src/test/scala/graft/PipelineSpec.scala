@@ -29,6 +29,17 @@ class PipelineSpec extends SparkSpec {
     assert(byCnt(0L) === 2) // doc 0 and 3 merge, min id 0 representative
   }
 
+  test("incremental dedup drops only corpus-known keys") {
+    val newBatch = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") >= 2)
+    val corpus = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") < 2)
+    val kept = Dedup.exactAgainst(newBatch, corpus, Seq("text"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // doc 3 duplicates doc 0's text (in corpus) -> dropped; doc 2 is new
+    assert(kept === Set(2L))
+  }
+
   test("minhash LSH finds planted near-dup, skips distinct") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 32,
       bands = 16, shingleK = 2, threshold = 0.5)
