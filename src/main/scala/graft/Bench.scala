@@ -125,7 +125,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = benchmarks.map { case (name, f) =>
+    // Local-debugging subset (comma-separated names); the driver sets no
+    // filter and always measures the full suite.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = benchmarks
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, f) =>
       try {
         timeOnce(f) // warmup, untimed
         val times = (1 to Reps).map(_ => timeOnce(f)).sorted

@@ -37,12 +37,24 @@ object GraftExtensions {
         f(args(0), args(1))
       })
 
+  private def unary(name: String, f: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo,
+         Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      info(name, s"$name(a) over an array<float|double> column"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name takes 1 argument")
+        f(args(0))
+      })
+
   /** (identifier, info, builder) triples — shared by the extensions
     * injector and [[register]]. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     binary("graft_dot", DotF64.apply),
     binary("graft_l2sq", L2SqF64.apply),
+    unary("graft_quant_scale", QuantScale.apply),
+    unary("graft_quant_vec", QuantVec.apply),
     binary("graft_cosine", (a, b) => {
       // raw catalyst tree (the Column-API formulation would hand the
       // registry unresolved column nodes): dot/(|a||b|), 0 on zero norm

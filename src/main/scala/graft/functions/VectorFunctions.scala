@@ -33,4 +33,14 @@ object VectorFunctions {
 
   /** Squared L2 distance (for IVF centroid assignment). */
   def l2sq(a: Column, b: Column): Column = binary(L2SqF64.apply)(a, b)
+
+  private def unary(f: Expression => Expression)(a: Column): Column =
+    ColumnBridge.column(f(ColumnBridge.expression(a)))
+
+  /** int8-quantization scale `max|x|/127` (NULL for empty vectors). */
+  def quantScale(a: Column): Column = unary(QuantScale.apply)(a)
+
+  /** Comma-joined int8 codes of a vector (scale computed internally —
+    * see [[QuantVec]] for why it must NOT be a separate column). */
+  def quantVec(a: Column): Column = unary(QuantVec.apply)(a)
 }

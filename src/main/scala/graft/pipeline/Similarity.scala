@@ -133,18 +133,20 @@ object Similarity {
     * quantizes to zeros with scale 0. Pure projection: the 100 TB cost is
     * the scan; no shuffle, no state. Output: id, `scale` (double),
     * `qvec` (comma-joined ints — a string so the verify harness can sort
-    * and hash it; reconstruct with `split` + `cast` + `x * scale`). */
+    * and hash it; reconstruct with `split` + `cast` + `x * scale`).
+    *
+    * Backed by the native [[graft.functions.QuantScale]] /
+    * [[graft.functions.QuantVec]] expressions — one fused codegen'd
+    * loop per row. The earlier HOF formulation (`array_max(transform)`
+    * in one projection, referenced from a `transform` lambda in the
+    * next) hit a CollapseProject trap: the scale subtree was inlined
+    * into the per-element lambda and re-evaluated interpreted per
+    * ELEMENT — O(d²) per row, 18.3 s for 2,000×64 floats. QuantVec
+    * takes only the raw vector, so no cross-projection reference
+    * exists for the optimizer to inline. */
   def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol)
-    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
-    val scale = (maxAbs / 127.0).as("scale")
-    vectors.select(col(idCol), v, scale)
-      .withColumn("qvec", concat_ws(",",
-        transform(v, x =>
-          when(col("scale") === 0.0, lit(0))
-            .otherwise(floor(x.cast("double") / col("scale") + 0.5)
-              .cast("int")).cast("string"))))
-      .select(col(idCol), col("scale"), col("qvec"))
-  }
+                   vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol),
+      quantScale(col(vecCol)).as("scale"),
+      quantVec(col(vecCol)).as("qvec"))
 }
