@@ -687,10 +687,14 @@ object SparkEntry {
       GraphAnalytics.triangleCounts(TpchGraph.store(s, dir),
         Seq(("same_nation", "supplier", "supplier")))
         .select(col("id"), col("triangles").cast("long").as("triangles"))),
-    // iterative float fixpoint → rows-only check
+    // rank rounded to 6 decimals: GraphX's aggregateMessages sum order
+    // is nondeterministic (~1e-15 drift/iteration), so raw doubles can't
+    // hash-match — but the 5-iteration update IS deterministic at 1e-6,
+    // and the oracle replays it exactly (see oracleSql)
     "g44_pagerank" -> ((s, dir) =>
       GraphAnalytics.pageRank(TpchGraph.store(s, dir),
-        Seq(("same_nation", "supplier", "supplier")), iters = 5)),
+        Seq(("same_nation", "supplier", "supplier")), iters = 5)
+        .select(col("id"), round(col("rank"), 6).as("rank"))),
     // deterministic LPA: nation cliques converge to min-id communities
     // in one superstep (self-inclusive tally, min tie-break)
     "g47_communities" -> ((s, dir) =>
@@ -975,9 +979,13 @@ object SparkEntry {
     // DuckDB has no BLOB substring; the corpus is pure ASCII (checked:
     // octet_length(blob) == length(text) for every row), so VARCHAR
     // character slicing IS the byte slicing and md5 agrees byte-for-byte
+    // NOT EXISTS (not NOT IN): the engine's left_anti join keeps
+    // NULL-keyed probe rows and ignores NULLs on the corpus side; NOT IN
+    // would diverge on any NULL text (r3 ADVICE)
     "p54_dedup_incremental" ->
-      ("SELECT doc_id FROM documents WHERE doc_id >= 250 " +
-        "AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)"),
+      ("SELECT d.doc_id FROM documents d WHERE d.doc_id >= 250 " +
+        "AND NOT EXISTS (SELECT 1 FROM documents d2 " +
+        "WHERE d2.doc_id < 250 AND d2.text = d.text)"),
     "p53_frame_sample" ->
       ("WITH m AS (SELECT doc_id, text, length(text) AS len " +
         "FROM documents), " +
@@ -1037,6 +1045,32 @@ object SparkEntry {
     "g47_communities" ->
       ("SELECT s_suppkey AS id, min(s_suppkey) OVER " +
         "(PARTITION BY s_nationkey) AS community FROM supplier"),
+    // replays GraphX staticPageRank exactly (Spark PageRank.scala
+    // runWithOptions): ranks init 1.0; 5 rounds of
+    // rank = 0.15 + 0.85 * Σ_in rank_src * (1/outdeg_src) along the
+    // DIRECTED (src < dst) same_nation tournament edges; final
+    // normalization scales the rank sum to the vertex count
+    // (SPARK-18847). 6-decimal round on both sides absorbs float
+    // sum-order drift (~1e-14 ≪ 5e-7 tie distance).
+    "g44_pagerank" -> {
+      val step = (prev: String, cur: String) =>
+        s"$cur AS (SELECT v.id, 0.15 + 0.85 * " +
+          "coalesce(sum(p.r * (1.0/d.od)), 0.0) AS r " +
+          "FROM v LEFT JOIN e ON e.dst = v.id " +
+          s"LEFT JOIN $prev p ON p.id = e.src " +
+          "LEFT JOIN d ON d.src = e.src GROUP BY v.id)"
+      "WITH v AS (SELECT s_suppkey AS id FROM supplier), " +
+        "e AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst " +
+        "FROM supplier a JOIN supplier b " +
+        "ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey), " +
+        "d AS (SELECT src, CAST(count(*) AS DOUBLE) AS od " +
+        "FROM e GROUP BY src), " +
+        "p0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM v), " +
+        (1 to 5).map(i => step(s"p${i - 1}", s"p$i")).mkString(", ") +
+        ", n AS (SELECT sum(r) AS s, count(*) AS c FROM p5) " +
+        "SELECT p5.id AS id, round(p5.r * n.c / n.s, 6) AS rank " +
+        "FROM p5, n"
+    },
     "g46_degrees" ->
       ("WITH sn AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst " +
         "FROM supplier a JOIN supplier b " +
