@@ -282,30 +282,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Scale path: random-hyperplane LSH. Deterministic pseudo-random
-    * hyperplanes derived from xxhash64(plane, dim); vectors sharing a
-    * sign-pattern bucket over `planes` hyperplanes are candidates, then
-    * exact-verified. Recall < 1 by construction (document the trade). */
+  /** Scale path: random-hyperplane LSH with AND-OR amplification.
+    * Deterministic pseudo-random hyperplanes derived from
+    * xxhash64(globalPlane, dim); within one table, vectors must agree on
+    * the sign of ALL `planes` hyperplanes (AND — precision), and a pair
+    * is a candidate if it collides in ANY of `tables` independent tables
+    * (OR — recall). Candidates are exact-verified, so amplification
+    * trades cost for recall, never correctness: per-pair recall is
+    * `1-(1-p^planes)^tables` with `p = 1-θ/π`. One table of 12 planes
+    * keeps ~29% of cosine-0.9 pairs; 4 tables of 8 keep ~87%. Bucket
+    * rows scale linearly in `tables` (ids+bucket only, no vectors), the
+    * join stays equi-bucket, and duplicate candidates collapse in the
+    * pair dedup — the standard scale dial for embedding dedup. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, planes: Int = 12): DataFrame = {
+                     threshold: Double, planes: Int = 12,
+                     tables: Int = 1): DataFrame = {
+    require(tables >= 1 && planes >= 1, "need >= 1 table and plane")
     val v = col(vecCol)
-    // component d of plane p = (xxhash64(p,d) mod 2001 - 1000) / 1000
-    val bucket = aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+    // component d of global plane g = (xxhash64(g,d) mod 2001 - 1000)/1000;
+    // table t uses global planes [t*planes, (t+1)*planes) — independent
+    // families, deterministic across runs
+    def bucket(t: Int) = aggregate(sequence(lit(0), lit(planes - 1)),
+      lit(0L),
       (acc, p) => acc.bitwiseOR(
         when(aggregate(
           zip_with(v, sequence(lit(0), size(v) - 1),
             (x, d) => x.cast("double") *
-              ((pmod(xxhash64(p, d), lit(2001L)) - 1000L)
+              ((pmod(xxhash64(p + t * planes, d), lit(2001L)) - 1000L)
                 .cast("double") / 1000.0)),
-          lit(0.0), (a2, t) => a2 + t) > 0.0, lit(1L)).otherwise(lit(0L))
+          lit(0.0), (a2, t2) => a2 + t2) > 0.0, lit(1L)).otherwise(lit(0L))
           .cast("long") * call_function("shiftleft", lit(1L), p)))
-    val withB = df.select(col(idCol).as("__id"), v.as("__v"),
-      bucket.as("__bkt"))
-    val a = withB.select(col("__id").as("id_a"), col("__v").as("v_a"),
-      col("__bkt"))
-    val b = withB.select(col("__id").as("id_b"), col("__v").as("v_b"),
-      col("__bkt"))
-    a.join(b, a("__bkt") === b("__bkt") && col("id_a") < col("id_b"))
+    // (id, vec, table-tagged buckets) materialized BEFORE the explode:
+    // the nested-HOF bucket expressions must not collapse into the
+    // Generate (interpreted re-evaluation — the minhashLsh lesson), and
+    // the bucket self-join below must carry ids only, never vectors
+    val sigs = df.select(col(idCol).as("__id"), v.as("__v"),
+      array((0 until tables).map(t =>
+        concat(lit(s"$t:"), bucket(t).cast("string"))): _*).as("__bkts"))
+      .localCheckpoint(eager = true)
+    val buckets = sigs.select(col("__id"), explode(col("__bkts")).as("__bkt"))
+    val a = buckets.select(col("__id").as("id_a"), col("__bkt"))
+    val b = buckets.select(col("__id").as("id_b"), col("__bkt"))
+    val cand = a.join(b, a("__bkt") === b("__bkt") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // vectors re-joined per deduped candidate pair for exact verification
+    val va = sigs.select(col("__id").as("id_a"), col("__v").as("v_a"))
+    val vb = sigs.select(col("__id").as("id_b"), col("__v").as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

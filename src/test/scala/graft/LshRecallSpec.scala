@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/** Property gates for the approximate (LSH) dedup paths — the rows the
+  * driver can only check rows-only (p31/p33/p35). Two machine-checked
+  * properties per path, on a deterministic planted-near-dup corpus:
+  *
+  *  1. CONTAINMENT — every LSH-found pair is in the exact brute-force
+  *     pair set (LSH may miss, it must never invent: verification is
+  *     exact by construction, and this pins it).
+  *  2. RECALL — the found fraction of the exact pair set clears a
+  *     stated floor. For simhash the 16-bit-chunk bucketing guarantees
+  *     recall = 1 at hamming ≤ 3 (pigeonhole: 3 flipped bits cannot
+  *     touch all 4 chunks), so there the assertion is set EQUALITY.
+  *
+  * Fixtures are seeded (deterministic), so the floors are exact
+  * reproducible numbers, asserted with slack below the measured value.
+  */
+class LshRecallSpec extends SparkSpec {
+
+  /** 20 base docs × (1 original + 2 light mutations) + 20 distinct docs.
+    * Mutations replace one or two words — Jaccard vs base ≈ 0.6–0.9. */
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra")
+    def sentence() = Vector.fill(12)(vocab(rnd.nextInt(vocab.length)))
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    (0 until 20).foreach { _ =>
+      val base = sentence()
+      rows += ((id, base.mkString(" "))); id += 1
+      (0 until 2).foreach { _ =>
+        val m = base.updated(rnd.nextInt(base.length),
+          vocab(rnd.nextInt(vocab.length)))
+        rows += ((id, m.mkString(" "))); id += 1
+      }
+    }
+    (0 until 20).foreach { _ =>
+      rows += ((id, sentence().mkString(" "))); id += 1
+    }
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH: pairs ⊆ exact-Jaccard pairs, recall ≥ 0.85, " +
+      "jaccard values exact") {
+    val threshold = 0.5
+    val lsh = Dedup.minhashLsh(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, threshold = threshold)
+    // brute force: single-block n-gram Jaccard = the exact pair set
+    val exact = Dedup.ngramJaccardPairs(
+      corpus.withColumn("blk", lit(1)), "doc_id", "text", "blk",
+      k = 3, threshold = threshold)
+    val lshPairs = pairSet(lsh)
+    val exactPairs = pairSet(exact)
+    assert(exactPairs.nonEmpty, "fixture must plant near-dups")
+    assert(lshPairs.subsetOf(exactPairs),
+      s"LSH invented pairs: ${lshPairs -- exactPairs}")
+    val recall = lshPairs.size.toDouble / exactPairs.size
+    assert(recall >= 0.85, f"minhash recall $recall%.3f < 0.85 " +
+      s"(${lshPairs.size}/${exactPairs.size})")
+    // verification is exact: jaccard values agree with brute force
+    // (hashed-shingle vs string-shingle sets are equal modulo 64-bit
+    // hash collisions — none on this corpus)
+    val lshJ = lsh.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactJ = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lshJ.foreach { case (p, j) =>
+      assert(math.abs(j - exactJ(p)) < 1e-12,
+        s"jaccard mismatch on $p: $j vs ${exactJ(p)}")
+    }
+  }
+
+  test("simhash: chunk bucketing has PERFECT recall at hamming ≤ 3 " +
+      "(pigeonhole over 4×16-bit chunks)") {
+    val found = pairSet(
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3))
+    // exact: brute-force hamming over the same signatures
+    val sigs = corpus.select(col("doc_id").as("id"),
+      Dedup.simhash(col("text")).as("sig")).localCheckpoint(true)
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val exact = pairSet(a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
+      .select(col("id_a"), col("id_b")))
+    assert(exact.nonEmpty, "fixture must contain hamming-close pairs")
+    assert(found === exact,
+      s"missed ${exact -- found}, invented ${found -- exact}")
+  }
+
+  test("cosine LSH: pairs ⊆ brute-force pairs; multi-table " +
+      "amplification lifts recall ≥ 0.8 on clustered embeddings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    var id = 0L
+    (0 until 15).foreach { _ =>
+      val base = unit(16)
+      rows += ((id, base)); id += 1
+      (0 until 2).foreach { _ => // tight cluster: cosine vs base ≈ 0.97+
+        rows += ((id, base.map(x => x + 0.1f * rnd.nextGaussian().toFloat)))
+        id += 1
+      }
+    }
+    val vecs = rows.toSeq.toDF("vec_id", "embedding")
+    val bf = pairSet(
+      Dedup.cosinePairs(vecs, "vec_id", "embedding", threshold = 0.9))
+    val oneTable = pairSet(Dedup.cosinePairsLsh(vecs, "vec_id",
+      "embedding", threshold = 0.9, planes = 8))
+    val lsh = pairSet(Dedup.cosinePairsLsh(vecs, "vec_id", "embedding",
+      threshold = 0.9, planes = 8, tables = 4))
+    assert(bf.nonEmpty, "fixture must contain near-duplicate vectors")
+    assert(oneTable.subsetOf(bf), s"invented: ${oneTable -- bf}")
+    assert(lsh.subsetOf(bf), s"LSH invented pairs: ${lsh -- bf}")
+    // OR-amplification can only add candidate collisions
+    assert(oneTable.subsetOf(lsh), "tables=4 must dominate tables=1")
+    val recall = lsh.size.toDouble / bf.size
+    assert(recall >= 0.8,
+      f"cosine-LSH recall $recall%.3f < 0.8 (${lsh.size}/${bf.size})")
+  }
+}
