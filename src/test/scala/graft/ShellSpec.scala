@@ -347,4 +347,28 @@ class ShellSpec extends SparkSpec {
     assert(rowBag(res) === Map(
       Seq("Alice", "mgr") -> 1, Seq("Bob", "eng") -> 1))
   }
+
+  test("mixed-type MAP values project as string " +
+      "(execution.cpp:74-79 dominant-type fallback)") {
+    // The reference infers a dominant type for extracted MAP values and
+    // falls back to STRING the moment two rows disagree
+    // (src/query/execution.cpp:74-79). The engine's sanctioned shape is
+    // MAP<string,string> storage + cast-on-read (SURVEY §7), so a key
+    // holding an int on one row and a string on another projects as the
+    // reference's mixed→string fallback — with NO per-batch type sniff.
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA Doc (name: STRING, props: MAP);
+      CREATE NODE Doc (name = "a");
+      CREATE NODE Doc (name = "b");
+      CREATE NODE Doc (name = "c");
+      UPDATE (d:Doc) SET d.props.x = 42 WHERE d.name = "a";
+      UPDATE (d:Doc) SET d.props.x = "abc" WHERE d.name = "b";
+    """)
+    val res = sh.execute("MATCH (d:Doc) SELECT d.name, d.props.x;").get
+    assert(res.schema.fields.map(_.dataType).forall(
+      _ == org.apache.spark.sql.types.StringType))
+    assert(rowBag(res) === Map(
+      Seq("a", "42") -> 1, Seq("b", "abc") -> 1, Seq("c", null) -> 1))
+  }
 }
