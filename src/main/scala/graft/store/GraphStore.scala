@@ -698,15 +698,20 @@ final class GraphStore(
 
   /** Valid-time history retention (SCD2 compaction): physically drop
     * version rows no read at `vt >= beforeValid` can ever return.
-    * Visibility is `_vf <= vt < _vt` + newest-`_ver`-wins, and updates
-    * never close `_vt` (shadowing is by version number), so two row
-    * classes are reclaimable at watermark W:
+    * Visibility is `_vf <= vt < _vt` + newest-`_ver`-wins. Updates run
+    * close-old/open-new — the superseded head's `_vt` closes at the
+    * update instant and the new version opens there ([[versionedRewrite]]
+    * and the by-id buffer path) — and the injected clock is monotone, so
+    * every close time is >= every earlier version's `_vf`. Two row
+    * classes are therefore reclaimable at watermark W:
     *
-    *  - ended intervals: `_vt <= W` (interval-end deletes) — invisible
-    *    at any vt >= W outright;
+    *  - ended intervals: `_vt <= W` (closed by an update's supersession
+    *    or an interval-end delete) — invisible at any vt >= W outright;
     *  - shadowed history: rows with `_vf <= W` whose id also has a
     *    NEWER version with `_vf <= W < _vt` — that newer row is visible
-    *    and wins at every vt >= W the older row could serve.
+    *    and wins at every vt >= W the older row could serve (monotone
+    *    closes guarantee the cover's interval extends past W, so no
+    *    dropped row can resurface between W and the cover's `_vf`).
     *
     * One per-id max aggregate + one co-partitioned join — a distributed
     * filter, never a chain walk (the storage-lifecycle analog of the

@@ -33,16 +33,23 @@ def canon(rows, cols):
     return [c for c in sorted(cols)], out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, subset=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        # filtered Verify runs dump a subset; absent dumps are not failures
+        # A missing dump is only benign when the Verify run was explicitly
+        # filtered (pass the same comma-separated subset as 3rd arg);
+        # otherwise it means the query crashed before dumping → FAIL.
         if not os.path.isdir(f"{out_dir}/{name}"):
+            if subset is not None and name not in subset:
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: no dump (crashed before write?)")
+                n_fail += 1
             continue
         try:
             eng = con.execute(
@@ -71,9 +78,11 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"ERROR {name}: {e}")
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skipped (filtered)")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(
+        sys.argv[1], sys.argv[2],
+        set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
