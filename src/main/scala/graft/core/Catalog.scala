@@ -25,6 +25,84 @@ final class MockClock(start: Long = 0L) extends Clock {
   def advance(by: Long): Long = t.addAndGet(by)
 }
 
+/** Fixed-size field constraints (reference
+  * include/schema/type_descriptor.hpp:26-77: `max_string_size` caps
+  * STRING length — the legacy FIXED_STRING16/32/64 encodings map to
+  * string(16/32/64) — and ARRAY `fixed_size > 0` fixes the element
+  * count, surfaced to Arrow as `fixed_size_list`). Carried as
+  * StructField metadata, so constraints ride the schema through
+  * snapshot commit/restore (StructType.json round-trips metadata) with
+  * no catalog side-table. Semantically values stay plain
+  * strings/arrays (SURVEY §1.2); the constraint is write-path
+  * validation only, like the reference. */
+object FixedSize {
+  private val MaxLenKey = "graft.maxStringLength"
+  private val FixedArrKey = "graft.fixedArraySize"
+
+  /** STRING with a length cap (reference `TypeDescriptor::string(n)`). */
+  def string(name: String, maxLen: Int): StructField = {
+    require(maxLen > 0, "maxLen must be positive (0 = use StringType)")
+    StructField(name, StringType, nullable = true,
+      new MetadataBuilder().putLong(MaxLenKey, maxLen.toLong).build())
+  }
+
+  /** Fixed-length ARRAY (reference `TypeDescriptor::array(elem, n)`). */
+  def array(name: String, elem: DataType, size: Int): StructField = {
+    require(size > 0, "size must be positive (0 = variable length)")
+    StructField(name, ArrayType(elem), nullable = true,
+      new MetadataBuilder().putLong(FixedArrKey, size.toLong).build())
+  }
+
+  def maxLengthOf(f: StructField): Option[Int] =
+    if (f.metadata.contains(MaxLenKey))
+      Some(f.metadata.getLong(MaxLenKey).toInt) else None
+
+  def fixedSizeOf(f: StructField): Option[Int] =
+    if (f.metadata.contains(FixedArrKey))
+      Some(f.metadata.getLong(FixedArrKey).toInt) else None
+
+  /** Distributed write validation for the bulk-ingest path: wraps a
+    * column in a raise_error guard (same fail-loudly style as the
+    * dense-id layout guards). Identity for unconstrained fields —
+    * zero plan overhead unless a constraint exists. */
+  def guard(c: org.apache.spark.sql.Column, f: StructField,
+            ctx: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val lenOk = maxLengthOf(f).fold(c) { n =>
+      when(c.isNull || length(c) <= n, c)
+        .otherwise(raise_error(concat(
+          lit(s"$ctx.${f.name}: string length "), length(c),
+          lit(s" exceeds FIXED_STRING($n)"))).cast(f.dataType))
+    }
+    fixedSizeOf(f).fold(lenOk) { n =>
+      when(lenOk.isNull || size(lenOk) === n, lenOk)
+        .otherwise(raise_error(concat(
+          lit(s"$ctx.${f.name}: array of "), size(lenOk),
+          lit(s" elements violates ARRAY[$n]"))).cast(f.dataType))
+    }
+  }
+
+  /** Driver-side write validation for the interactive row paths. */
+  def validate(v: Any, f: StructField, ctx: String): Unit = {
+    maxLengthOf(f).foreach { n =>
+      v match {
+        case s: String if s.length > n =>
+          throw new IllegalArgumentException(
+            s"$ctx: string of length ${s.length} exceeds FIXED_STRING($n)")
+        case _ =>
+      }
+    }
+    fixedSizeOf(f).foreach { n =>
+      v match {
+        case s: Seq[_] if s.size != n =>
+          throw new IllegalArgumentException(
+            s"$ctx: array of ${s.size} elements violates ARRAY[$n]")
+        case _ =>
+      }
+    }
+  }
+}
+
 /** Edge-type registration. Unlike the reference (whose EdgeStore keys edges
   * by type name only — include/core/edge_store.hpp:34-45), we key by
   * (type, srcLabel, dstLabel): per-schema node-id namespaces (README.md:139)

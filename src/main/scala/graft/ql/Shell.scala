@@ -21,7 +21,7 @@ final class Shell(store: GraphStore,
     * carries no endpoint labels — TundraQL.g4:8); applied lazily on the
     * first CREATE EDGE of that type, when the endpoints are known. */
   private val pendingEdgeSchemas =
-    scala.collection.mutable.Map[String, Seq[(String, DataType)]]()
+    scala.collection.mutable.Map[String, Seq[StructField]]()
 
   def execute(sql: String): Option[DataFrame] =
     TundraQL.parseScript(sql).map(executeStmt).last
@@ -50,14 +50,14 @@ final class Shell(store: GraphStore,
 
   def executeStmt(st: Statement): Option[DataFrame] = st match {
     case CreateSchemaStmt(label, fields) =>
-      store.createSchema(label, fields.map { case (n, t) =>
-        n -> dataType(t)
-      }: _*)
+      store.createSchemaFields(label, fields.map { case (n, t) =>
+        structField(n, t)
+      })
       None
 
     case CreateEdgeSchemaStmt(name, fields) =>
       pendingEdgeSchemas(name) = fields.map { case (n, t) =>
-        n -> dataType(t)
+        structField(n, t)
       }
       None
 
@@ -83,7 +83,7 @@ final class Shell(store: GraphStore,
       }
       if (store.edgeTypeFor(etype, srcLabel).isEmpty)
         pendingEdgeSchemas.get(etype).foreach { fields =>
-          store.createEdgeSchema(etype, srcLabel, dstLabel, fields: _*)
+          store.createEdgeSchemaFields(etype, srcLabel, dstLabel, fields)
         }
       for (s <- srcIds; d <- dstIds)
         store.connect(srcLabel, s, etype, dstLabel, d, props, unique)
@@ -353,6 +353,16 @@ final class Shell(store: GraphStore,
         throw new IllegalArgumentException(
           s"unsupported WHERE form for a mutation rewrite: $other")
     }
+
+  private def structField(name: String, t: String): StructField = t match {
+    // legacy fixed-string encodings (type_descriptor.hpp:64-77 maps
+    // FIXED_STRING16/32/64 to string(16/32/64)): semantically STRING,
+    // length-capped on write
+    case "FIXED_STRING16" => graft.core.FixedSize.string(name, 16)
+    case "FIXED_STRING32" => graft.core.FixedSize.string(name, 32)
+    case "FIXED_STRING64" => graft.core.FixedSize.string(name, 64)
+    case other => StructField(name, dataType(other), nullable = true)
+  }
 
   private def dataType(t: String): DataType = t match {
     case "STRING"  => StringType

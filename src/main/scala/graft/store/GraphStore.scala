@@ -60,9 +60,15 @@ final class GraphStore(
 
   /** CREATE SCHEMA (reference D1: SchemaRegistry::create,
     * include/schema/schema.hpp:168 — `id` auto-prepended). */
-  def createSchema(label: String, fields: (String, DataType)*): Unit = {
-    val st = catalog.createSchema(
-      label, fields.map { case (n, t) => StructField(n, t, nullable = true) })
+  def createSchema(label: String, fields: (String, DataType)*): Unit =
+    createSchemaFields(label,
+      fields.map { case (n, t) => StructField(n, t, nullable = true) })
+
+  /** [[createSchema]] with full StructFields — the surface for
+    * fixed-size constraints ([[graft.core.FixedSize]], reference
+    * type_descriptor.hpp:26-77). */
+  def createSchemaFields(label: String, fields: Seq[StructField]): Unit = {
+    val st = catalog.createSchema(label, fields)
     nodeTables(label) = new NodeTable(label, st, versioningEnabled)
   }
 
@@ -70,13 +76,19 @@ final class GraphStore(
     * src/core/edge_store.cpp:15). */
   def createEdgeSchema(
       name: String, srcLabel: String, dstLabel: String,
-      props: (String, DataType)*): Unit = {
+      props: (String, DataType)*): Unit =
+    createEdgeSchemaFields(name, srcLabel, dstLabel,
+      props.map { case (n, t) => StructField(n, t, nullable = true) })
+
+  /** [[createEdgeSchema]] with full StructFields (fixed-size props). */
+  def createEdgeSchemaFields(
+      name: String, srcLabel: String, dstLabel: String,
+      props: Seq[StructField]): Unit = {
     // duplicate registration is an error (reference:
     // tests/edge_store_test.cpp:191 DuplicateSchemaRegistration)
     require(catalog.edgeType(name, srcLabel, dstLabel).isEmpty,
       s"edge schema $name ($srcLabel->$dstLabel) already registered")
-    val info = EdgeTypeInfo(name, srcLabel, dstLabel,
-      StructType(props.map { case (n, t) => StructField(n, t, nullable = true) }))
+    val info = EdgeTypeInfo(name, srcLabel, dstLabel, StructType(props))
     catalog.registerEdgeType(info)
     edgeTables((name, srcLabel, dstLabel)) =
       new EdgeTable(info, versioningEnabled)
@@ -171,9 +183,13 @@ final class GraphStore(
       StructType(Seq(StructField("__p", IntegerType, nullable = false),
         StructField("__off", LongType, nullable = false),
         StructField("__cnt", LongType, nullable = false))))
-    val fieldCols = st.fields.filter(_.name != "id").map(f =>
-      (if (df.columns.contains(f.name)) col(f.name)
-       else lit(null)).cast(f.dataType).as(f.name))
+    val fieldCols = st.fields.filter(_.name != "id").map { f =>
+      val c = (if (df.columns.contains(f.name)) col(f.name)
+        else lit(null)).cast(f.dataType)
+      // fixed-size write validation, distributed (identity when
+      // unconstrained — type_descriptor.hpp:26-77)
+      graft.core.FixedSize.guard(c, f, label).as(f.name)
+    }
     // partition id + record index are stamped BEFORE the (narrow,
     // partitioning-preserving) broadcast join, so both jobs see the same
     // layout the counts were taken from. Both directions of a layout
@@ -944,9 +960,10 @@ object GraphStore {
       val label = ln.get("label").asText()
       val st = DataType.fromJson(ln.get("schema").asText())
         .asInstanceOf[StructType]
-      store.createSchema(label,
-        st.fields.filter(_.name != "id")
-          .map(f => f.name -> f.dataType).toIndexedSeq: _*)
+      // full StructFields, not (name, type) pairs — fixed-size
+      // constraint metadata must survive the round-trip
+      store.createSchemaFields(label,
+        st.fields.filter(_.name != "id").toIndexedSeq)
       store.catalog.setNodeCounter(label, ln.get("counter").asLong())
       val t = store.nodeTables(label)
       t.base = Some(spark.read.parquet(s"$dataPath/nodes/$label"))
@@ -1007,8 +1024,12 @@ private[store] final class NodeTable(
     val unknown = values.keySet.diff(schema.fieldNames.toSet)
     require(unknown.isEmpty, s"unknown fields for $label: $unknown")
     val fieldVals = schema.fields.filter(_.name != "id").map { f =>
-      TypeCoercion.coerce(values.getOrElse(f.name, null), f.dataType,
+      val v = TypeCoercion.coerce(values.getOrElse(f.name, null), f.dataType,
         s"$label.${f.name}")
+      // FIXED_STRING / fixed-ARRAY write validation
+      // (type_descriptor.hpp:26-77)
+      graft.core.FixedSize.validate(v, f, s"$label.${f.name}")
+      v
     }
     val row: Array[Any] =
       if (versioned) (id +: fieldVals) ++ Array[Any](0L, now, INF, now, INF)
@@ -1123,9 +1144,12 @@ private[store] final class EdgeTable(val info: EdgeTypeInfo,
                 props: Map[String, Any]): Unit = {
     val unknown = props.keySet.diff(info.props.fieldNames.toSet)
     require(unknown.isEmpty, s"unknown edge props for ${info.name}: $unknown")
-    val propVals = info.props.fields.map(f =>
-      TypeCoercion.coerce(props.getOrElse(f.name, null), f.dataType,
-        s"${info.name}.${f.name}"))
+    val propVals = info.props.fields.map { f =>
+      val v = TypeCoercion.coerce(props.getOrElse(f.name, null), f.dataType,
+        s"${info.name}.${f.name}")
+      graft.core.FixedSize.validate(v, f, s"${info.name}.${f.name}")
+      v
+    }
     val vCols: Array[Any] =
       if (versioned) Array[Any](0L, ts, INF, ts, INF) else Array.empty[Any]
     buffer += (Array[Any](id, src, dst, ts) ++ propVals ++ vCols)

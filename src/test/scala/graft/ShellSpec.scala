@@ -371,4 +371,32 @@ class ShellSpec extends SparkSpec {
     assert(rowBag(res) === Map(
       Seq("a", "42") -> 1, Seq("b", "abc") -> 1, Seq("c", null) -> 1))
   }
+
+  test("FIXED_STRING length enforced on write " +
+      "(type_descriptor.hpp:55-77: FIXED_STRING16/32/64 = capped STRING)") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA Tag (code: FIXED_STRING16, note: STRING);
+      CREATE NODE Tag (code = "fits-in-sixteen", note = "ok");
+    """)
+    val e = intercept[Exception] {
+      sh.execute(s"""CREATE NODE Tag (code = "${"x" * 17}");""")
+    }
+    assert(e.getMessage.contains("FIXED_STRING(16)"), e.getMessage)
+    // the oversized write was rejected atomically — nothing half-landed
+    val res = sh.execute("MATCH (t:Tag) SELECT t.code;").get
+    assert(rowBag(res) === Map(Seq("fits-in-sixteen") -> 1))
+    // edge props are validated the same way
+    sh.execute("""
+      CREATE EDGE SCHEMA TAGGED (label: FIXED_STRING16);
+      CREATE SCHEMA Item (name: STRING);
+      CREATE NODE Item (name = "thing");
+      CREATE EDGE TAGGED FROM Tag(0) TO Item(0) WITH (label = "ok");
+    """)
+    val e2 = intercept[Exception] {
+      sh.execute("CREATE EDGE TAGGED FROM Tag(0) TO Item(0) " +
+        s"""WITH (label = "${"y" * 20}");""")
+    }
+    assert(e2.getMessage.contains("FIXED_STRING(16)"), e2.getMessage)
+  }
 }

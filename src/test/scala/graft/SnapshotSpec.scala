@@ -222,4 +222,47 @@ class SnapshotSpec extends SparkSpec {
     assert(r.nodes("User").count() === 100)
     assert(r.createNode("User", Map("name" -> "next")) === 100L)
   }
+
+  test("fixed-size constraints: bulk guard, fixed ARRAY, and snapshot " +
+      "round-trip (type_descriptor.hpp:26-77)") {
+    import graft.core.FixedSize
+    import org.apache.spark.sql.types.StructField
+    val s = new GraphStore(spark)
+    s.createSchemaFields("Sensor", Seq(
+      FixedSize.string("tag", 8),
+      FixedSize.array("cal", DoubleType, 3),
+      StructField("name", StringType)))
+    // interactive path: in-range passes, violations reject
+    s.createNode("Sensor", Map("tag" -> "ok", "cal" -> Seq(1.0, 2.0, 3.0)))
+    val e1 = intercept[IllegalArgumentException] {
+      s.createNode("Sensor", Map("tag" -> "way-too-long-tag"))
+    }
+    assert(e1.getMessage.contains("FIXED_STRING(8)"))
+    val e2 = intercept[IllegalArgumentException] {
+      s.createNode("Sensor", Map("cal" -> Seq(1.0, 2.0)))
+    }
+    assert(e2.getMessage.contains("ARRAY[3]"))
+    // bulk path: the distributed raise_error guard trips when the
+    // column materializes (collect / snapshot write; a count() alone
+    // prunes the projection and never evaluates it, like the reference
+    // only validating rows it actually encodes)
+    import spark.implicits._
+    val bad = Seq(("oversized!", "n")).toDF("tag", "name")
+    s.createNodes("Sensor", bad)
+    val err = intercept[Exception] {
+      s.nodes("Sensor").select("tag").collect()
+    }
+    assert(err.getMessage.contains("FIXED_STRING(8)"), err.getMessage)
+    // constraints survive commit/restore (metadata rides StructType.json)
+    val s2 = new GraphStore(spark)
+    s2.createSchemaFields("Sensor", Seq(FixedSize.string("tag", 8)))
+    s2.createNode("Sensor", Map("tag" -> "ok"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-fixed").toString
+    s2.commit(dir)
+    val r = GraphStore.restore(spark, dir)
+    val e3 = intercept[IllegalArgumentException] {
+      r.createNode("Sensor", Map("tag" -> "way-too-long-tag"))
+    }
+    assert(e3.getMessage.contains("FIXED_STRING(8)"))
+  }
 }
