@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked program output straight through to this process's
+// stdout/stderr instead of sbt's logger: the logger prefixes every line
+// with "[info] ", which breaks any harness that json-parses the single
+// {"metric":...} line Bench prints (the per-round BENCH_r*.json showed
+// parsed:null each round for exactly this reason).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -129,24 +129,31 @@ object Bench {
     // filter and always measures the full suite.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = benchmarks
+    // (median, min) per query: the median is the headline (reference
+    // discipline), but this host shows minute-scale 2-4x throughput
+    // swings (a fixed single-thread loop measured 0.68-1.9 s for the
+    // same work), so the min-of-5 is reported alongside as the better
+    // estimator of the true cost under that noise.
+    val results: Seq[(String, (Double, Double))] = benchmarks
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
       try {
         timeOnce(f) // warmup, untimed
         val times = (1 to Reps).map(_ => timeOnce(f)).sorted
-        name -> times(Reps / 2)
+        name -> (times(Reps / 2), times.head)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          name -> (-1.0, -1.0)
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + f"\":$mn%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -86,7 +86,8 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
                  threshold: Double = 0.7,
-                 maxBucketSize: Int = 200): DataFrame = {
+                 maxBucketSize: Int = 200,
+                 eagerCheckpoint: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(threshold > 0.0, "threshold must be positive (verification " +
       "counts common shingles; zero-overlap pairs are never near-dups)")
@@ -95,22 +96,30 @@ object Dedup {
     // hashed shingles is (collision-negligibly) identical and far cheaper
     // than building shingle strings. __th is its own projection step so
     // token hashing runs once per row, not once per shingle.
-    // The localCheckpoint (eager — lazy checkpoints left cleaned-up stages
-    // reporting late accumulator updates, spamming benign-but-noisy
-    // DAGScheduler ERRORs into bench logs) materializes the arrays BEFORE the
-    // explode below: Catalyst would otherwise collapse the shingle
-    // expression into the Generate, whose generator input is evaluated on
-    // the interpreted (non-codegen) path — measured ~10x slower than
-    // running the same expression in a codegen'd projection. Materialized
-    // rows are (long, long[]) — far smaller than the input text — and the
+    // The localCheckpoint materializes the arrays BEFORE the explode
+    // below: Catalyst would otherwise collapse the shingle expression
+    // into the Generate, whose generator input is evaluated on the
+    // interpreted (non-codegen) path — measured ~10x slower than running
+    // the same expression in a codegen'd projection. Materialized rows
+    // are (long, long[]) — far smaller than the input text — and the
     // shingling also feeds three consumers (signatures + both verify
     // sides), which now share one evaluation.
+    // Eager vs lazy (round-4 A/B, sf0.1 10k docs, reps INTERLEAVED in one
+    // JVM so both variants share the host's noise regime; two reps that
+    // hit >120 s host stall windows excluded): lazy won every clean rep —
+    // 8.2/5.5/9.5 s vs eager's 15.7/7.7/19.8 s (min 5.5 vs 7.7) — i.e.
+    // eager's up-front materialization jobs cost ~1.5-2x on this shape.
+    // Lazy is therefore the default; r2's reason for eager (benign
+    // "Failed to update accumulator" DAGScheduler ERROR spam from
+    // late task events of checkpoint-truncated stages) is handled by a
+    // targeted RegexFilter in src/main/resources/log4j2.properties
+    // instead of by paying the barrier.
     val base = df
       .select(col(idCol).as("__id"),
         transform(split(lower(trim(col(textCol))), "\\s+"),
           t => xxhash64(t)).as("__th"))
       .select(col("__id"), hashedShingles(col("__th"), shingleK).as("__shh"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = eagerCheckpoint)
     // Signatures in ONE fused native pass per row
     // ([[graft.functions.MinHashSig]] — bit-identical to the former
     // explode → groupBy(id).agg(64 min buffers) formulation, which paid
@@ -135,7 +144,7 @@ object Dedup {
         graft.functions.MinHashSig(
           org.apache.spark.sql.graft.ColumnBridge.expression(col("__shh")),
           numHashes)).as("__sig"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = eagerCheckpoint)
     // Band key = xxhash64 over (band index, its r signature slots):
     // any injective-modulo-collision function of the slot values yields
     // the same candidate buckets as the former md5(concat_ws) string —
@@ -231,7 +240,7 @@ object Dedup {
     // Generate (interpreted path) or evaluate once per join side
     val sigs = df.select(col(idCol).as("__id"),
       simhash(col(textCol)).as("__sig"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         concat(c.cast("string"), lit(":"),
@@ -256,7 +265,7 @@ object Dedup {
     // materialize shingle arrays once — both join sides read them
     val p = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
       shingles(col(textCol), k).as("__sh"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val a = p.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
       col("__blk"))
     val b = p.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
@@ -319,7 +328,7 @@ object Dedup {
     val sigs = df.select(col(idCol).as("__id"), v.as("__v"),
       array((0 until tables).map(t =>
         concat(lit(s"$t:"), bucket(t).cast("string"))): _*).as("__bkts"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val buckets = sigs.select(col("__id"), explode(col("__bkts")).as("__bkt"))
     val a = buckets.select(col("__id").as("id_a"), col("__bkt"))
     val b = buckets.select(col("__id").as("id_b"), col("__bkt"))
