@@ -125,6 +125,35 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Host-speed calibration, reported alongside the query times: this
+    // box's per-core throughput oscillates 2-4x on minute timescales
+    // (SCALE.md "Bench variance"), so two fixed workloads — a pure-JVM
+    // single-thread hash loop and a canonical 32-partition Spark job —
+    // are timed immediately before the suite. Comparing `calib_*` across
+    // rounds separates engine changes from host regime changes.
+    def calibrate(): (Double, Double) = {
+      def jvmLoop(): Double = {
+        val t0 = System.nanoTime()
+        var acc = 0L
+        var i = 0L
+        while (i < 50_000_000L) { acc ^= i * 0x9E3779B97F4A7C15L; i += 1 }
+        if (acc == 42L) System.err.print("") // defeat dead-code elim
+        (System.nanoTime() - t0) / 1e9
+      }
+      def sparkJob(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 20_000_000L, 1, 32)
+          .select(sum(pmod(xxhash64(col("id")), lit(1_000_000L))))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      jvmLoop(); sparkJob() // warmup, untimed
+      val j = (1 to 3).map(_ => jvmLoop()).min
+      val s = (1 to 3).map(_ => sparkJob()).min
+      (j, s)
+    }
+    val (calibJvm, calibSpark) = calibrate()
+
     // Local-debugging subset (comma-separated names); the driver sets no
     // filter and always measures the full suite.
     val only: Option[Set[String]] =
@@ -153,7 +182,7 @@ object Bench {
     val qsMin = results.map { case (k, (_, mn)) => "\"" + k + f"\":$mn%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"calib_jvm_1t":$calibJvm%.3f,"calib_spark":$calibSpark%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
