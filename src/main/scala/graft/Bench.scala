@@ -163,18 +163,44 @@ object Bench {
     // swings (a fixed single-thread loop measured 0.68-1.9 s for the
     // same work), so the min-of-5 is reported alongside as the better
     // estimator of the true cost under that noise.
+    // Blocks persisted during one query's reps (lazy localCheckpoints in
+    // the dedup/curation pipelines, per-rep GraphStore caches in
+    // node_insert) must not survive into the NEXT query's timing: a real
+    // user running decontaminate once never pays for six earlier
+    // minhash reps' checkpoints, but the r4 full-suite run did — storage
+    // filled up query by query until decontaminate thrashed to a 63 s
+    // median while the same query measured 0.7 s in isolation. Only
+    // blocks NEW since the query started are dropped; the store's table
+    // caches (created before timing) are untouched.
+    val keepRdds = spark.sparkContext.getPersistentRDDs.keySet
+    def unpersistSince(): Unit = {
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        // blocking: the drop must not overlap the NEXT query's timed
+        // reps (cleanup is untimed by construction here)
+        if (!keepRdds.contains(id)) rdd.unpersist(blocking = true)
+      }
+      // Nudge the ContextCleaner: broadcasts/accumulators of the frames
+      // just dropped are only cleaned once their driver refs are GC'd.
+      System.gc()
+    }
     val results: Seq[(String, (Double, Double))] = benchmarks
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
       try {
-        timeOnce(f) // warmup, untimed
-        val times = (1 to Reps).map(_ => timeOnce(f)).sorted
+        val warm = timeOnce(f) // warmup, untimed
+        val raw = (1 to Reps).map(_ => timeOnce(f))
+        // Per-rep times go to stderr: a degrading sequence (rep1 fast,
+        // rep5 slow) indicts state accumulated across reps; a uniform
+        // slowdown indicts the host regime.
+        System.err.println(f"[bench] $name warm=$warm%.3f reps=" +
+          raw.map(t => f"$t%.3f").mkString(","))
+        val times = raw.sorted
         name -> (times(Reps / 2), times.head)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> (-1.0, -1.0)
-      }
+      } finally unpersistSince()
     }
 
     val qs = results.map { case (k, (med, _)) => "\"" + k + f"\":$med%.3f" }
