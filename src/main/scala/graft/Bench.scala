@@ -187,8 +187,12 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
       try {
+        // Cleanup runs BETWEEN reps (untimed): each rep rebuilds its
+        // frame from scratch, so the previous rep's checkpoint blocks
+        // are dead weight that only adds eviction pressure — minhash's
+        // reps degraded 1.1 -> 3.6 s under per-query-only cleanup.
         val warm = timeOnce(f) // warmup, untimed
-        val raw = (1 to Reps).map(_ => timeOnce(f))
+        val raw = (1 to Reps).map { _ => unpersistSince(); timeOnce(f) }
         // Per-rep times go to stderr: a degrading sequence (rep1 fast,
         // rep5 slow) indicts state accumulated across reps; a uniform
         // slowdown indicts the host regime.
