@@ -116,7 +116,33 @@ object Bench {
       "pack_sequences" -> (() => graft.pipeline.Curation.packSequences(
         store.nodes("documents"), "id", "text", budgetTokens = 2048)),
       "quantize_int8" -> (() => Similarity.quantizeInt8(
-        store.nodes("embeddings").withColumnRenamed("id", "vec_id")))
+        store.nodes("embeddings").withColumnRenamed("id", "vec_id"))),
+      // ---- round-5 additions: one per previously-unmeasured class ----
+      // fused native SimHash64 + 16-bit chunk self-join (p33 shape)
+      "simhash_pairs" -> (() => Dedup.simhashPairs(
+        store.nodes("documents"), "id", "text", maxHamming = 10)),
+      // random-hyperplane LSH + exact verify over embeddings (p35 shape)
+      "cosine_lsh" -> (() => Dedup.cosinePairsLsh(
+        store.nodes("embeddings"), "id", "embedding",
+        threshold = 0.4, planes = 8)),
+      // distinct-token shuffle + broadcast vocab/df (p52 shape)
+      "tfidf" -> (() => TextAnalysis.tfIdf(
+        store.nodes("documents"), "id", "text", vocab = 20)),
+      // GraphX connected components over near-dup pairs. The pair
+      // generator here is simhash (the cheap LSH path), NOT the exact
+      // blocked Jaccard the p49 oracle uses: exact pairwise verification
+      // is quadratic within blocks (58 s at sf0.1 — measured, and the
+      // Dedup scaladoc's "never run unblocked" caveat in action), while
+      // the 100 TB clustering shape is LSH-candidate pairs + CC.
+      "dup_clusters" -> (() => {
+        val docs = store.nodes("documents")
+        graft.pipeline.Curation.dupClusters(docs, "id",
+          Dedup.simhashPairs(docs, "id", "text", maxHamming = 10))
+      }),
+      // frontier-BFS variable-length paths, 1..3 hops (v44 shape)
+      "varlength_paths" -> (() => graft.planner.VarLength.pairs(
+        store.edges("next_order", "orders", "orders"),
+        minHops = 1, maxHops = 3))
     )
 
     def timeOnce(f: () => DataFrame): Double = {
