@@ -21,7 +21,15 @@ object VarLength {
 
   def pairs(edges: DataFrame, minHops: Int, maxHops: Int): DataFrame = {
     require(minHops >= 1 && maxHops >= minHops, "need 1 <= min <= max")
+    // Each round is materialized (lazy localCheckpoint): round k's
+    // frontier feeds BOTH round k+1's expansion and the final union, and
+    // Catalyst does not dedupe shared subtrees — left lazy, every round
+    // re-derives all earlier rounds and total work grows exponentially
+    // in maxHops. Checkpointing makes each round's rows compute exactly
+    // once (frontier-sized), which is also what bounds lineage depth for
+    // deep expansions — the standard iterative-algorithm discipline.
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = false)
     var known = e.withColumn("hops", lit(1))
     var frontier = known
     (2 to maxHops).foreach { k =>
@@ -31,6 +39,7 @@ object VarLength {
       val fresh = expanded.join(known.select("src", "dst"),
         Seq("src", "dst"), "left_anti")
         .withColumn("hops", lit(k))
+        .localCheckpoint(eager = false)
       known = known.unionByName(fresh)
       frontier = fresh
     }
