@@ -51,6 +51,23 @@ object Bench {
       Similarity.ivfAssign(embeddingsByVecId, ivfTrained))
     val (ivfCentroids, ivfAssigned) = Similarity.loadIndex(spark, ivfDir)
 
+    // Versioned-store fixture for the temporal as-of entry (the q17
+    // shape): built once before timing — the reps measure the
+    // version-visibility scan, not the mutation that seeds it.
+    val versionedStore = {
+      val clock = new graft.core.MockClock(0L)
+      val s = new graft.store.GraphStore(spark,
+        versioningEnabled = true, clock = clock)
+      s.attachNodes("customer",
+        spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_acctbal").as("acctbal")), "id")
+      clock.set(2000L)
+      s.updateWhere("customer", col("id") % 3 === 0,
+        Map("acctbal" -> (col("acctbal") + 100)), validFrom = Some(500L))
+      s
+    }
+
     def friendJoin: DataFrame = planner.plan(Q.from("c:customer")
       .where(ref("c.acctbal") > 1000.0 &&
         ref("c.mktsegment") === "BUILDING")
@@ -160,7 +177,15 @@ object Bench {
       // brute-force twin is ann_topk — this is what replaces it at scale)
       "ann_ivf_probe" -> (() => Similarity.ivfTopK(ivfAssigned,
         ivfCentroids, embeddingsByVecId.filter(col("vec_id") < 5),
-        k = 10, nProbe = 4))
+        k = 10, nProbe = 4)),
+      // GraphX Pregel iteration class (g44 shape: 5 PageRank rounds)
+      "pagerank" -> (() => graft.analytics.GraphAnalytics.pageRank(
+        store, Seq(("same_nation", "supplier", "supplier")), iters = 5)),
+      // temporal as-of scan over the pre-built versioned store (q17
+      // shape): reps time the version-visibility read, not the fixture
+      "temporal_asof" -> (() => new Planner(versionedStore).plan(
+        Q.from("c:customer").asOfValidTime(2500L)
+          .select("c.id", "c.acctbal").build))
     )
 
     def timeOnce(f: () => DataFrame): Double = {
