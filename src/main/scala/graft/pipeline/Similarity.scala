@@ -66,12 +66,17 @@ object Similarity {
       val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
       val dims = assigned.select(col("cluster"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
+      // Materialize each round's centroids (k×dims — tiny): without the
+      // barrier, round i's assignment plan nests every earlier round's
+      // full aggregation unevaluated, so plan size and re-derived work
+      // compound per iteration (the VarLength.pairs lesson).
       centroids = dims.groupBy(col("cluster"), col("pos"))
         .agg(avg(col("x").cast("double")).as("m"))
         .groupBy(col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("m")))), s => s.getField("m").cast("float")).as(vecCol))
         .select(col("cluster").as(idCol), col(vecCol))
+        .localCheckpoint(eager = false)
     }
     centroids
   }
