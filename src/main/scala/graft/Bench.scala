@@ -33,28 +33,44 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val store = TpchGraph.store(spark, sfDir, cache = true)
-    // Load once (not timed), like the reference
-    Seq("customer", "orders", "lineitem", "supplier", "nation", "events",
-      "documents", "embeddings").foreach(l => store.nodes(l).count())
+    // Load EVERY attached label once (not timed), like the reference.
+    // Completeness matters beyond warm caches: the cleanup between reps
+    // below only protects RDDs persisted BEFORE timing starts, and a
+    // cache()d table first touched inside a rep would materialize late
+    // and then be permanently unpersisted.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(l => store.nodes(l).count())
     val planner = new Planner(store)
+
+    // Local-debugging subset (comma-separated names); the driver sets no
+    // filter and always measures the full suite. Fixtures below are only
+    // built when an entry that needs them is selected.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     // IVF index build+persist is an offline pipeline step (SCALE.md "ANN
     // index persistence"), so like the table load it runs before timing;
     // the bench entry measures the serving-path cost: probe nProbe
     // clusters of the persisted cluster-partitioned index. Same
-    // parameters as the p37 correctness row.
-    val ivfDir = "/tmp/graft_bench_ivf"
+    // parameters as the p37 correctness row. Per-run temp dir: a shared
+    // path would let concurrent bench JVMs clobber each other's index.
     val embeddingsByVecId =
       store.nodes("embeddings").withColumnRenamed("id", "vec_id")
-    val ivfTrained = Similarity.ivfTrain(embeddingsByVecId, k = 16, iters = 2)
-    Similarity.saveIndex(ivfDir, ivfTrained,
-      Similarity.ivfAssign(embeddingsByVecId, ivfTrained))
-    val (ivfCentroids, ivfAssigned) = Similarity.loadIndex(spark, ivfDir)
+    lazy val ivfIndex: (DataFrame, DataFrame) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bench_ivf").toString
+      val trained = Similarity.ivfTrain(embeddingsByVecId, k = 16, iters = 2)
+      Similarity.saveIndex(dir, trained,
+        Similarity.ivfAssign(embeddingsByVecId, trained))
+      Similarity.loadIndex(spark, dir)
+    }
 
     // Versioned-store fixture for the temporal as-of entry (the q17
     // shape): built once before timing — the reps measure the
     // version-visibility scan, not the mutation that seeds it.
-    val versionedStore = {
+    lazy val versionedStore = {
       val clock = new graft.core.MockClock(0L)
       val s = new graft.store.GraphStore(spark,
         versioningEnabled = true, clock = clock)
@@ -67,6 +83,12 @@ object Bench {
         Map("acctbal" -> (col("acctbal") + 100)), validFrom = Some(500L))
       s
     }
+    // Force selected fixtures BEFORE the cleanup snapshot: anything they
+    // persist (e.g. mutation-chain checkpoints) must survive the
+    // between-rep unpersist, and localCheckpoint blocks cannot be
+    // recomputed once dropped.
+    if (wanted("ann_ivf_probe")) ivfIndex
+    if (wanted("temporal_asof")) versionedStore
 
     def friendJoin: DataFrame = planner.plan(Q.from("c:customer")
       .where(ref("c.acctbal") > 1000.0 &&
@@ -175,8 +197,8 @@ object Bench {
         minHops = 1, maxHops = 3)),
       // IVF serving path: probe the persisted index (p37 shape; the
       // brute-force twin is ann_topk — this is what replaces it at scale)
-      "ann_ivf_probe" -> (() => Similarity.ivfTopK(ivfAssigned,
-        ivfCentroids, embeddingsByVecId.filter(col("vec_id") < 5),
+      "ann_ivf_probe" -> (() => Similarity.ivfTopK(ivfIndex._2,
+        ivfIndex._1, embeddingsByVecId.filter(col("vec_id") < 5),
         k = 10, nProbe = 4)),
       // GraphX Pregel iteration class (g44 shape: 5 PageRank rounds)
       "pagerank" -> (() => graft.analytics.GraphAnalytics.pageRank(
@@ -223,10 +245,12 @@ object Bench {
     }
     val (calibJvm, calibSpark) = calibrate()
 
-    // Local-debugging subset (comma-separated names); the driver sets no
-    // filter and always measures the full suite.
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // A subset name matching no benchmark would otherwise vanish
+    // silently — and a fully-mistyped filter would print total=0.000,
+    // easily misread as a fast run.
+    only.foreach(_.diff(benchmarks.map(_._1).toSet).foreach(n =>
+      System.err.println(s"[bench] WARNING: unknown query '$n' in " +
+        "SPARK_GRAFT_BENCH_ONLY")))
     // (median, min) per query: the median is the headline (reference
     // discipline), but this host shows minute-scale 2-4x throughput
     // swings (a fixed single-thread loop measured 0.68-1.9 s for the
@@ -253,7 +277,7 @@ object Bench {
       System.gc()
     }
     val results: Seq[(String, (Double, Double))] = benchmarks
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => wanted(name) }
       .map { case (name, f) =>
       try {
         // Cleanup runs BETWEEN reps (untimed): each rep rebuilds its

@@ -56,7 +56,10 @@ object Similarity {
     * lowest-id vectors (a seedless stand-in for random init), then `iters`
     * rounds of assign + per-dimension mean. Each round is one broadcast
     * assignment pass plus a tiny (k×dims) aggregation — scales linearly
-    * in the vector count. */
+    * in the vector count. Under AQE the per-round checkpoint
+    * materializes at call time, so `ivfTrain` runs its rounds eagerly —
+    * index TRAINING is an offline job, where that is the expected
+    * behavior (the serving path, [[ivfTopK]], stays lazy). */
   def ivfTrain(vectors: DataFrame, k: Int, iters: Int,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {

@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   * only when a genuine path exists (src != dst guard excluded on
   * purpose: the reference has no cycle semantics to match, and callers
   * can filter).
+  *
+  * Two consequences of the per-round materialization below that callers
+  * should know: (1) under AQE, `localCheckpoint` materializes the
+  * checkpointed plan's shuffle stages at CALL time, so building a
+  * var-length plan (including EXPLAIN of a `*1..k` query) already runs
+  * the BFS rounds; (2) each call pins maxHops+1 sets of checkpoint
+  * blocks in executor storage until the returned frame's driver
+  * references are GC'd — same lifecycle note as the dedup pipeline
+  * operators ([[graft.pipeline.Dedup]] scaladoc): long-lived drivers
+  * looping many such queries should not hold stale result references.
   */
 object VarLength {
 
