@@ -657,31 +657,63 @@ final class GraphStore(
           GraphStore.versionDirs(path).map(_._1).maxOption.getOrElse(0) + 1)
       } else 1
     val vPath = s"$path/v$v"
+    val canonRoot = GraphStore.canonicalPath(path)
+    // Incremental commit: a table whose base still reads a prior
+    // snapshot's files UNMODIFIED (cleanData matches this root — flush
+    // above would have cleared it had anything mutated) is carried
+    // forward BY REFERENCE: its manifest entry points at the existing
+    // data dir and nothing is rewritten. At the 100 TB scale this is
+    // the difference between a commit costing O(changed tables) and one
+    // rewriting the whole corpus because one small table changed.
+    // (A reused table keeps its existing physical layout; a changed
+    // shardPartitions setting applies on its next actual rewrite.)
+    val dataRels = mutable.Map[String, String]() // table key -> rel path
     val root = mapper.createObjectNode()
     root.put("versioning", versioningEnabled)
     root.put("edgeCounter", catalog.edgeIdCounter.get())
     val labelsNode = root.putArray("labels")
     nodeTables.foreach { case (label, t) =>
       t.flush(spark)
+      val rel = s"v$v/nodes/$label"
+      val reused = t.cleanData.collect { case (r, d) if r == canonRoot => d }
       t.base.foreach { b =>
-        val laidOut = shardPartitions.fold(b)(n =>
-          b.repartitionByRange(n, col("id")).sortWithinPartitions("id"))
-        laidOut.write.mode("overwrite").parquet(s"$vPath/nodes/$label")
+        if (reused.isEmpty) {
+          val laidOut = shardPartitions.fold(b)(n =>
+            b.repartitionByRange(n, col("id")).sortWithinPartitions("id"))
+          laidOut.write.mode("overwrite").parquet(s"$vPath/nodes/$label")
+        }
       }
       val ln = labelsNode.addObject()
       ln.put("label", label)
       ln.put("schema", catalog.schemaOf(label).json)
       ln.put("counter", catalog.nodeCounter(label))
+      if (t.base.isDefined) {
+        val d = reused.getOrElse(rel)
+        ln.put("data", d)
+        dataRels(s"n:$label") = d
+      }
     }
     val edgesNode = root.putArray("edges")
     edgeTables.foreach { case ((name, s, d), t) =>
       t.flush(spark)
-      t.base.foreach(_.write.mode("overwrite")
-        .parquet(s"$vPath/edges/${name}__${s}__$d"))
+      val rel = s"v$v/edges/${name}__${s}__$d"
+      val reused = t.cleanData.collect { case (r, dd) if r == canonRoot => dd }
+      t.base.foreach { b =>
+        if (reused.isEmpty)
+          b.write.mode("overwrite").parquet(s"$vPath/edges/${name}__${s}__$d")
+      }
       val en = edgesNode.addObject()
       en.put("name", name); en.put("src", s); en.put("dst", d)
       en.put("props", t.info.props.json)
+      if (t.base.isDefined) {
+        val dd = reused.getOrElse(rel)
+        en.put("data", dd)
+        dataRels(s"e:${name}__${s}__$d") = dd
+      }
     }
+    // A fully-unchanged store commits a manifest-only version: nothing
+    // above wrote under vPath, so create it for the manifest itself.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(vPath))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$vPath/manifest.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
@@ -700,16 +732,27 @@ final class GraphStore(
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // the committed snapshot is now the cheapest lineage root: re-point
     // the in-memory tables at it so later mutations/commits build on
-    // stable files instead of ever-deeper plans
+    // stable files instead of ever-deeper plans. Reused (clean) tables
+    // already read exactly those files — left untouched so their
+    // markers survive for the NEXT commit.
     nodeTables.foreach { case (label, t) =>
-      if (t.base.isDefined)
-        t.base = Some(spark.read.parquet(s"$vPath/nodes/$label"))
+      if (t.base.isDefined && t.cleanData.isEmpty) {
+        val rel = dataRels(s"n:$label")
+        t.base = Some(spark.read.parquet(s"$path/$rel"))
+        t.markClean(canonRoot, rel)
+      }
     }
     edgeTables.foreach { case ((name, s, d), t) =>
-      if (t.base.isDefined)
-        t.base = Some(spark.read.parquet(s"$vPath/edges/${name}__${s}__$d"))
+      if (t.base.isDefined && t.cleanData.isEmpty) {
+        val rel = dataRels(s"e:${name}__${s}__$d")
+        t.base = Some(spark.read.parquet(s"$path/$rel"))
+        t.markClean(canonRoot, rel)
+      }
     }
-    GraphStore.pin(path, this, v) // this store now reads v's files
+    // this store now reads v's files plus any older versions its
+    // manifest references
+    GraphStore.pin(path, this,
+      Set(v) ++ dataRels.values.flatMap(GraphStore.versionOfRel))
   }
 
   /** Valid-time history retention (SCD2 compaction): physically drop
@@ -867,24 +910,31 @@ object GraphStore {
     * only; cross-process readers are invisible (documented on
     * [[gcSnapshots]]). */
   private val pins = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.Map[GraphStore, Integer]]()
+    String, java.util.Map[GraphStore, Set[Int]]]()
 
-  private def canonical(path: String): String =
+  private[store] def canonicalPath(path: String): String =
     new java.io.File(path).getCanonicalPath
 
-  private[store] def pin(path: String, store: GraphStore, v: Int): Unit =
-    pins.computeIfAbsent(canonical(path), _ =>
+  /** Versions a store reads are a SET since incremental commits: the
+    * current manifest may reference data dirs of older versions. */
+  private[store] def pin(path: String, store: GraphStore,
+                         vs: Set[Int]): Unit =
+    pins.computeIfAbsent(canonicalPath(path), _ =>
         java.util.Collections.synchronizedMap(
-          new java.util.WeakHashMap[GraphStore, Integer]()))
-      .put(store, v)
+          new java.util.WeakHashMap[GraphStore, Set[Int]]()))
+      .put(store, vs)
 
   private[store] def unpin(store: GraphStore): Unit =
     pins.values().asScala.foreach(m => m.synchronized { m.remove(store); () })
 
   private def pinnedVersions(path: String): Set[Int] =
-    Option(pins.get(canonical(path))).map { m =>
-      m.synchronized(m.values().asScala.map(_.toInt).toSet)
+    Option(pins.get(canonicalPath(path))).map { m =>
+      m.synchronized(m.values().asScala.flatten.toSet)
     }.getOrElse(Set.empty)
+
+  /** Version number of a manifest-relative data path ("v3/nodes/x" -> 3). */
+  private[store] def versionOfRel(rel: String): Option[Int] =
+    "^v(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toInt)
 
   /** All `v<N>/` snapshot dirs under `path`, as (version, dir). */
   private[store] def versionDirs(path: String): Array[(Int, java.io.File)] =
@@ -912,7 +962,27 @@ object GraphStore {
     val dirs = versionDirs(path)
       .filter { case (v, _) => v <= current } // never touch a newer commit
       .sortBy(-_._1)
-    val doomed = dirs.drop(keep).filterNot { case (v, _) => pinned(v) }
+    // Incremental commits reference older versions' data dirs from their
+    // manifests ("data" fields) — for every RESTORABLE version (the
+    // retention window + pinned read-sources), the versions it
+    // references are LIVE DATA, not droppable history, no matter how old
+    // their numbers are. One level suffices: a "data" ref always points
+    // at the dir the table was last WRITTEN to, never through another
+    // manifest's reference. (A version retained only as a data container
+    // is not itself a guaranteed restore target afterwards; the newest
+    // `keep` snapshots are.)
+    def refsOf(v: Int): Set[Int] = scala.util.Try {
+      val m = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$path/v$v/manifest.json")))
+      (m.get("labels").elements().asScala ++
+        m.get("edges").elements().asScala)
+        .filter(_.has("data"))
+        .flatMap(n => versionOfRel(n.get("data").asText()))
+        .toSet
+    }.getOrElse(Set.empty)
+    val restorable = dirs.take(keep).map(_._1).toSet ++ pinned
+    val kept = restorable ++ restorable.flatMap(refsOf)
+    val doomed = dirs.drop(keep).filterNot { case (v, _) => kept(v) }
     doomed.foreach { case (_, dir) =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array()).foreach(rm)
@@ -956,6 +1026,17 @@ object GraphStore {
       }
     val store =
       new GraphStore(spark, root.get("versioning").asBoolean(), clock)
+    val canonRoot = canonicalPath(path)
+    val versioned = dataPath != path // versioned layout: $path/v<N>
+    // A table's data dir: its manifest "data" field (manifest-relative —
+    // may point into an OLDER version after an incremental commit), or
+    // the entry's own version dir for pre-incremental manifests.
+    def dataRel(n: com.fasterxml.jackson.databind.JsonNode,
+                own: String): Option[String] =
+      if (n.has("data")) Some(n.get("data").asText())
+      else if (versioned) Some(s"${dataPath.stripPrefix(s"$path/")}/$own")
+      else None
+    val readVersions = mutable.Set[Int]()
     root.get("labels").elements().asScala.foreach { ln =>
       val label = ln.get("label").asText()
       val st = DataType.fromJson(ln.get("schema").asText())
@@ -966,7 +1047,14 @@ object GraphStore {
         st.fields.filter(_.name != "id").toIndexedSeq)
       store.catalog.setNodeCounter(label, ln.get("counter").asLong())
       val t = store.nodeTables(label)
-      t.base = Some(spark.read.parquet(s"$dataPath/nodes/$label"))
+      dataRel(ln, s"nodes/$label") match {
+        case Some(rel) =>
+          t.base = Some(spark.read.parquet(s"$path/$rel"))
+          t.markClean(canonRoot, rel)
+          versionOfRel(rel).foreach(readVersions += _)
+        case None => // legacy root-level layout
+          t.base = Some(spark.read.parquet(s"$dataPath/nodes/$label"))
+      }
       t.counterInitialized = true
     }
     root.get("edges").elements().asScala.foreach { en =>
@@ -978,12 +1066,20 @@ object GraphStore {
       val info = EdgeTypeInfo(name, s, d, props)
       store.catalog.registerEdgeType(info)
       val t = new EdgeTable(info, store.versioningEnabled)
-      t.base = Some(spark.read.parquet(s"$dataPath/edges/${name}__${s}__$d"))
+      dataRel(en, s"edges/${name}__${s}__$d") match {
+        case Some(rel) =>
+          t.base = Some(spark.read.parquet(s"$path/$rel"))
+          t.markClean(canonRoot, rel)
+          versionOfRel(rel).foreach(readVersions += _)
+        case None =>
+          t.base = Some(spark.read.parquet(s"$dataPath/edges/${name}__${s}__$d"))
+      }
       store.edgeTables((name, s, d)) = t
     }
     store.catalog.edgeIdCounter.set(root.get("edgeCounter").asLong())
-    if (dataPath != path) // versioned layout: dataPath is $path/v<N>
-      pin(path, store, dataPath.stripPrefix(s"$path/v").toInt)
+    if (versioned)
+      pin(path, store,
+        Set(dataPath.stripPrefix(s"$path/v").toInt) ++ readVersions)
     store
   }
 }
@@ -995,7 +1091,24 @@ object GraphStore {
 /** Shared table state: the lazy `base` plan plus mutation-chain lineage
   * bounding (see [[GraphStore.CheckpointEvery]]). */
 private[store] trait TableState {
-  var base: Option[DataFrame] = None
+  private var _base: Option[DataFrame] = None
+  /** (canonical snapshot root, data dir relative to it) this table's
+    * `base` reads UNMODIFIED — the incremental-commit signal. Set only
+    * by commit/restore after re-pointing `base` at snapshot files; any
+    * other `base` assignment (mutation rewrites, flush, attach,
+    * compaction, lineage truncation) clears it via the setter below, so
+    * a missed mutation path degrades to an unnecessary rewrite, never to
+    * a manifest referencing stale data. */
+  private var _cleanData: Option[(String, String)] = None
+
+  def base: Option[DataFrame] = _base
+  def base_=(b: Option[DataFrame]): Unit = { _base = b; _cleanData = None }
+  def cleanData: Option[(String, String)] = _cleanData
+  /** Commit/restore only: declare that `base` currently reads exactly
+    * `$root/$rel`. Must be called AFTER the base assignment. */
+  private[store] def markClean(root: String, rel: String): Unit =
+    _cleanData = Some((root, rel))
+
   private var mutations = 0
 
   /** Bound plan depth under mutation chains. */

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.types._
 
 import graft.core.Ast._
@@ -86,6 +88,70 @@ class SnapshotSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/v2").exists())
     assert(new java.io.File(s"$dir/v3").isDirectory)
     assert(GraphStore.restore(spark, dir).nodes("User").count() === 3)
+  }
+
+  test("incremental commit: unchanged tables are carried forward by " +
+      "reference, not rewritten") {
+    val dir = Files.createTempDirectory("graft-snap-incr").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createSchema("Company", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.createNode("Company", Map("name" -> "acme"))
+    s.commit(dir) // v1: both tables written
+    s.createNode("User", Map("name" -> "bob"))
+    s.commit(dir) // v2: only User changed
+    // v2 holds User's rewrite but NOT Company — Company is a manifest
+    // reference into v1 (at 100 TB: commit cost = O(changed tables))
+    assert(new java.io.File(s"$dir/v2/nodes/User").isDirectory)
+    assert(!new java.io.File(s"$dir/v2/nodes/Company").exists())
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m2 = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/v2/manifest.json")))
+    val data = m2.get("labels").elements().asScala
+      .map(n => n.get("label").asText() -> n.get("data").asText()).toMap
+    assert(data("User") === "v2/nodes/User")
+    assert(data("Company") === "v1/nodes/Company")
+    // restore resolves the cross-version references
+    val r = GraphStore.restore(spark, dir)
+    assert(r.nodes("User").count() === 2)
+    assert(rowBag(r.nodes("Company")) === Map(Seq(0L, "acme") -> 1))
+    // a fully-unchanged store commits a manifest-only version
+    r.commit(dir) // v3: nothing mutated since restore
+    assert(!new java.io.File(s"$dir/v3/nodes").exists())
+    val r3 = GraphStore.restore(spark, dir)
+    assert(r3.nodes("User").count() === 2)
+    assert(r3.nodes("Company").count() === 1)
+  }
+
+  test("gcSnapshots keeps old versions the live manifest references") {
+    val dir = Files.createTempDirectory("graft-snap-incr-gc").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createSchema("Company", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.createNode("Company", Map("name" -> "acme"))
+    s.commit(dir) // v1
+    s.createNode("User", Map("name" -> "bob"))
+    s.commit(dir) // v2: Company still lives in v1/
+    s.close()
+    // keep=1 would drop v1 by age — but v2's manifest references v1's
+    // Company data: v1 is live data, not droppable history
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 0)
+    assert(new java.io.File(s"$dir/v1/nodes/Company").isDirectory)
+    val r = GraphStore.restore(spark, dir)
+    assert(r.nodes("Company").count() === 1)
+    // once Company is rewritten (v3), v1 is no longer referenced and GC
+    // may drop it (v2 stays: v3 references its User data)
+    r.createNode("Company", Map("name" -> "globex"))
+    r.commit(dir) // v3: Company rewritten, User referenced from v2
+    r.close()
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 1)
+    assert(!new java.io.File(s"$dir/v1").exists())
+    assert(new java.io.File(s"$dir/v2/nodes/User").isDirectory)
+    val r2 = GraphStore.restore(spark, dir)
+    assert(r2.nodes("User").count() === 2)
+    assert(r2.nodes("Company").count() === 2)
   }
 
   test("gcSnapshots refuses to drop a version a live store is pinned to") {
