@@ -668,14 +668,29 @@ final class GraphStore(
     // (A reused table keeps its existing physical layout; a changed
     // shardPartitions setting applies on its next actual rewrite.)
     val dataRels = mutable.Map[String, String]() // table key -> rel path
+    val reusedKeys = mutable.Set[String]()
+    // Reuse only when the marker matches THIS root and the referenced
+    // dir still exists: a closed (unpinned) store's referenced version
+    // can be GC'd under it, and a commit must not publish a manifest
+    // pointing at deleted data — degrade to a rewrite, which fails
+    // loudly reading the deleted files BEFORE the pointer flips.
+    def reusable(t: TableState): Option[String] =
+      t.cleanData.collect {
+        case (r, d) if r == canonRoot &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/$d")) => d
+      }
     val root = mapper.createObjectNode()
     root.put("versioning", versioningEnabled)
     root.put("edgeCounter", catalog.edgeIdCounter.get())
+    // Format marker: in manifests from incremental-commit code, a label/
+    // edge entry WITHOUT "data" definitively has no data (schema-only
+    // table); restore must not guess a path for it.
+    root.put("incremental", true)
     val labelsNode = root.putArray("labels")
     nodeTables.foreach { case (label, t) =>
       t.flush(spark)
       val rel = s"v$v/nodes/$label"
-      val reused = t.cleanData.collect { case (r, d) if r == canonRoot => d }
+      val reused = reusable(t)
       t.base.foreach { b =>
         if (reused.isEmpty) {
           val laidOut = shardPartitions.fold(b)(n =>
@@ -691,13 +706,14 @@ final class GraphStore(
         val d = reused.getOrElse(rel)
         ln.put("data", d)
         dataRels(s"n:$label") = d
+        if (reused.isDefined) reusedKeys += s"n:$label"
       }
     }
     val edgesNode = root.putArray("edges")
     edgeTables.foreach { case ((name, s, d), t) =>
       t.flush(spark)
       val rel = s"v$v/edges/${name}__${s}__$d"
-      val reused = t.cleanData.collect { case (r, dd) if r == canonRoot => dd }
+      val reused = reusable(t)
       t.base.foreach { b =>
         if (reused.isEmpty)
           b.write.mode("overwrite").parquet(s"$vPath/edges/${name}__${s}__$d")
@@ -709,6 +725,7 @@ final class GraphStore(
         val dd = reused.getOrElse(rel)
         en.put("data", dd)
         dataRels(s"e:${name}__${s}__$d") = dd
+        if (reused.isDefined) reusedKeys += s"e:${name}__${s}__$d"
       }
     }
     // A fully-unchanged store commits a manifest-only version: nothing
@@ -732,18 +749,21 @@ final class GraphStore(
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // the committed snapshot is now the cheapest lineage root: re-point
     // the in-memory tables at it so later mutations/commits build on
-    // stable files instead of ever-deeper plans. Reused (clean) tables
-    // already read exactly those files — left untouched so their
-    // markers survive for the NEXT commit.
+    // stable files instead of ever-deeper plans. Reused (clean-for-THIS-
+    // root) tables already read exactly those files and are left
+    // untouched so their markers survive for the NEXT commit; everything
+    // else — including tables clean for a DIFFERENT root, which were
+    // rewritten above — re-points here, so the store stops depending on
+    // the other root's files and the next commit to this path can reuse.
     nodeTables.foreach { case (label, t) =>
-      if (t.base.isDefined && t.cleanData.isEmpty) {
+      if (t.base.isDefined && !reusedKeys.contains(s"n:$label")) {
         val rel = dataRels(s"n:$label")
         t.base = Some(spark.read.parquet(s"$path/$rel"))
         t.markClean(canonRoot, rel)
       }
     }
     edgeTables.foreach { case ((name, s, d), t) =>
-      if (t.base.isDefined && t.cleanData.isEmpty) {
+      if (t.base.isDefined && !reusedKeys.contains(s"e:${name}__${s}__$d")) {
         val rel = dataRels(s"e:${name}__${s}__$d")
         t.base = Some(spark.read.parquet(s"$path/$rel"))
         t.markClean(canonRoot, rel)
@@ -971,7 +991,13 @@ object GraphStore {
     // manifest's reference. (A version retained only as a data container
     // is not itself a guaranteed restore target afterwards; the newest
     // `keep` snapshots are.)
-    def refsOf(v: Int): Set[Int] = scala.util.Try {
+    // FAIL CLOSED: deletion is irreversible, so an unreadable manifest
+    // for a restorable version must abort the sweep (drop nothing), not
+    // default that version to "references nothing" and delete its live
+    // data. (Restorable versions always have manifests — a v-dir's
+    // manifest is written before the pointer flips — so a read failure
+    // here is environmental, exactly when deleting is most dangerous.)
+    def refsOf(v: Int): Option[Set[Int]] = scala.util.Try {
       val m = mapper.readTree(java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$path/v$v/manifest.json")))
       (m.get("labels").elements().asScala ++
@@ -979,9 +1005,11 @@ object GraphStore {
         .filter(_.has("data"))
         .flatMap(n => versionOfRel(n.get("data").asText()))
         .toSet
-    }.getOrElse(Set.empty)
+    }.toOption
     val restorable = dirs.take(keep).map(_._1).toSet ++ pinned
-    val kept = restorable ++ restorable.flatMap(refsOf)
+    val refs = restorable.toSeq.map(refsOf)
+    if (refs.exists(_.isEmpty)) return 0
+    val kept = restorable ++ refs.flatten.flatten
     val doomed = dirs.drop(keep).filterNot { case (v, _) => kept(v) }
     doomed.foreach { case (_, dir) =>
       def rm(f: java.io.File): Unit = {
@@ -1029,12 +1057,17 @@ object GraphStore {
     val canonRoot = canonicalPath(path)
     val versioned = dataPath != path // versioned layout: $path/v<N>
     // A table's data dir: its manifest "data" field (manifest-relative —
-    // may point into an OLDER version after an incremental commit), or
-    // the entry's own version dir for pre-incremental manifests.
+    // may point into an OLDER version after an incremental commit). In
+    // incremental-format manifests a MISSING "data" definitively means a
+    // schema-only table (no base was ever written — don't guess a path
+    // that was never created). Only pre-incremental versioned manifests
+    // fall back to the entry's own version dir.
+    val incrementalFmt = root.has("incremental")
     def dataRel(n: com.fasterxml.jackson.databind.JsonNode,
                 own: String): Option[String] =
       if (n.has("data")) Some(n.get("data").asText())
-      else if (versioned) Some(s"${dataPath.stripPrefix(s"$path/")}/$own")
+      else if (versioned && !incrementalFmt)
+        Some(s"${dataPath.stripPrefix(s"$path/")}/$own")
       else None
     val readVersions = mutable.Set[Int]()
     root.get("labels").elements().asScala.foreach { ln =>
@@ -1052,8 +1085,9 @@ object GraphStore {
           t.base = Some(spark.read.parquet(s"$path/$rel"))
           t.markClean(canonRoot, rel)
           versionOfRel(rel).foreach(readVersions += _)
-        case None => // legacy root-level layout
+        case None if !versioned => // legacy root-level layout
           t.base = Some(spark.read.parquet(s"$dataPath/nodes/$label"))
+        case None => // incremental format: schema-only table, no data
       }
       t.counterInitialized = true
     }
@@ -1071,8 +1105,9 @@ object GraphStore {
           t.base = Some(spark.read.parquet(s"$path/$rel"))
           t.markClean(canonRoot, rel)
           versionOfRel(rel).foreach(readVersions += _)
-        case None =>
+        case None if !versioned =>
           t.base = Some(spark.read.parquet(s"$dataPath/edges/${name}__${s}__$d"))
+        case None => // incremental format: schema-only edge type, no data
       }
       store.edgeTables((name, s, d)) = t
     }

@@ -124,6 +124,62 @@ class SnapshotSpec extends SparkSpec {
     assert(r3.nodes("Company").count() === 1)
   }
 
+  test("commit to a second path rewrites once, then goes incremental " +
+      "there too") {
+    val dirA = Files.createTempDirectory("graft-snap-rootA").toString
+    val dirB = Files.createTempDirectory("graft-snap-rootB").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.commit(dirA) // clean markers point at dirA
+    s.commit(dirB) // other root: full rewrite, store re-roots on dirB
+    assert(new java.io.File(s"$dirB/v1/nodes/User").isDirectory)
+    s.commit(dirB) // unchanged since: manifest-only version
+    assert(!new java.io.File(s"$dirB/v2/nodes").exists())
+    assert(GraphStore.restore(spark, dirB).nodes("User").count() === 1)
+  }
+
+  test("schema-only tables round-trip commit+restore with no data dir") {
+    val dir = Files.createTempDirectory("graft-snap-empty").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createSchema("Ghost", "tag" -> StringType) // never populated
+    s.createEdgeSchema("HAUNTS", "Ghost", "User", "since" -> LongType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.commit(dir)
+    assert(!new java.io.File(s"$dir/v1/nodes/Ghost").exists())
+    val r = GraphStore.restore(spark, dir)
+    assert(r.nodes("User").count() === 1)
+    // absent "data" in an incremental manifest = no data, not a guessed
+    // path into a dir that was never written
+    assert(r.nodes("Ghost").count() === 0)
+    // and the schema survives: a node can be created after restore
+    r.createNode("Ghost", Map("tag" -> "boo"))
+    assert(r.nodes("Ghost").count() === 1)
+  }
+
+  test("reuse degrades loudly, before the pointer flip, when referenced " +
+      "data was deleted under a closed store") {
+    val dir = Files.createTempDirectory("graft-snap-gone").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.commit(dir) // v1; marker -> v1/nodes/User
+    // simulate cross-process GC deleting the referenced data
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array()).foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/v1/nodes/User"))
+    // the existence guard refuses the by-reference path; the rewrite
+    // then fails reading the deleted files — loudly, with the previous
+    // manifest still current (never a pointer to nonexistent data)
+    assertThrows[Exception](s.commit(dir))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val head = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/manifest.json")))
+    assert(head.get("version").asInt() === 1)
+  }
+
   test("gcSnapshots keeps old versions the live manifest references") {
     val dir = Files.createTempDirectory("graft-snap-incr-gc").toString
     val s = new GraphStore(spark)
