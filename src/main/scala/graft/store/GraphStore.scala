@@ -644,7 +644,7 @@ final class GraphStore(
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     val pointer = java.nio.file.Paths.get(s"$path/manifest.json")
-    val v: Int =
+    val vStart: Int =
       if (java.nio.file.Files.exists(pointer)) {
         scala.util.Try {
           val prev = mapper.readTree(java.nio.file.Files.readString(pointer))
@@ -656,6 +656,15 @@ final class GraphStore(
           // overwritten; the atomic flip below then heals the pointer
           GraphStore.versionDirs(path).map(_._1).maxOption.getOrElse(0) + 1)
       } else 1
+    // Reserve the version directory via atomic mkdir: two writers that
+    // both read the same pointer would otherwise write into the SAME
+    // v<N>/ (interleaved parquet overwrites — corruption, not a race
+    // you lose cleanly). createDirectory either succeeds exactly once
+    // per name or throws; the loser probes upward.
+    val v: Int = Iterator.from(vStart).find { cand =>
+      scala.util.Try(java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$path/v$cand"))).isSuccess
+    }.get
     val vPath = s"$path/v$v"
     val canonRoot = GraphStore.canonicalPath(path)
     // Incremental commit: a table whose base still reads a prior
@@ -728,9 +737,8 @@ final class GraphStore(
         if (reused.isDefined) reusedKeys += s"e:${name}__${s}__$d"
       }
     }
-    // A fully-unchanged store commits a manifest-only version: nothing
-    // above wrote under vPath, so create it for the manifest itself.
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(vPath))
+    // (vPath already exists — the mkdir reservation above — so a fully-
+    // unchanged store's manifest-only commit needs no directory here.)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$vPath/manifest.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
@@ -739,14 +747,24 @@ final class GraphStore(
     // The flip itself must be atomic: writeString truncates in place, so a
     // crash DURING it would corrupt the pointer and strand both snapshots.
     // Temp file + ATOMIC_MOVE makes the rename the single commit point.
-    val ptr = mapper.createObjectNode()
-    ptr.put("version", v)
-    val tmp = java.nio.file.Paths.get(s"$path/.manifest.json.tmp")
-    java.nio.file.Files.writeString(tmp,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ptr))
-    java.nio.file.Files.move(tmp, pointer,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // The flip is MONOTONE: if a concurrent committer already advanced
+    // the pointer past v, flipping back would resurrect older state —
+    // skip instead (this commit's v-dir stays on disk as a complete,
+    // unreferenced snapshot; last committer wins, never an interleave).
+    val superseded = scala.util.Try {
+      val cur = mapper.readTree(java.nio.file.Files.readString(pointer))
+      cur.has("version") && cur.get("version").asInt() > v
+    }.getOrElse(false)
+    if (!superseded) {
+      val ptr = mapper.createObjectNode()
+      ptr.put("version", v)
+      val tmp = java.nio.file.Paths.get(s"$path/.manifest.json.tmp")
+      java.nio.file.Files.writeString(tmp,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ptr))
+      java.nio.file.Files.move(tmp, pointer,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     // the committed snapshot is now the cheapest lineage root: re-point
     // the in-memory tables at it so later mutations/commits build on
     // stable files instead of ever-deeper plans. Reused (clean-for-THIS-
@@ -997,15 +1015,22 @@ object GraphStore {
     // data. (Restorable versions always have manifests — a v-dir's
     // manifest is written before the pointer flips — so a read failure
     // here is environmental, exactly when deleting is most dangerous.)
-    def refsOf(v: Int): Option[Set[Int]] = scala.util.Try {
-      val m = mapper.readTree(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$path/v$v/manifest.json")))
-      (m.get("labels").elements().asScala ++
-        m.get("edges").elements().asScala)
-        .filter(_.has("data"))
-        .flatMap(n => versionOfRel(n.get("data").asText()))
-        .toSet
-    }.toOption
+    def refsOf(v: Int): Option[Set[Int]] = {
+      val mf = java.nio.file.Paths.get(s"$path/v$v/manifest.json")
+      // An ABSENT manifest is a reserved-but-never-committed orphan
+      // (crash between mkdir reservation and manifest write): complete
+      // information — it references nothing and is not restorable. Only
+      // a present-but-unreadable manifest aborts the sweep.
+      if (!java.nio.file.Files.exists(mf)) return Some(Set.empty)
+      scala.util.Try {
+        val m = mapper.readTree(java.nio.file.Files.readString(mf))
+        (m.get("labels").elements().asScala ++
+          m.get("edges").elements().asScala)
+          .filter(_.has("data"))
+          .flatMap(n => versionOfRel(n.get("data").asText()))
+          .toSet
+      }.toOption
+    }
     val restorable = dirs.take(keep).map(_._1).toSet ++ pinned
     val refs = restorable.toSeq.map(refsOf)
     if (refs.exists(_.isEmpty)) return 0

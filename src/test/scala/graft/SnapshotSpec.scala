@@ -180,6 +180,31 @@ class SnapshotSpec extends SparkSpec {
     assert(head.get("version").asInt() === 1)
   }
 
+  test("version reservation probes past a concurrent writer's dir; GC " +
+      "sweeps reserved-but-never-committed orphans") {
+    val dir = Files.createTempDirectory("graft-snap-race").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.commit(dir) // v1
+    // another writer's mkdir reservation for v2 (atomic-mkdir protocol)
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/v2"))
+    s.createNode("User", Map("name" -> "bob"))
+    s.commit(dir) // must NOT write into v2 — probes to v3
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val head = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/manifest.json")))
+    assert(head.get("version").asInt() === 3)
+    assert(GraphStore.restore(spark, dir).nodes("User").count() === 2)
+    // the empty v2 is a crashed reservation: references nothing, is not
+    // restorable, and must neither block the sweep (fail-closed applies
+    // to UNREADABLE manifests, not absent ones) nor survive it
+    s.close()
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 2) // v1 + orphan v2
+    assert(!new java.io.File(s"$dir/v2").exists())
+    assert(GraphStore.restore(spark, dir).nodes("User").count() === 2)
+  }
+
   test("gcSnapshots keeps old versions the live manifest references") {
     val dir = Files.createTempDirectory("graft-snap-incr-gc").toString
     val s = new GraphStore(spark)
