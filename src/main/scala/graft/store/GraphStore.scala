@@ -1047,14 +1047,17 @@ object GraphStore {
   }
 
   /** Restore a snapshot written by [[GraphStore.commit]] — the current
-    * version per the root manifest pointer (legacy root-level layouts
-    * restore directly). A missing/corrupt pointer (crash on a
-    * pre-atomic-flip layout, partial copy) falls back to the highest
-    * version whose own manifest is complete — a v-dir's manifest is
-    * written before the pointer flips, so a parseable one is a finished
-    * commit. */
+    * version per the root manifest pointer, or an explicit retained
+    * `version` (snapshot time travel: any version inside the
+    * [[gcSnapshots]] keep-window is restorable by contract; legacy
+    * root-level layouts restore directly). A missing/corrupt pointer
+    * (crash on a pre-atomic-flip layout, partial copy) falls back to
+    * the highest version whose own manifest is complete — a v-dir's
+    * manifest is written before the pointer flips, so a parseable one
+    * is a finished commit. */
   def restore(spark: SparkSession, path: String,
-              clock: Clock = SystemClock): GraphStore = {
+              clock: Clock = SystemClock,
+              version: Option[Int] = None): GraphStore = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def readTree(p: String) = mapper.readTree(
       java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
@@ -1068,8 +1071,15 @@ object GraphStore {
         .getOrElse(throw new IllegalStateException(
           s"no restorable snapshot under $path: root manifest unreadable " +
             "and no complete v<N>/manifest.json found"))
-    val (dataPath, root) =
-      scala.util.Try(readTree(s"$path/manifest.json")).toOption match {
+    val (dataPath, root) = version match {
+      case Some(n) =>
+        scala.util.Try((s"$path/v$n", readTree(s"$path/v$n/manifest.json")))
+          .toOption.filter(_._2.has("labels"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"snapshot v$n under $path does not exist or is incomplete " +
+              "(GC'd, crashed reservation, or never committed)"))
+      case None => scala.util.Try(readTree(s"$path/manifest.json"))
+          .toOption match {
         case Some(head) if head.has("version") =>
           val v = head.get("version").asInt()
           scala.util.Try((s"$path/v$v", readTree(s"$path/v$v/manifest.json")))
@@ -1077,6 +1087,7 @@ object GraphStore {
         case Some(head) if head.has("labels") => (path, head) // legacy layout
         case _ => fallback
       }
+    }
     val store =
       new GraphStore(spark, root.get("versioning").asBoolean(), clock)
     val canonRoot = canonicalPath(path)

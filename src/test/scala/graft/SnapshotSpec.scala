@@ -180,6 +180,22 @@ class SnapshotSpec extends SparkSpec {
     assert(head.get("version").asInt() === 1)
   }
 
+  test("snapshot time travel: an explicit retained version restores; a " +
+      "GC'd one fails loudly") {
+    val dir = Files.createTempDirectory("graft-snap-tt").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.commit(dir) // v1
+    s.createNode("User", Map("name" -> "bob"))
+    s.commit(dir) // v2
+    assert(GraphStore.restore(spark, dir,
+      version = Some(1)).nodes("User").count() === 1)
+    assert(GraphStore.restore(spark, dir).nodes("User").count() === 2)
+    assertThrows[IllegalArgumentException](
+      GraphStore.restore(spark, dir, version = Some(9)))
+  }
+
   test("version reservation probes past a concurrent writer's dir; GC " +
       "sweeps reserved-but-never-committed orphans") {
     val dir = Files.createTempDirectory("graft-snap-race").toString
