@@ -191,4 +191,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"range join is not an equi-join:\n$plan")
   }
+
+  test("IVF probe dynamically prunes the cluster-partitioned index scan") {
+    import org.apache.spark.sql.functions._
+    val vecs = TpchGraph.store(spark, "/root/testdata/sf0.001")
+      .nodes("embeddings").withColumnRenamed("id", "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_audit").toString
+    val cent = graft.pipeline.Similarity.ivfTrain(vecs, k = 4, iters = 1)
+    graft.pipeline.Similarity.saveIndex(dir, cent,
+      graft.pipeline.Similarity.ivfAssign(vecs, cent))
+    val (c, assigned) = graft.pipeline.Similarity.loadIndex(spark, dir)
+    val df = graft.pipeline.Similarity.ivfTopK(assigned, c,
+      vecs.filter(col("vec_id") < 3), k = 5, nProbe = 2)
+    val plan = physical(df)
+    // SCALE.md "ANN index persistence" claims the probe reads ONLY the
+    // probed cluster directories. That is Spark's dynamic partition
+    // pruning firing on the cluster-partitioned index join — pin it, so
+    // a refactor that breaks the partition-column equi-join (and
+    // silently reverts to full index scans) fails here.
+    assert(plan.contains("dynamicpruning"),
+      s"IVF index scan is not dynamically partition-pruned:\n$plan")
+  }
 }
