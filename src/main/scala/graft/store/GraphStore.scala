@@ -660,10 +660,17 @@ final class GraphStore(
     // both read the same pointer would otherwise write into the SAME
     // v<N>/ (interleaved parquet overwrites — corruption, not a race
     // you lose cleanly). createDirectory either succeeds exactly once
-    // per name or throws; the loser probes upward.
+    // per name or throws; the loser probes upward. ONLY "name taken"
+    // advances the probe — any other failure (root deleted, read-only,
+    // permissions) rethrows loudly instead of spinning forever.
     val v: Int = Iterator.from(vStart).find { cand =>
-      scala.util.Try(java.nio.file.Files.createDirectory(
-        java.nio.file.Paths.get(s"$path/v$cand"))).isSuccess
+      try {
+        java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(s"$path/v$cand"))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
     }.get
     val vPath = s"$path/v$v"
     val canonRoot = GraphStore.canonicalPath(path)
@@ -751,19 +758,35 @@ final class GraphStore(
     // the pointer past v, flipping back would resurrect older state —
     // skip instead (this commit's v-dir stays on disk as a complete,
     // unreferenced snapshot; last committer wins, never an interleave).
-    val superseded = scala.util.Try {
-      val cur = mapper.readTree(java.nio.file.Files.readString(pointer))
-      cur.has("version") && cur.get("version").asInt() > v
-    }.getOrElse(false)
-    if (!superseded) {
-      val ptr = mapper.createObjectNode()
-      ptr.put("version", v)
-      val tmp = java.nio.file.Paths.get(s"$path/.manifest.json.tmp")
-      java.nio.file.Files.writeString(tmp,
-        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ptr))
-      java.nio.file.Files.move(tmp, pointer,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // The read-compare-move is a critical section: guarded by an OS
+    // file lock (cross-process) nested inside a per-path JVM monitor
+    // (FileChannel locks are per-process — two threads of one JVM would
+    // otherwise hit OverlappingFileLockException, and without either
+    // guard a writer could flip BETWEEN another's check and move,
+    // regressing the pointer). The tmp name is per-version so no two
+    // writers ever stage through the same file.
+    GraphStore.flipMonitor(canonRoot).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(s"$path/.manifest.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val fl = ch.lock()
+      try {
+        val superseded = scala.util.Try {
+          val cur = mapper.readTree(java.nio.file.Files.readString(pointer))
+          cur.has("version") && cur.get("version").asInt() > v
+        }.getOrElse(false)
+        if (!superseded) {
+          val ptr = mapper.createObjectNode()
+          ptr.put("version", v)
+          val tmp = java.nio.file.Paths.get(s"$path/.manifest.json.v$v.tmp")
+          java.nio.file.Files.writeString(tmp,
+            mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ptr))
+          java.nio.file.Files.move(tmp, pointer,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally { fl.release(); ch.close() }
     }
     // the committed snapshot is now the cheapest lineage root: re-point
     // the in-memory tables at it so later mutations/commits build on
@@ -953,6 +976,14 @@ object GraphStore {
   private[store] def canonicalPath(path: String): String =
     new java.io.File(path).getCanonicalPath
 
+  /** Per-snapshot-root JVM monitor for the pointer-flip critical
+    * section (the OS file lock handles other processes but throws on
+    * overlap within one JVM). */
+  private val flipMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[store] def flipMonitor(canonRoot: String): Object =
+    flipMonitors.computeIfAbsent(canonRoot, _ => new Object)
+
   /** Versions a store reads are a SET since incremental commits: the
     * current manifest may reference data dirs of older versions. */
   private[store] def pin(path: String, store: GraphStore,
@@ -1009,33 +1040,47 @@ object GraphStore {
     // manifest's reference. (A version retained only as a data container
     // is not itself a guaranteed restore target afterwards; the newest
     // `keep` snapshots are.)
-    // FAIL CLOSED: deletion is irreversible, so an unreadable manifest
-    // for a restorable version must abort the sweep (drop nothing), not
-    // default that version to "references nothing" and delete its live
-    // data. (Restorable versions always have manifests — a v-dir's
-    // manifest is written before the pointer flips — so a read failure
-    // here is environmental, exactly when deleting is most dangerous.)
-    def refsOf(v: Int): Option[Set[Int]] = {
-      val mf = java.nio.file.Paths.get(s"$path/v$v/manifest.json")
-      // An ABSENT manifest is a reserved-but-never-committed orphan
-      // (crash between mkdir reservation and manifest write): complete
-      // information — it references nothing and is not restorable. Only
-      // a present-but-unreadable manifest aborts the sweep.
-      if (!java.nio.file.Files.exists(mf)) return Some(Set.empty)
-      scala.util.Try {
-        val m = mapper.readTree(java.nio.file.Files.readString(mf))
-        (m.get("labels").elements().asScala ++
+    // Classify every candidate version by READING its manifest — never
+    // by Files.exists, which also returns false on I/O errors and would
+    // silently turn an environmental failure into "references nothing":
+    //   Orphan (NoSuchFileException from the read) — a reserved-but-
+    //     never-committed dir (crash, or a commit in flight below
+    //     `current`). Not restorable, references nothing, sweepable;
+    //     sweeping an in-flight one only disturbs that writer (its
+    //     parquet write recreates dirs or fails loudly, its flip is
+    //     already superseded) — published state is never corrupted.
+    //   Unreadable (any other failure) — environmental. Deletion is
+    //     irreversible: FAIL CLOSED, abort the whole sweep.
+    //   Ok(refs) — a finished commit and its data references.
+    sealed trait Cls
+    case object Orphan extends Cls
+    case object Unreadable extends Cls
+    case class Ok(refs: Set[Int]) extends Cls
+    def classify(ver: Int): Cls =
+      try {
+        val m = mapper.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$path/v$ver/manifest.json")))
+        Ok((m.get("labels").elements().asScala ++
           m.get("edges").elements().asScala)
           .filter(_.has("data"))
           .flatMap(n => versionOfRel(n.get("data").asText()))
-          .toSet
-      }.toOption
-    }
-    val restorable = dirs.take(keep).map(_._1).toSet ++ pinned
-    val refs = restorable.toSeq.map(refsOf)
-    if (refs.exists(_.isEmpty)) return 0
-    val kept = restorable ++ refs.flatten.flatten
-    val doomed = dirs.drop(keep).filterNot { case (v, _) => kept(v) }
+          .toSet)
+      } catch {
+        case _: java.nio.file.NoSuchFileException => Orphan
+        case scala.util.control.NonFatal(_) => Unreadable
+      }
+    val cls = dirs.map { case (ver, _) => ver -> classify(ver) }.toMap
+    if (cls.valuesIterator.exists(_ == Unreadable)) return 0
+    // The keep-window counts RESTORABLE snapshots only: an orphan must
+    // not occupy a slot and push a real snapshot out of retention.
+    val restorable = dirs.map(_._1)
+      .filter(ver => cls(ver).isInstanceOf[Ok])
+      .take(keep).toSet ++ pinned
+    val kept = restorable ++ restorable.flatMap(ver => cls.get(ver) match {
+      case Some(Ok(refs)) => refs
+      case _              => Set.empty[Int]
+    })
+    val doomed = dirs.filterNot { case (ver, _) => kept(ver) }
     doomed.foreach { case (_, dir) =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array()).foreach(rm)

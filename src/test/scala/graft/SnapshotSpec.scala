@@ -221,6 +221,25 @@ class SnapshotSpec extends SparkSpec {
     assert(GraphStore.restore(spark, dir).nodes("User").count() === 2)
   }
 
+  test("an orphan dir does not occupy a keep-window slot") {
+    val dir = Files.createTempDirectory("graft-snap-slot").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.commit(dir) // v1
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/v2")) // orphan
+    s.createNode("User", Map("name" -> "bob"))
+    s.commit(dir) // v3
+    s.close()
+    // keep=2 means two RESTORABLE snapshots: v3 and v1. The orphan v2
+    // must be swept, not counted against the window (which would evict
+    // and delete v1 — a real snapshot).
+    assert(GraphStore.gcSnapshots(dir, keep = 2) === 1)
+    assert(!new java.io.File(s"$dir/v2").exists())
+    assert(GraphStore.restore(spark, dir,
+      version = Some(1)).nodes("User").count() === 1)
+  }
+
   test("gcSnapshots keeps old versions the live manifest references") {
     val dir = Files.createTempDirectory("graft-snap-incr-gc").toString
     val s = new GraphStore(spark)
