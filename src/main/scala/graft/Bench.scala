@@ -59,8 +59,18 @@ object Bench {
     val embeddingsByVecId =
       store.nodes("embeddings").withColumnRenamed("id", "vec_id")
     lazy val ivfIndex: (DataFrame, DataFrame) = {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_bench_ivf").toString
+      val dirPath = java.nio.file.Files
+        .createTempDirectory("graft_bench_ivf")
+      // Reclaim the per-run index on JVM exit — repeated bench runs
+      // would otherwise accumulate index files in the temp root.
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dirPath.toFile)
+      }))
+      val dir = dirPath.toString
       val trained = Similarity.ivfTrain(embeddingsByVecId, k = 16, iters = 2)
       Similarity.saveIndex(dir, trained,
         Similarity.ivfAssign(embeddingsByVecId, trained))

@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * references are GC'd — same lifecycle note as the dedup pipeline
   * operators ([[graft.pipeline.Dedup]] scaladoc): long-lived drivers
   * looping many such queries should not hold stale result references.
+  *
+  * Fault-tolerance tradeoff: `localCheckpoint` blocks live in executor
+  * storage and are NOT recomputable — lineage is truncated at the
+  * checkpoint, so losing an executor mid-query fails the whole
+  * var-length query (and [[graft.pipeline.Similarity]]'s ivfTrain,
+  * which uses the same per-round discipline) instead of recomputing.
+  * That is the documented cost of killing the exponential re-derivation;
+  * long-running production drivers on a real cluster should set a
+  * `spark.checkpoint.dir` and switch these calls to reliable
+  * `checkpoint()` if executor churn is expected.
   */
 object VarLength {
 

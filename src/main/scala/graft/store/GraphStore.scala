@@ -746,9 +746,30 @@ final class GraphStore(
     }
     // (vPath already exists — the mkdir reservation above — so a fully-
     // unchanged store's manifest-only commit needs no directory here.)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$vPath/manifest.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    // The v-dir manifest write must be atomic too: gcSnapshots classifies
+    // a version by READING this file, and a truncated half-write (crash
+    // mid-commit) would classify Unreadable — fail-closed, aborting every
+    // future sweep. Staging through a tmp file keeps the crashed state
+    // "no manifest" = Orphan = sweepable, reserving Unreadable for
+    // genuine I/O errors only. A NoSuchFileException here means a
+    // concurrent gcSnapshots swept this reserved dir as an orphan
+    // (sanctioned — see the gcSnapshots scaladoc); name that cause
+    // instead of dying with an unrelated-looking file error.
+    try {
+      val manifestTmp = java.nio.file.Paths.get(s"$vPath/.manifest.tmp")
+      java.nio.file.Files.writeString(manifestTmp,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+      java.nio.file.Files.move(manifestTmp,
+        java.nio.file.Paths.get(s"$vPath/manifest.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: java.nio.file.NoSuchFileException =>
+        throw new IllegalStateException(
+          s"commit lost its reserved dir $vPath — a concurrent " +
+            "gcSnapshots swept it as an orphan (GC raced an in-flight " +
+            "commit); published state is unaffected, retry the commit", e)
+    }
     // flip the pointer last — a crash mid-commit leaves the previous
     // snapshot current and the partial v-dir orphaned (never referenced).
     // The flip itself must be atomic: writeString truncates in place, so a
@@ -776,6 +797,22 @@ final class GraphStore(
           val cur = mapper.readTree(java.nio.file.Files.readString(pointer))
           cur.has("version") && cur.get("version").asInt() > v
         }.getOrElse(false)
+        // TOCTOU guard: between the reusable() existence check and this
+        // flip, an external-process gcSnapshots can sweep a version this
+        // manifest carries forward by reference. Re-verify every reused
+        // data dir INSIDE the critical section — failing here, before
+        // the pointer moves, never publishes a manifest whose refs point
+        // at deleted files (the in-memory tables were not re-pointed
+        // yet, so the store stays usable and the commit is retryable —
+        // the retry finds reusable() false and rewrites).
+        val vanished = reusedKeys.iterator.map(dataRels)
+          .filterNot(d => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$path/$d"))).toList
+        if (vanished.nonEmpty)
+          throw new IllegalStateException(
+            "commit aborted before pointer flip: carried-forward data " +
+              s"dirs vanished (concurrent gcSnapshots?): " +
+              vanished.mkString(", ") + " — retry the commit to rewrite")
         if (!superseded) {
           val ptr = mapper.createObjectNode()
           ptr.put("version", v)
@@ -1017,8 +1054,13 @@ object GraphStore {
     * dropped, and neither is any version a live GraphStore IN THIS
     * PROCESS is pinned to (see [[pin]]). Readers in OTHER processes are
     * invisible here — only run gcSnapshots when no external process holds
-    * an un-recommitted restore of an old version. Returns the number of
-    * version dirs removed. */
+    * an un-recommitted restore of an old version. External INCREMENTAL
+    * COMMITTERS count as readers too: a committer in another process may
+    * be about to carry an old version's data dirs forward by reference,
+    * and sweeping that version mid-commit forces it to abort (its flip
+    * re-verifies referenced dirs under the pointer lock and fails closed
+    * rather than publish dangling refs — safe, but the commit dies).
+    * Returns the number of version dirs removed. */
   def gcSnapshots(path: String, keep: Int = 2): Int = {
     require(keep >= 1, "must keep at least the current snapshot")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.store.GraphStore
+
+/** Main run in a SECOND JVM by [[ForkedCommitSpec]]: loops
+  * restore-mutate-commit against a shared snapshot root, exercising the
+  * cross-process commit protocol (OS file lock on the pointer flip,
+  * atomic mkdir version reservation, flip-time re-verify of
+  * carried-forward data dirs) against a concurrently committing and
+  * GC-ing parent process. Sanctioned failures — a commit aborted because
+  * concurrent GC swept a referenced dir or its reserved v-dir, a restore
+  * racing a sweep — are caught and counted; anything else crashes the
+  * JVM and fails the spec via the exit code.
+  *
+  * args: <rootDir> <iterations> <tag>; prints one final line
+  * `committed=<n> aborted=<m>`.
+  */
+object ForkedCommitMain {
+  def main(args: Array[String]): Unit = {
+    val root = args(0); val iters = args(1).toInt; val tag = args(2)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-forked-$tag")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var committed = 0; var aborted = 0
+    (1 to iters).foreach { _ =>
+      try {
+        val s =
+          if (Files.exists(Paths.get(s"$root/manifest.json")))
+            GraphStore.restore(spark, root)
+          else {
+            val fresh = new GraphStore(spark)
+            fresh.createSchema("Hot", "name" -> StringType)
+            fresh.createSchema("Cold", "name" -> StringType)
+            fresh.createNode("Cold", Map("name" -> "base"))
+            fresh
+          }
+        // mutate ONLY Hot: Cold carries forward by reference, so every
+        // commit after the first exercises the incremental-reuse path
+        // whose TOCTOU guard the parent's concurrent GC is aimed at.
+        s.createNode("Hot", Map("name" -> s"$tag-${System.nanoTime()}"))
+        s.commit(root)
+        s.close()
+        committed += 1
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              (e.getMessage.contains("gcSnapshots") ||
+                e.getMessage.contains("concurrent")) =>
+          aborted += 1
+        case _: java.io.FileNotFoundException => aborted += 1 // GC'd read
+        case e: org.apache.spark.SparkException
+            if Option(e.getMessage).exists(m =>
+              m.contains("FileNotFound") || m.contains("does not exist")) =>
+          aborted += 1
+      }
+    }
+    // println goes through sbt's StdoutOutput passthrough
+    println(s"committed=$committed aborted=$aborted")
+    spark.stop()
+    sys.exit(0)
+  }
+}
+
+/** The round-5 commit/GC concurrency protocol crossed a real process
+  * boundary for the first time here (VERDICT r5 "Next round" #2): the OS
+  * file lock + mkdir reservation in `GraphStore.commit`
+  * (GraphStore.scala flip critical section) exist precisely for
+  * cross-process races, but SnapshotSpec exercises only in-JVM
+  * concurrency. This spec forks a second JVM via ProcessBuilder on the
+  * test classpath and races commits + GC sweeps from both sides.
+  */
+class ForkedCommitSpec extends SparkSpec {
+
+  test("cross-process commit race: pointer stays monotone, final state " +
+      "restorable, keep-window refs intact, no stray tmp files") {
+    val root = Files.createTempDirectory("graft-forked-race").toString
+
+    // child JVM: same classpath + JVM flags as this (forked) test JVM —
+    // the add-opens set Spark 4 needs on JDK 17 comes with them.
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xmx"))
+    val cmd = (Seq(
+      s"${System.getProperty("java.home")}/bin/java") ++ jvmArgs ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.ForkedCommitMain", root, "6", "child"))
+    val child = new ProcessBuilder(cmd.asJava)
+      .redirectErrorStream(true).start()
+    val childOut = new StringBuilder
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      Iterator.continually(r.readLine()).takeWhile(_ != null)
+        .foreach(l => childOut.synchronized { childOut ++= l += '\n' })
+    })
+    drain.setDaemon(true); drain.start()
+
+    // watcher: the pointer version must never regress — the monotone
+    // locked flip is exactly the cross-process property under test.
+    @volatile var regression: Option[(Int, Int)] = None
+    @volatile var watching = true
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def pointerVersion(): Option[Int] =
+      scala.util.Try {
+        val n = mapper.readTree(Files.readString(
+          Paths.get(s"$root/manifest.json")))
+        if (n.has("version")) Some(n.get("version").asInt()) else None
+      }.toOption.flatten
+    val watcher = new Thread(() => {
+      var last = -1
+      while (watching) {
+        pointerVersion().foreach { v =>
+          if (v < last && regression.isEmpty) regression = Some((last, v))
+          last = math.max(last, v)
+        }
+        Thread.sleep(5)
+      }
+    })
+    watcher.setDaemon(true); watcher.start()
+
+    // wait for the child's first commit (its Spark boot takes ~20 s) so
+    // the parent's loop genuinely overlaps the child's remaining ones
+    val bootDeadline = System.nanoTime() + 180L * 1000000000L
+    while (!Files.exists(Paths.get(s"$root/manifest.json")) &&
+        child.isAlive && System.nanoTime() < bootDeadline)
+      Thread.sleep(100)
+    assert(Files.exists(Paths.get(s"$root/manifest.json")),
+      s"child never produced a first commit:\n" +
+        childOut.synchronized(childOut.toString()))
+
+    // parent side: interleave commits with GC sweeps on the same root
+    // for as long as the child is still committing (min 2 iterations so
+    // the parent always commits at least once even if the child is fast)
+    var parentCommits = 0; var parentAborts = 0
+    var i = 0
+    while (i < 2 || (child.isAlive && i < 40)) {
+      i += 1
+      try {
+        val s = GraphStore.restore(spark, root)
+        s.createNode("Hot", Map("name" -> s"parent-$i"))
+        s.commit(root)
+        s.close()
+        parentCommits += 1
+      } catch {
+        case e: Exception
+            if Option(e.getMessage).exists(m =>
+              m.contains("concurrent") || m.contains("gcSnapshots") ||
+                m.contains("does not exist") ||
+                m.contains("FileNotFound")) =>
+          parentAborts += 1
+      }
+      // a sweep between every parent commit maximizes the GC-vs-commit
+      // overlap window (fail-closed: 0 is a legal return)
+      scala.util.Try(GraphStore.gcSnapshots(root, keep = 2))
+      ()
+    }
+
+    assert(child.waitFor(10, java.util.concurrent.TimeUnit.MINUTES),
+      "child JVM did not finish")
+    watching = false
+    watcher.join(1000)
+    val out = childOut.synchronized(childOut.toString())
+    assert(child.exitValue() === 0, s"child JVM died:\n$out")
+    val m = "committed=(\\d+) aborted=(\\d+)".r.findFirstMatchIn(out)
+      .getOrElse(fail(s"child printed no summary:\n$out"))
+    val childCommits = m.group(1).toInt
+
+    // 1. no pointer regression observed at any sample during the race
+    assert(regression.isEmpty,
+      s"pointer regressed during the race: $regression")
+    // 2. both sides made progress (a vacuous race proves nothing)
+    assert(childCommits >= 1, s"child never committed:\n$out")
+    assert(parentCommits >= 1, "parent never committed")
+    // 3. final state restores: current version complete and consistent —
+    //    Cold's single carried-forward row must still be readable (GC
+    //    never deleted data the live manifest references)
+    val r = GraphStore.restore(spark, root)
+    assert(r.nodes("Cold").count() === 1)
+    assert(r.nodes("Hot").count() >= 1)
+    r.close()
+    // 4. every data ref in the newest keep-window manifests exists
+    val current = pointerVersion().getOrElse(fail("no pointer after race"))
+    val restorable = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+      .filter(_ <= current).sorted.reverse
+      .filter(v => Files.exists(Paths.get(s"$root/v$v/manifest.json")))
+      .take(2)
+    restorable.foreach { v =>
+      val man = mapper.readTree(Files.readString(
+        Paths.get(s"$root/v$v/manifest.json")))
+      (man.get("labels").elements().asScala ++
+        man.get("edges").elements().asScala)
+        .filter(_.has("data")).map(_.get("data").asText())
+        .foreach(rel => assert(Files.exists(Paths.get(s"$root/$rel")),
+          s"v$v references missing data dir $rel"))
+    }
+    // 5. atomic staging left nothing behind
+    val strays = Option(new java.io.File(root).list()).getOrElse(Array())
+      .filter(_.contains(".tmp"))
+    assert(strays.isEmpty, s"stray tmp files: ${strays.mkString(", ")}")
+  }
+}

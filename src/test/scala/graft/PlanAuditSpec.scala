@@ -212,4 +212,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       s"IVF index scan is not dynamically partition-pruned:\n$plan")
   }
+
+  test("as-of visibility interval pushes into the version parquet scan (T2)") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Ast.{INF, TemporalSnapshot}
+    // The 100 TB-relevant shape: version history COMMITTED to parquet
+    // (restore → base = a plain parquet scan with _vf/_vt/_tf/_tt as
+    // real columns), then an as-of read. The reference short-circuits
+    // its version-chain walk on the visibility interval
+    // (include/query/temporal_context.hpp:113-144); the Spark analog is
+    // the `_vf <= vt < _vt` comparisons reaching PushedFilters so
+    // parquet row groups outside the interval are min/max-skipped —
+    // version history only ever grows, so a full-history scan per as-of
+    // read would be the dominant cost at scale.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_asof_push").toString
+    val clock = new graft.core.MockClock(0L)
+    val s = new graft.store.GraphStore(spark,
+      versioningEnabled = true, clock = clock)
+    s.attachNodes("customer",
+      spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal")), "id")
+    clock.set(2000L)
+    s.updateWhere("customer", col("id") % 3 === 0,
+      Map("acctbal" -> (col("acctbal") + 100)), validFrom = Some(500L))
+    s.commit(dir)
+    val r = graft.store.GraphStore.restore(spark, dir)
+    try {
+      // explicit valid-time as-of: both interval bounds pushed
+      val asOf = physical(
+        r.nodes("customer", Some(TemporalSnapshot(validTime = 1000L))))
+      assert(asOf.contains("LessThanOrEqual(_vf,1000)"),
+        s"_vf lower bound not pushed into the version scan:\n$asOf")
+      assert(asOf.contains("GreaterThan(_vt,1000)"),
+        s"_vt upper bound not pushed into the version scan:\n$asOf")
+      // current-head read: the head predicate pushed as an equality
+      val head = physical(r.nodes("customer"))
+      assert(head.contains(s"EqualTo(_vt,$INF)"),
+        s"head-version predicate not pushed into the version scan:\n$head")
+    } finally r.close()
+  }
 }
