@@ -396,7 +396,10 @@ object SparkEntry {
       TpchGraph.store(s, dir).nodes("customer")
         .groupBy(col("nationkey"))
         .agg(countDistinct(col("mktsegment")).as("n_seg"))),
-    // ---- HLL approx-distinct (approximate → rows-only check, no oracle)
+    // ---- HLL approx-distinct (approximate → rows-only check, no
+    // oracle). Quantitatively gated by LshRecallSpec "a25 HLL": the
+    // estimate must sit within 3x the default HLL++ rsd (0.05) of the
+    // exact distinct count on the same table.
     "a25_approx_distinct" -> ((s, dir) =>
       TpchGraph.store(s, dir).nodes("orders")
         .agg(approx_count_distinct(col("custkey")).as("approx_customers"))),

@@ -134,4 +134,24 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.8,
       f"cosine-LSH recall $recall%.3f < 0.8 (${lsh.size}/${bf.size})")
   }
+
+  test("a25 HLL approx-distinct is within the HLL++ error bound of exact") {
+    // The last no_oracle CORRECTNESS row without a quantitative gate
+    // (VERDICT r5 #5): same query shape as a25_approx_distinct, on the
+    // same table, gated against the exact count. Spark's
+    // approx_count_distinct is HLL++ with default rsd = 0.05 (relative
+    // standard deviation, Heule et al. 2013); the estimate here is
+    // deterministic (fixed data, fixed hash), so a 3σ bound (0.15
+    // relative error) is both statistically principled and reproducible.
+    val orders = graft.tpch.TpchGraph
+      .store(spark, "/root/testdata/sf0.001").nodes("orders")
+    val exact = orders.select(countDistinct(col("custkey"))).head.getLong(0)
+    val approx = orders
+      .agg(approx_count_distinct(col("custkey")).as("approx_customers"))
+      .head.getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr <= 3 * 0.05,
+      f"HLL estimate $approx vs exact $exact: relative error $relErr%.4f " +
+        "exceeds 3x the default rsd (0.05)")
+  }
 }
