@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded local scale-up generator (VERDICT r5 "Next round" #3): writes a
+  * `copies`× scaled replica of an existing testdata dir by unioning
+  * FK-consistently key-shifted copies — copy `i` offsets every join key
+  * by `i * Stride`, so referential integrity, join fan-out per key, and
+  * group cardinality ratios all survive the scale-up (the properties that
+  * make bench numbers at the larger scale comparable to sf0.1).
+  *
+  * Deliberately NOT statistically novel data: the point is stressing
+  * partition counts, shuffle sizes, and driver memory at ~10× sf0.1, not
+  * inventing a new distribution. Copy 0 is byte-identical to the source.
+  * Perturbations are deterministic (pure column expressions of
+  * (key, copy) — no RNG, rerunning regenerates identical files):
+  *
+  *  - documents: odd doc_ids get a per-copy suffix (near-duplicates for
+  *    the LSH paths), even doc_ids stay verbatim (exact duplicates for
+  *    the hash-dedup paths — a realistic 10-way duplicated corpus);
+  *  - embeddings: element 0 shifts by copy/1000 (keeps cluster structure
+  *    for IVF while breaking exact vector equality);
+  *  - everything else replicates with shifted keys only.
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [destDir] [copies]
+  * Defaults: /root/testdata/sf0.1 → target/scale/sf1 × 10.
+  * Dims (region, nation) are copied as-is — scaling them would change
+  * every group-by-nation result shape instead of its volume.
+  */
+object ScaleGen {
+  /** Key offset between copies; far above any key at plausible sf. */
+  val Stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dest = if (args.length > 1) args(1) else "target/scale/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** Replicate `t` `copies`× through `f(df, copy)`; 32 output files so
+      * the scaled tables read back with real parallelism (a single
+      * ~100 MB file would collapse the biggest table to one partition
+      * under the default maxPartitionBytes — the opposite of a scale
+      * stress). */
+    def scale(t: String)(f: (DataFrame, Column) => DataFrame): Unit = {
+      val raw = spark.read.parquet(s"$src/$t.parquet")
+      val k = broadcast(spark.range(copies).toDF("__copy"))
+      val out = f(raw.crossJoin(k), col("__copy")).drop("__copy")
+      out.repartition(32).write.mode("overwrite")
+        .parquet(s"$dest/$t.parquet")
+      System.err.println(s"[scalegen] $t done")
+    }
+    def shift(c: String, cp: Column): Column = col(c) + cp * Stride
+
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    }
+    scale("customer")((d, cp) => d.withColumn("c_custkey", shift("c_custkey", cp)))
+    scale("supplier")((d, cp) => d.withColumn("s_suppkey", shift("s_suppkey", cp)))
+    scale("part")((d, cp) => d.withColumn("p_partkey", shift("p_partkey", cp)))
+    scale("orders")((d, cp) => d
+      .withColumn("o_orderkey", shift("o_orderkey", cp))
+      .withColumn("o_custkey", shift("o_custkey", cp)))
+    scale("lineitem")((d, cp) => d
+      .withColumn("l_orderkey", shift("l_orderkey", cp))
+      .withColumn("l_partkey", shift("l_partkey", cp))
+      .withColumn("l_suppkey", shift("l_suppkey", cp)))
+    scale("events")((d, cp) => d
+      .withColumn("event_id", shift("event_id", cp))
+      .withColumn("user_id", shift("user_id", cp)))
+    scale("documents")((d, cp) => d
+      .withColumn("doc_id", shift("doc_id", cp))
+      .withColumn("text",
+        when(cp > 0 && col("doc_id") % 2 === 1,
+          concat(col("text"), lit(" v"), cp.cast("string")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    scale("embeddings")((d, cp) => d
+      .withColumn("vec_id", shift("vec_id", cp))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + cp.cast("float") / lit(1000.0f))
+            .otherwise(x))))
+    spark.stop()
+  }
+}
