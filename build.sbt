@@ -30,6 +30,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The log4j2 config serves the repo's own entry points and tests; a
+// LIBRARY jar must not impose a logging config on its host application's
+// classpath (log4j2 picks up the first log4j2.properties it finds).
+Compile / packageBin / mappings ~=
+  (_.filterNot(_._2 == "log4j2.properties"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -110,8 +110,16 @@ object ShellMain {
       .appName("graft-shell")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A path that is not (yet) a snapshot starts a fresh store whose
+    // first COMMIT will create it — so `ShellMain /some/new/dir` is a
+    // valid way to begin a persisted session, not an error.
     val store = args.headOption match {
-      case Some(path) => GraphStore.restore(spark, path)
+      case Some(path)
+          if java.nio.file.Files.exists(java.nio.file.Paths.get(path)) =>
+        GraphStore.restore(spark, path)
+      case Some(path) =>
+        println(s"(new store — COMMIT will write its first snapshot to $path)")
+        new GraphStore(spark)
       case None => new GraphStore(spark)
     }
     val shell = new Shell(store, snapshotPath = args.headOption)
