@@ -44,13 +44,13 @@ object Curation {
       t => xxhash64(t)).as("__th")
     val benchGrams = benchmark.select(tokenHashes)
       .select(Dedup.hashedShingles(col("__th"), k).as("__gh"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Materialize(_))
       .select(explode(col("__gh")).as("__gram"))
       .distinct()
       .withColumn("__hit", lit(1))
     docs.select(col(idCol).as("__id"), tokenHashes)
       .select(col("__id"), Dedup.hashedShingles(col("__th"), k).as("__gh"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Materialize(_))
       .select(col("__id"), size(col("__gh")).as("__total"),
         explode(col("__gh")).as("__gram"))
       .join(broadcast(benchGrams), Seq("__gram"), "left_outer")

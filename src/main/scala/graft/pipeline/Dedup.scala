@@ -119,7 +119,7 @@ object Dedup {
         transform(split(lower(trim(col(textCol))), "\\s+"),
           t => xxhash64(t)).as("__th"))
       .select(col("__id"), hashedShingles(col("__th"), shingleK).as("__shh"))
-      .localCheckpoint(eager = eagerCheckpoint)
+      .transform(graft.core.Materialize(_, eager = eagerCheckpoint))
     // Signatures in ONE fused native pass per row
     // ([[graft.functions.MinHashSig]] — bit-identical to the former
     // explode → groupBy(id).agg(64 min buffers) formulation, which paid
@@ -144,7 +144,7 @@ object Dedup {
         graft.functions.MinHashSig(
           org.apache.spark.sql.graft.ColumnBridge.expression(col("__shh")),
           numHashes)).as("__sig"))
-      .localCheckpoint(eager = eagerCheckpoint)
+      .transform(graft.core.Materialize(_, eager = eagerCheckpoint))
     // Band key = xxhash64 over (band index, its r signature slots):
     // any injective-modulo-collision function of the slot values yields
     // the same candidate buckets as the former md5(concat_ws) string —
@@ -240,7 +240,7 @@ object Dedup {
     // Generate (interpreted path) or evaluate once per join side
     val sigs = df.select(col(idCol).as("__id"),
       simhash(col(textCol)).as("__sig"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Materialize(_))
     val chunked = sigs.select(col("__id"), col("__sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         concat(c.cast("string"), lit(":"),
@@ -265,7 +265,7 @@ object Dedup {
     // materialize shingle arrays once — both join sides read them
     val p = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
       shingles(col(textCol), k).as("__sh"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Materialize(_))
     val a = p.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
       col("__blk"))
     val b = p.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
@@ -328,7 +328,7 @@ object Dedup {
     val sigs = df.select(col(idCol).as("__id"), v.as("__v"),
       array((0 until tables).map(t =>
         concat(lit(s"$t:"), bucket(t).cast("string"))): _*).as("__bkts"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Materialize(_))
     val buckets = sigs.select(col("__id"), explode(col("__bkts")).as("__bkt"))
     val a = buckets.select(col("__id").as("id_a"), col("__bkt"))
     val b = buckets.select(col("__id").as("id_b"), col("__bkt"))

@@ -79,7 +79,7 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("m")))), s => s.getField("m").cast("float")).as(vecCol))
         .select(col("cluster").as(idCol), col(vecCol))
-        .localCheckpoint(eager = false)
+        .transform(graft.core.Materialize(_))
     }
     centroids
   }

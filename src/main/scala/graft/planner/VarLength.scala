@@ -32,10 +32,11 @@ import org.apache.spark.sql.functions._
   * checkpoint, so losing an executor mid-query fails the whole
   * var-length query (and [[graft.pipeline.Similarity]]'s ivfTrain,
   * which uses the same per-round discipline) instead of recomputing.
-  * That is the documented cost of killing the exponential re-derivation;
-  * long-running production drivers on a real cluster should set a
-  * `spark.checkpoint.dir` and switch these calls to reliable
-  * `checkpoint()` if executor churn is expected.
+  * That is the documented cost of killing the exponential re-derivation.
+  * Opt-out: configure `sc.setCheckpointDir(...)` and every such
+  * materialization point ([[graft.core.Materialize]]) switches to
+  * reliable, recomputable-from-storage checkpoints — the right trade
+  * for long-running drivers that expect executor churn.
   */
 object VarLength {
 
@@ -49,7 +50,7 @@ object VarLength {
     // once (frontier-sized), which is also what bounds lineage depth for
     // deep expansions — the standard iterative-algorithm discipline.
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Materialize(_))
     var known = e.withColumn("hops", lit(1))
     var frontier = known
     (2 to maxHops).foreach { k =>
@@ -59,7 +60,7 @@ object VarLength {
       val fresh = expanded.join(known.select("src", "dst"),
         Seq("src", "dst"), "left_anti")
         .withColumn("hops", lit(k))
-        .localCheckpoint(eager = false)
+        .transform(graft.core.Materialize(_))
       known = known.unionByName(fresh)
       frontier = fresh
     }

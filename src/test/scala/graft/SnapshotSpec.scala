@@ -312,6 +312,31 @@ class SnapshotSpec extends SparkSpec {
     assert(GraphStore.restore(spark, dir).nodes("User").count() === 3)
   }
 
+  test("commit crashed mid-manifest-stage: v-dir with only .manifest.tmp " +
+      "is an orphan — swept by GC, skipped by restore, sweep not aborted") {
+    val dir = Files.createTempDirectory("graft-snap-stage").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.commit(dir) // v1
+    // simulate a crash between staging the v2 manifest and its
+    // ATOMIC_MOVE: the reserved dir holds data + a tmp file but NO
+    // manifest.json. Pre-r6 (plain writeString) this crash could leave a
+    // TRUNCATED manifest.json instead, classifying Unreadable and
+    // fail-closing every future sweep — the round-5 ADVICE headline.
+    val staged = java.nio.file.Paths.get(s"$dir/v2")
+    Files.createDirectories(staged.resolve("nodes/User"))
+    Files.writeString(staged.resolve(".manifest.tmp"), "{\"labels\": [")
+    s.createNode("User", Map("name" -> "bob"))
+    s.commit(dir) // reservation probes past the crashed v2 → v3
+    s.close()
+    // classify() reads v2/manifest.json, gets NoSuchFile → Orphan: the
+    // sweep proceeds (no fail-closed abort) and reclaims v1 + crashed v2
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 2)
+    assert(!new java.io.File(s"$dir/v2").exists())
+    assert(GraphStore.restore(spark, dir).nodes("User").count() === 2)
+  }
+
   test("versioned store round-trips version metadata") {
     val dir = Files.createTempDirectory("graft-snap-v").toString
     val clock = new graft.core.MockClock(1000L)
