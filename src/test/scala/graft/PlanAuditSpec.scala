@@ -96,6 +96,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(ap.contains("LeftAnti"), s"no anti join:\n$ap")
   }
 
+  test("friend_join headline shape is pure broadcast — zero shuffles") {
+    // The cross-engine baseline query (BASELINE.md Q2: filter → edge
+    // join → filter). Its measured 1.37×-of-reference latency rests on
+    // this plan shape: both join inputs broadcast (filtered customer
+    // ids, filtered orders), so the only per-rep work is two broadcast
+    // builds plus one embarrassingly-parallel probe stage. A shuffle
+    // appearing here would silently double the headline latency long
+    // before the bench runs.
+    val df = planner.plan(Q.from("c:customer")
+      .where(ref("c.acctbal") > 1000.0 &&
+        ref("c.mktsegment") === "BUILDING")
+      .traverse("c", "placed", "o:orders")
+      .where(ref("o.totalprice") > 50000.0)
+      .select("c.id", "o.id").build)
+    val plan = physical(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"friend_join shape lost its broadcast join:\n$plan")
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("Exchange hashpartitioning"),
+      s"shuffle crept into the friend_join shape:\n$plan")
+  }
+
   test("as-of join is ONE shuffle+sort, no nested loop") {
     import org.apache.spark.sql.functions._
     val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
