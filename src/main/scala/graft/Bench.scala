@@ -31,6 +31,12 @@ object Bench {
         sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Opt-in reliable-checkpoint mode (graft.core.Materialize): lets the
+    // iterative entries (varlength, IVF, dedup signatures) be A/B'd
+    // against the default localCheckpoint path — the measured cost of
+    // executor-loss recomputability.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
 
     val store = TpchGraph.store(spark, sfDir, cache = true)
     // Load EVERY attached label once (not timed), like the reference.
