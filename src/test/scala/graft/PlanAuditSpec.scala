@@ -98,7 +98,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("friend_join headline shape is pure broadcast — zero shuffles") {
     // The cross-engine baseline query (BASELINE.md Q2: filter → edge
-    // join → filter). Its measured 1.37×-of-reference latency rests on
+    // join → filter). Its measured ~1.4×-of-reference latency rests on
     // this plan shape: both join inputs broadcast (filtered customer
     // ids, filtered orders), so the only per-rep work is two broadcast
     // builds plus one embarrassingly-parallel probe stage. A shuffle
