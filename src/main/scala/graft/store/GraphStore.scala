@@ -642,36 +642,36 @@ final class GraphStore(
     // from this path commits through lazy plans that still read the very
     // files an in-place overwrite would delete first.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    val pointer = java.nio.file.Paths.get(s"$path/manifest.json")
+    // Control-plane I/O (manifests, reservation, flip, lock) routes
+    // through SnapshotIO: plain local paths keep the original nio
+    // protocol; scheme-qualified paths (file:/hdfs:/viewfs:) go through
+    // the Hadoop FileSystem API; object-store schemes fail loudly here
+    // rather than publish through a non-atomic rename.
+    val io = SnapshotIO.forPath(path)
+    io.mkdirs(path)
+    val pointer = s"$path/manifest.json"
     val vStart: Int =
-      if (java.nio.file.Files.exists(pointer)) {
+      if (io.exists(pointer)) {
         scala.util.Try {
-          val prev = mapper.readTree(java.nio.file.Files.readString(pointer))
+          val prev = mapper.readTree(io.readString(pointer))
           // legacy (pre-versioned) layout = data at the root: count it as v0
           if (prev.has("version")) prev.get("version").asInt() + 1 else 1
         }.getOrElse(
           // corrupt pointer (e.g. crash mid-write on a pre-atomic-flip
           // layout): number past every existing v-dir so nothing live is
           // overwritten; the atomic flip below then heals the pointer
-          GraphStore.versionDirs(path).map(_._1).maxOption.getOrElse(0) + 1)
+          io.listVersions(path).maxOption.getOrElse(0) + 1)
       } else 1
-    // Reserve the version directory via atomic mkdir: two writers that
-    // both read the same pointer would otherwise write into the SAME
-    // v<N>/ (interleaved parquet overwrites — corruption, not a race
-    // you lose cleanly). createDirectory either succeeds exactly once
-    // per name or throws; the loser probes upward. ONLY "name taken"
-    // advances the probe — any other failure (root deleted, read-only,
-    // permissions) rethrows loudly instead of spinning forever.
-    val v: Int = Iterator.from(vStart).find { cand =>
-      try {
-        java.nio.file.Files.createDirectory(
-          java.nio.file.Paths.get(s"$path/v$cand"))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    }.get
+    // Reserve the version directory atomically: two writers that both
+    // read the same pointer would otherwise write into the SAME v<N>/
+    // (interleaved parquet overwrites — corruption, not a race you lose
+    // cleanly). reserveVersionDir succeeds exactly once per name across
+    // processes (atomic mkdir on nio, exclusive marker-file create on
+    // Hadoop); the loser probes upward. ONLY "name taken" advances the
+    // probe — any other failure (root deleted, read-only, permissions)
+    // rethrows loudly instead of spinning forever.
+    val v: Int = Iterator.from(vStart)
+      .find(cand => io.reserveVersionDir(s"$path/v$cand")).get
     val vPath = s"$path/v$v"
     val canonRoot = GraphStore.canonicalPath(path)
     // Incremental commit: a table whose base still reads a prior
@@ -685,6 +685,37 @@ final class GraphStore(
     // shardPartitions setting applies on its next actual rewrite.)
     val dataRels = mutable.Map[String, String]() // table key -> rel path
     val reusedKeys = mutable.Set[String]()
+    // The per-table parquet DATA writes race concurrent gcSnapshots the
+    // same way the manifest write below does: until the v-dir manifest
+    // lands, an external sweep legally classifies this reserved dir as
+    // Orphan and deletes it mid-write. Spark's FileFormatWriter then
+    // aborts with a SparkException whose top-level message says only
+    // "Job aborted" — the FileNotFoundException on .../_temporary/... is
+    // buried in the cause chain. Translate that variant into the same
+    // retryable abort the manifest path throws: walk the cause chain for
+    // a file-not-found naming THIS version's dir, or observe the
+    // reserved dir itself gone. (A file-not-found naming an OLDER
+    // version is a different sanctioned race — GC swept a version this
+    // rewrite was reading — and propagates as-is for callers' own
+    // classifiers; it must not be blamed on the reserved dir.)
+    def guardDataWrite(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable if {
+          val chain = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).take(16).toList
+          val fnfOnThisV = chain.exists { t =>
+            val isFnf = t.isInstanceOf[java.io.FileNotFoundException] ||
+              t.isInstanceOf[java.nio.file.NoSuchFileException]
+            isFnf && Option(t.getMessage).exists(_.contains(s"/v$v/"))
+          }
+          fnfOnThisV || !io.exists(vPath)
+        } =>
+          throw new IllegalStateException(
+            s"commit lost its reserved dir $vPath mid-data-write — a " +
+              "concurrent gcSnapshots swept it as an orphan (GC raced an " +
+              "in-flight commit); published state is unaffected, retry " +
+              "the commit", e)
+      }
     // Reuse only when the marker matches THIS root and the referenced
     // dir still exists: a closed (unpinned) store's referenced version
     // can be GC'd under it, and a commit must not publish a manifest
@@ -692,8 +723,7 @@ final class GraphStore(
     // loudly reading the deleted files BEFORE the pointer flips.
     def reusable(t: TableState): Option[String] =
       t.cleanData.collect {
-        case (r, d) if r == canonRoot &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/$d")) => d
+        case (r, d) if r == canonRoot && io.exists(s"$path/$d") => d
       }
     val root = mapper.createObjectNode()
     root.put("versioning", versioningEnabled)
@@ -708,7 +738,7 @@ final class GraphStore(
       val rel = s"v$v/nodes/$label"
       val reused = reusable(t)
       t.base.foreach { b =>
-        if (reused.isEmpty) {
+        if (reused.isEmpty) guardDataWrite {
           val laidOut = shardPartitions.fold(b)(n =>
             b.repartitionByRange(n, col("id")).sortWithinPartitions("id"))
           laidOut.write.mode("overwrite").parquet(s"$vPath/nodes/$label")
@@ -731,8 +761,9 @@ final class GraphStore(
       val rel = s"v$v/edges/${name}__${s}__$d"
       val reused = reusable(t)
       t.base.foreach { b =>
-        if (reused.isEmpty)
+        if (reused.isEmpty) guardDataWrite {
           b.write.mode("overwrite").parquet(s"$vPath/edges/${name}__${s}__$d")
+        }
       }
       val en = edgesNode.addObject()
       en.put("name", name); en.put("src", s); en.put("dst", d)
@@ -756,13 +787,8 @@ final class GraphStore(
     // (sanctioned — see the gcSnapshots scaladoc); name that cause
     // instead of dying with an unrelated-looking file error.
     try {
-      val manifestTmp = java.nio.file.Paths.get(s"$vPath/.manifest.tmp")
-      java.nio.file.Files.writeString(manifestTmp,
+      io.writeStringAtomic(s"$vPath/manifest.json", s"$vPath/.manifest.tmp",
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-      java.nio.file.Files.move(manifestTmp,
-        java.nio.file.Paths.get(s"$vPath/manifest.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } catch {
       case e: java.nio.file.NoSuchFileException =>
         throw new IllegalStateException(
@@ -779,51 +805,45 @@ final class GraphStore(
     // the pointer past v, flipping back would resurrect older state —
     // skip instead (this commit's v-dir stays on disk as a complete,
     // unreferenced snapshot; last committer wins, never an interleave).
-    // The read-compare-move is a critical section: guarded by an OS
-    // file lock (cross-process) nested inside a per-path JVM monitor
-    // (FileChannel locks are per-process — two threads of one JVM would
-    // otherwise hit OverlappingFileLockException, and without either
-    // guard a writer could flip BETWEEN another's check and move,
-    // regressing the pointer). The tmp name is per-version so no two
-    // writers ever stage through the same file.
+    // The read-compare-move is a critical section: guarded by the IO
+    // layer's cross-process pointer lock (OS FileChannel lock on local
+    // paths, exclusive-create lease file on Hadoop paths) nested inside
+    // a per-path JVM monitor (FileChannel locks are per-process — two
+    // threads of one JVM would otherwise hit
+    // OverlappingFileLockException, and without either guard a writer
+    // could flip BETWEEN another's check and move, regressing the
+    // pointer). The tmp name is per-version so no two writers ever
+    // stage through the same file.
     GraphStore.flipMonitor(canonRoot).synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(s"$path/.manifest.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val fl = ch.lock()
-      try {
+      io.withPointerLock(path) {
         val superseded = scala.util.Try {
-          val cur = mapper.readTree(java.nio.file.Files.readString(pointer))
+          val cur = mapper.readTree(io.readString(pointer))
           cur.has("version") && cur.get("version").asInt() > v
         }.getOrElse(false)
         // TOCTOU guard: between the reusable() existence check and this
         // flip, an external-process gcSnapshots can sweep a version this
-        // manifest carries forward by reference. Re-verify every reused
-        // data dir INSIDE the critical section — failing here, before
-        // the pointer moves, never publishes a manifest whose refs point
-        // at deleted files (the in-memory tables were not re-pointed
-        // yet, so the store stays usable and the commit is retryable —
-        // the retry finds reusable() false and rewrites).
-        val vanished = reusedKeys.iterator.map(dataRels)
-          .filterNot(d => java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$path/$d"))).toList
+        // manifest carries forward by reference. Re-verify EVERY data
+        // dir the manifest names (reused AND just-written) INSIDE the
+        // critical section — failing here, before the pointer moves,
+        // never publishes a manifest whose refs point at deleted files
+        // (the in-memory tables were not re-pointed yet, so the store
+        // stays usable and the commit is retryable — the retry finds
+        // reusable() false and rewrites).
+        val vanished = dataRels.valuesIterator
+          .filterNot(d => io.exists(s"$path/$d")).toList
         if (vanished.nonEmpty)
           throw new IllegalStateException(
-            "commit aborted before pointer flip: carried-forward data " +
+            "commit aborted before pointer flip: manifest data " +
               s"dirs vanished (concurrent gcSnapshots?): " +
               vanished.mkString(", ") + " — retry the commit to rewrite")
         if (!superseded) {
           val ptr = mapper.createObjectNode()
           ptr.put("version", v)
-          val tmp = java.nio.file.Paths.get(s"$path/.manifest.json.v$v.tmp")
-          java.nio.file.Files.writeString(tmp,
+          io.writeStringAtomic(pointer.toString,
+            s"$path/.manifest.json.v$v.tmp",
             mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ptr))
-          java.nio.file.Files.move(tmp, pointer,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-      } finally { fl.release(); ch.close() }
+      }
     }
     // the committed snapshot is now the cheapest lineage root: re-point
     // the in-memory tables at it so later mutations/commits build on
@@ -1011,7 +1031,7 @@ object GraphStore {
     String, java.util.Map[GraphStore, Set[Int]]]()
 
   private[store] def canonicalPath(path: String): String =
-    new java.io.File(path).getCanonicalPath
+    SnapshotIO.forPath(path).canonical(path)
 
   /** Per-snapshot-root JVM monitor for the pointer-flip critical
     * section (the OS file lock handles other processes but throws on
@@ -1042,12 +1062,6 @@ object GraphStore {
   private[store] def versionOfRel(rel: String): Option[Int] =
     "^v(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toInt)
 
-  /** All `v<N>/` snapshot dirs under `path`, as (version, dir). */
-  private[store] def versionDirs(path: String): Array[(Int, java.io.File)] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array())
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(f => f.getName.drop(1).toInt -> f)
-
   /** Drop all but the newest `keep` snapshot versions under `path`
     * (the reference's compaction analog — old snapshots accumulate one
     * v<N>/ dir per commit otherwise). The current version is never
@@ -1064,15 +1078,16 @@ object GraphStore {
   def gcSnapshots(path: String, keep: Int = 2): Int = {
     require(keep >= 1, "must keep at least the current snapshot")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val pointer = java.nio.file.Paths.get(s"$path/manifest.json")
-    if (!java.nio.file.Files.exists(pointer)) return 0
-    val head = mapper.readTree(java.nio.file.Files.readString(pointer))
+    val io = SnapshotIO.forPath(path)
+    val pointer = s"$path/manifest.json"
+    if (!io.exists(pointer)) return 0
+    val head = mapper.readTree(io.readString(pointer))
     if (!head.has("version")) return 0 // legacy layout: nothing versioned
     val current = head.get("version").asInt()
     val pinned = pinnedVersions(path)
-    val dirs = versionDirs(path)
-      .filter { case (v, _) => v <= current } // never touch a newer commit
-      .sortBy(-_._1)
+    val dirs = io.listVersions(path)
+      .filter(_ <= current) // never touch a newer commit
+      .sortBy((v: Int) => -v)
     // Incremental commits reference older versions' data dirs from their
     // manifests ("data" fields) — for every RESTORABLE version (the
     // retention window + pinned read-sources), the versions it
@@ -1100,8 +1115,7 @@ object GraphStore {
     case class Ok(refs: Set[Int]) extends Cls
     def classify(ver: Int): Cls =
       try {
-        val m = mapper.readTree(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(s"$path/v$ver/manifest.json")))
+        val m = mapper.readTree(io.readString(s"$path/v$ver/manifest.json"))
         Ok((m.get("labels").elements().asScala ++
           m.get("edges").elements().asScala)
           .filter(_.has("data"))
@@ -1111,25 +1125,19 @@ object GraphStore {
         case _: java.nio.file.NoSuchFileException => Orphan
         case scala.util.control.NonFatal(_) => Unreadable
       }
-    val cls = dirs.map { case (ver, _) => ver -> classify(ver) }.toMap
+    val cls = dirs.map(ver => ver -> classify(ver)).toMap
     if (cls.valuesIterator.exists(_ == Unreadable)) return 0
     // The keep-window counts RESTORABLE snapshots only: an orphan must
     // not occupy a slot and push a real snapshot out of retention.
-    val restorable = dirs.map(_._1)
+    val restorable = dirs
       .filter(ver => cls(ver).isInstanceOf[Ok])
       .take(keep).toSet ++ pinned
     val kept = restorable ++ restorable.flatMap(ver => cls.get(ver) match {
       case Some(Ok(refs)) => refs
       case _              => Set.empty[Int]
     })
-    val doomed = dirs.filterNot { case (ver, _) => kept(ver) }
-    doomed.foreach { case (_, dir) =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array()).foreach(rm)
-        f.delete(); ()
-      }
-      rm(dir)
-    }
+    val doomed = dirs.filterNot(kept)
+    doomed.foreach(ver => io.deleteRecursive(s"$path/v$ver"))
     doomed.length
   }
 
@@ -1146,11 +1154,11 @@ object GraphStore {
               clock: Clock = SystemClock,
               version: Option[Int] = None): GraphStore = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def readTree(p: String) = mapper.readTree(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+    val io = SnapshotIO.forPath(path)
+    def readTree(p: String) = mapper.readTree(io.readString(p))
     def fallback: (String, com.fasterxml.jackson.databind.JsonNode) =
-      versionDirs(path).sortBy(-_._1).iterator
-        .flatMap { case (v, _) =>
+      io.listVersions(path).sortBy((v: Int) => -v).iterator
+        .flatMap { v =>
           scala.util.Try((s"$path/v$v", readTree(s"$path/v$v/manifest.json")))
             .toOption.filter(_._2.has("labels"))
         }

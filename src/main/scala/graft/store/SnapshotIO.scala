@@ -1,0 +1,245 @@
+package graft.store
+
+import java.nio.file.{Files, Paths, NoSuchFileException}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem abstraction for the snapshot manifest/lock layer.
+  *
+  * The parquet DATA in a snapshot always goes through Spark's Hadoop
+  * FileSystem and works on any scheme; the small-file control plane
+  * (manifests, the version-dir reservation, the pointer flip, GC
+  * sweeps) is what this trait routes. Two implementations:
+  *
+  *   - [[NioSnapshotIO]] for plain local paths (no URI scheme): the
+  *     original java.nio protocol — OS `FileChannel` lock on the flip,
+  *     `ATOMIC_MOVE` renames, atomic `createDirectory` reservation.
+  *   - [[HadoopSnapshotIO]] for scheme-qualified paths (`file:`,
+  *     `hdfs:`, `viewfs:`): Hadoop `FileSystem`/`FileContext`. The
+  *     reservation uses atomic `createNewFile` (NameNode-atomic on
+  *     HDFS), the flip uses `FileContext.rename(OVERWRITE)` (atomic on
+  *     HDFS and local), and the cross-process flip lock is an
+  *     exclusive-create lease file with mtime-based expiry (HDFS has
+  *     no byte-range locks; a crashed holder's lease is stolen after
+  *     [[HadoopSnapshotIO.LockExpiryMs]]).
+  *
+  * Schemes WITHOUT atomic rename (s3a, gs, abfs, …) are rejected
+  * loudly at selection time: an object store cannot host this commit
+  * protocol without a coordination service (the same reason Delta Lake
+  * needs a LogStore / commit coordinator on S3), and failing at
+  * `commit()` beats publishing a torn pointer. Reference analog: the
+  * reference persists snapshots on a single local filesystem only
+  * (src/storage/storage.cpp:401-444); this layer is what takes the
+  * same contract to a cluster store.
+  */
+private[store] sealed trait SnapshotIO {
+  /** Read a small control file fully; throws
+    * [[java.nio.file.NoSuchFileException]] when missing (both impls
+    * normalize to this so GC's Orphan-vs-Unreadable classification is
+    * impl-independent). */
+  def readString(p: String): String
+  /** Stage `content` to `tmp` then atomically rename onto `target`
+    * (overwrite). The rename is the single visibility point. */
+  def writeStringAtomic(target: String, tmp: String, content: String): Unit
+  def exists(p: String): Boolean
+  def mkdirs(p: String): Unit
+  /** Atomically reserve version-dir `p`; true exactly once per name
+    * across processes. */
+  def reserveVersionDir(p: String): Boolean
+  /** Snapshot version numbers present under `root` (committed or not). */
+  def listVersions(root: String): Array[Int]
+  def deleteRecursive(p: String): Unit
+  /** Cross-process + cross-thread mutual exclusion for the pointer
+    * read-compare-rename critical section. */
+  def withPointerLock[T](root: String)(body: => T): T
+  /** Canonical form of `root` for pin/monitor keying. */
+  def canonical(root: String): String
+}
+
+private[store] object SnapshotIO {
+  /** Schemes whose `rename` is atomic — the commit protocol's one hard
+    * requirement. Everything else with a scheme is an object store (or
+    * unknown) and is rejected. */
+  private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  private def schemeOf(path: String): Option[String] =
+    // a ':' before any '/' is a URI scheme; plain absolute/relative
+    // local paths have none
+    path.indexOf(':') match {
+      case -1 => None
+      case i if path.indexOf('/') != -1 && path.indexOf('/') < i => None
+      case i => Some(path.substring(0, i).toLowerCase)
+    }
+
+  def forPath(path: String): SnapshotIO = schemeOf(path) match {
+    case None => NioSnapshotIO
+    case Some(s) if AtomicRenameSchemes(s) => new HadoopSnapshotIO()
+    case Some(s) =>
+      throw new IllegalArgumentException(
+        s"snapshot root '$path': scheme '$s' has no atomic rename — the " +
+          "commit protocol (atomic pointer flip, exclusive version " +
+          "reservation) cannot run directly against an object store. " +
+          "Commit to HDFS (or a file: path) and copy/distcp the result, " +
+          "or front the store with a commit-coordination service.")
+  }
+}
+
+/** Plain-local-path implementation: the original java.nio protocol. */
+private[store] object NioSnapshotIO extends SnapshotIO {
+  def readString(p: String): String = Files.readString(Paths.get(p))
+
+  def writeStringAtomic(target: String, tmp: String,
+                        content: String): Unit = {
+    val t = Paths.get(tmp)
+    Files.writeString(t, content)
+    Files.move(t, Paths.get(target),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def exists(p: String): Boolean = Files.exists(Paths.get(p))
+
+  def mkdirs(p: String): Unit = { Files.createDirectories(Paths.get(p)); () }
+
+  def reserveVersionDir(p: String): Boolean =
+    try { Files.createDirectory(Paths.get(p)); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  def listVersions(root: String): Array[Int] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+
+  def deleteRecursive(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(p))
+  }
+
+  def withPointerLock[T](root: String)(body: => T): T = {
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(s"$root/.manifest.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val fl = ch.lock()
+    try body finally { fl.release(); ch.close() }
+  }
+
+  def canonical(root: String): String =
+    new java.io.File(root).getCanonicalPath
+}
+
+/** Hadoop `FileSystem`-backed implementation for cluster stores. A
+  * fresh instance per operation keeps no FS handle cached across a
+  * `FileSystem.closeAll` elsewhere; `FileSystem.get` itself caches. */
+private[store] final class HadoopSnapshotIO extends SnapshotIO {
+  import HadoopSnapshotIO.LockExpiryMs
+
+  private def conf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fs(p: String): FileSystem =
+    new HPath(p).getFileSystem(conf)
+
+  def readString(p: String): String = {
+    val f = fs(p)
+    val in =
+      try f.open(new HPath(p))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          // normalize: GC + restore classify "missing" by this type
+          throw new NoSuchFileException(p).initCause(e)
+            .asInstanceOf[NoSuchFileException]
+      }
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeStringAtomic(target: String, tmp: String,
+                        content: String): Unit = {
+    val f = fs(target)
+    // Hadoop create() mkdirs missing parents, which would silently
+    // RESURRECT a version dir a concurrent GC just swept and publish a
+    // manifest whose data dirs are gone. Check the parent first and
+    // surface the sweep as the same NoSuchFileException the nio impl
+    // throws (commit translates it into the sanctioned retryable abort).
+    val parent = new HPath(target).getParent
+    if (parent != null && !f.exists(parent))
+      throw new NoSuchFileException(parent.toString)
+    val out = f.create(new HPath(tmp), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext.rename(OVERWRITE): atomic on HDFS and local; this is
+    // the protocol step the scheme whitelist exists for.
+    FileContext.getFileContext(new HPath(target).toUri, conf)
+      .rename(new HPath(tmp), new HPath(target), Options.Rename.OVERWRITE)
+  }
+
+  def exists(p: String): Boolean = fs(p).exists(new HPath(p))
+
+  def mkdirs(p: String): Unit = { fs(p).mkdirs(new HPath(p)); () }
+
+  def reserveVersionDir(p: String): Boolean = {
+    // mkdirs is idempotent (no exclusivity), so the atom is an
+    // exclusive-create marker FILE inside the dir: createNewFile is
+    // NameNode-atomic on HDFS. Both racers may mkdirs the same dir;
+    // exactly one wins the marker, the loser probes the next number.
+    val f = fs(p)
+    f.mkdirs(new HPath(p))
+    f.createNewFile(new HPath(s"$p/.reserved"))
+  }
+
+  def listVersions(root: String): Array[Int] =
+    try fs(root).listStatus(new HPath(root))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toInt)
+    catch { case _: java.io.FileNotFoundException => Array.empty[Int] }
+
+  def deleteRecursive(p: String): Unit = {
+    fs(p).delete(new HPath(p), true); ()
+  }
+
+  def withPointerLock[T](root: String)(body: => T): T = {
+    // Lease lock: exclusive create of a lock file (atomic on HDFS),
+    // deleted on release. A holder that crashed leaves a stale lease;
+    // it is stolen once its mtime is older than LockExpiryMs (clock
+    // skew between clients eats into the margin — the expiry is
+    // deliberately much longer than any flip takes). The JVM monitor in
+    // GraphStore.commit already serializes threads of this process.
+    val f = fs(root)
+    val lock = new HPath(s"$root/.manifest.flip.lease")
+    val deadline = System.nanoTime() + LockExpiryMs * 2L * 1000000L
+    var held = false
+    while (!held) {
+      held = f.createNewFile(lock)
+      if (!held) {
+        val stale =
+          try System.currentTimeMillis() -
+            f.getFileStatus(lock).getModificationTime > LockExpiryMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stale) { f.delete(lock, false); () }
+        else if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"pointer-flip lease at $lock held past expiry — crashed " +
+              "holder with a future clock? Delete the lease to recover.")
+        else Thread.sleep(20)
+      }
+    }
+    try body finally { f.delete(lock, false); () }
+  }
+
+  def canonical(root: String): String =
+    fs(root).makeQualified(new HPath(root)).toString
+}
+
+private[store] object HadoopSnapshotIO {
+  /** How long a pointer-flip lease may sit before another committer
+    * declares its holder dead and steals it. */
+  val LockExpiryMs = 60000L
+}

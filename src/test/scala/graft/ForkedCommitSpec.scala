@@ -23,6 +23,25 @@ import graft.store.GraphStore
   * `committed=<n> aborted=<m>`.
   */
 object ForkedCommitMain {
+  /** Sanctioned-abort classifier for commit/restore racing a concurrent
+    * GC sweep. Walks the CAUSE CHAIN, not just the top-level message:
+    * Spark wraps a mid-write FileNotFoundException (GC swept the dir a
+    * task was writing/reading) in a SparkException whose own message
+    * says only "Job aborted" — a message-only check misses it and
+    * crashes the JVM on a race that data-safety-wise is benign. */
+  def sanctionedAbort(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(16).toList
+    chain.exists { t =>
+      val byType = t.isInstanceOf[java.io.FileNotFoundException] ||
+        t.isInstanceOf[java.nio.file.NoSuchFileException]
+      val byMsg = Option(t.getMessage).exists(m =>
+        m.contains("gcSnapshots") || m.contains("concurrent") ||
+          m.contains("FileNotFound") || m.contains("does not exist"))
+      byType || byMsg
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // `iters` is a target of SUCCESSFUL commits, not attempts: under
     // heavy GC interference every attempt in a fixed-length loop can
@@ -58,16 +77,7 @@ object ForkedCommitMain {
         s.close()
         committed += 1
       } catch {
-        case e: IllegalStateException
-            if e.getMessage != null &&
-              (e.getMessage.contains("gcSnapshots") ||
-                e.getMessage.contains("concurrent")) =>
-          aborted += 1
-        case _: java.io.FileNotFoundException => aborted += 1 // GC'd read
-        case e: org.apache.spark.SparkException
-            if Option(e.getMessage).exists(m =>
-              m.contains("FileNotFound") || m.contains("does not exist")) =>
-          aborted += 1
+        case e: Exception if sanctionedAbort(e) => aborted += 1
       }
     }
     // println goes through sbt's StdoutOutput passthrough
@@ -160,11 +170,7 @@ class ForkedCommitSpec extends SparkSpec {
         s.close()
         parentCommits += 1
       } catch {
-        case e: Exception
-            if Option(e.getMessage).exists(m =>
-              m.contains("concurrent") || m.contains("gcSnapshots") ||
-                m.contains("does not exist") ||
-                m.contains("FileNotFound")) =>
+        case e: Exception if ForkedCommitMain.sanctionedAbort(e) =>
           parentAborts += 1
       }
       // a sweep between every parent commit maximizes the GC-vs-commit

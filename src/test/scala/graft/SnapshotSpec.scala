@@ -472,4 +472,67 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("FIXED_STRING(8)"))
   }
+
+  test("Hadoop FileSystem-backed snapshot root: commit/restore/GC/time " +
+      "travel through a file: URI (cluster-storage path, S4/S5/D10)") {
+    // Scheme-qualified roots route the manifest/lock control plane
+    // through Hadoop FileSystem (SnapshotIO.HadoopSnapshotIO) — the same
+    // code path an hdfs:// root takes on a real cluster; file: exercises
+    // it hermetically. Everything SnapshotSpec proves for plain local
+    // paths must hold: round-trip, incremental reuse, version
+    // reservation, GC with keep-window, explicit-version restore.
+    val local = java.nio.file.Files.createTempDirectory("graft-hfs")
+    val dir = s"file:$local"
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createSchema("Cold", "name" -> StringType)
+    s.createNode("User", Map("name" -> "alice"))
+    s.createNode("Cold", Map("name" -> "keep"))
+    s.commit(dir)
+    // v1 exists with manifest + reservation marker, readable back
+    assert(java.nio.file.Files.exists(local.resolve("v1/manifest.json")))
+    val r1 = GraphStore.restore(spark, dir)
+    assert(r1.nodes("User").count() === 1)
+    // mutate only User: Cold must carry forward BY REFERENCE (v2
+    // manifest points into v1) — the incremental path over Hadoop IO
+    r1.createNode("User", Map("name" -> "bob"))
+    r1.commit(dir)
+    val man2 = new String(java.nio.file.Files.readAllBytes(
+      local.resolve("v2/manifest.json")))
+    assert(man2.contains("v1/nodes/Cold"), man2)
+    r1.close()
+    val r2 = GraphStore.restore(spark, dir)
+    assert(r2.nodes("User").count() === 2)
+    assert(r2.nodes("Cold").count() === 1)
+    // two more commits, then GC: keep-window retention + referenced-
+    // version liveness must hold through the Hadoop delete path
+    r2.createNode("User", Map("name" -> "carol")); r2.commit(dir)
+    r2.createNode("User", Map("name" -> "dave")); r2.commit(dir)
+    r2.close()
+    GraphStore.gcSnapshots(dir, keep = 2)
+    // v1 survives (v4's Cold still references it); explicit time travel
+    // to the previous retained version works through the URI
+    val r3 = GraphStore.restore(spark, dir, version = Some(3))
+    assert(r3.nodes("User").count() === 3)
+    r3.close()
+    val r4 = GraphStore.restore(spark, dir)
+    assert(r4.nodes("User").count() === 4)
+    assert(r4.nodes("Cold").count() === 1)
+    r4.close()
+  }
+
+  test("object-store snapshot roots are rejected loudly (no atomic " +
+      "rename, no commit coordinator)") {
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "a"))
+    val e = intercept[IllegalArgumentException] {
+      s.commit("s3a://bucket/graft")
+    }
+    assert(e.getMessage.contains("atomic rename"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphStore.restore(spark, "gs://bucket/graft")
+    }
+    assert(e2.getMessage.contains("atomic rename"), e2.getMessage)
+  }
 }
