@@ -202,10 +202,18 @@ object Bench {
       // is quadratic within blocks (58 s at sf0.1 — measured, and the
       // Dedup scaladoc's "never run unblocked" caveat in action), while
       // the 100 TB clustering shape is LSH-candidate pairs + CC.
+      // exact-dup groups collapse to star edges + one representative
+      // before the LSH generator (round 7): on duplication-heavy corpora
+      // this keeps the pair graph linear in group size instead of
+      // quadratic (sf1: 2494 ten-way exact groups, measured in SCALE.md)
       "dup_clusters" -> (() => {
         val docs = store.nodes("documents")
-        graft.pipeline.Curation.dupClusters(docs, "id",
-          Dedup.simhashPairs(docs, "id", "text", maxHamming = 10))
+        graft.pipeline.Curation.dupClustersCollapsed(docs, "id",
+          exactKeyCols = Seq("text"),
+          pairGen = d => Dedup.simhashPairs(d, "id", "text",
+            maxHamming = 10),
+          collapsible = org.apache.spark.sql.functions.col("text")
+            .isNotNull)
       }),
       // frontier-BFS variable-length paths, 1..3 hops (v44 shape)
       "varlength_paths" -> (() => graft.planner.VarLength.pairs(

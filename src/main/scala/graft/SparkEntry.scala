@@ -593,12 +593,21 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).as("lang_pred"))
     }),
     // duplicate clusters: transitive closure (GraphX connected
-    // components) over the p32 exact-Jaccard pairs -> min-id canonical
+    // components) over the p32 exact-Jaccard pairs -> min-id canonical.
+    // Runs through the exact-duplicate STAR COLLAPSE (round 7): identical
+    // (source, text) groups contribute star edges + one representative to
+    // the generator instead of quadratic within-group pairs — components
+    // provably identical, so the same recursive-CTE oracle still gates it.
+    // The exact key includes `source` because the generator blocks on it:
+    // identical texts in different blocks are NOT linked by the
+    // full-corpus run and must not be star-linked either.
     "p49_dup_clusters" -> ((s, dir) => {
       val docs = TpchGraph.store(s, dir).nodes("documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "id", "text",
-        blockCol = "source", k = 3, threshold = 0.01)
-      Curation.dupClusters(docs, "id", pairs)
+      Curation.dupClustersCollapsed(docs, "id",
+        exactKeyCols = Seq("source", "text"),
+        pairGen = d => Dedup.ngramJaccardPairs(d, "id", "text",
+          blockCol = "source", k = 3, threshold = 0.01),
+        collapsible = col("text").isNotNull)
         .select(col("id").as("doc_id"), col("cluster"))
     }),
     // symmetric int8 embedding quantization (qvec joined to a string so

@@ -96,6 +96,83 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(0L, 3L, 4L))
   }
 
+  test("connectedComponents (DataFrame pointer-jumping) matches GraphX " +
+      "on seeded random graphs incl. chains, cliques, singletons") {
+    import spark.implicits._
+    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    val rnd = new scala.util.Random(7)
+    // chain (worst diameter), clique, random sparse, empty-edge trials
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 39L).map(i => (i, i + 1)), // 40-node chain
+      (for (i <- 0 until 10; j <- i + 1 until 10)
+        yield (i.toLong + 50L, j.toLong + 50L)),
+      Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)),
+      Seq.empty[(Long, Long)]
+    )
+    for (edges <- cases) {
+      val vs = (0L until 70L).toDF("u")
+      val es = edges.toDF("u", "v")
+      val mine = Curation.connectedComponents(vs, es)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val g = Graph(
+        spark.sparkContext.parallelize(
+          (0L until 70L).map(i => (i: VertexId, ()))),
+        spark.sparkContext.parallelize(
+          edges.map { case (a, b) => Edge(a, b, ()) }))
+      val ref = g.connectedComponents().vertices.collect()
+        .map { case (k, v) => (k: Long) -> (v: Long) }.toMap
+      assert(mine === ref, s"edge set: $edges")
+    }
+  }
+
+  test("dupClustersCollapsed: components identical to the full-corpus " +
+      "generator run; star edges replace quadratic within-group pairs") {
+    import spark.implicits._
+    // corpus with: a 4-way exact-dup group (10-13), a near-dup bridge
+    // (14 is a near-dup of the group's content), an unrelated pair
+    // (20,21), singletons, and a pair of identical texts in DIFFERENT
+    // blocks (30,31 — the generator blocks on `src`, so they must stay
+    // separate clusters even though their text is identical)
+    val rows = Seq(
+      (10L, "a", "the quick brown fox jumps over the lazy dog"),
+      (11L, "a", "the quick brown fox jumps over the lazy dog"),
+      (12L, "a", "the quick brown fox jumps over the lazy dog"),
+      (13L, "a", "the quick brown fox jumps over the lazy dog"),
+      (14L, "a", "the quick brown fox jumps over the lazy cat"),
+      (20L, "a", "completely different words entirely here now"),
+      (21L, "a", "completely different words entirely here soon"),
+      (30L, "a", "same text two blocks apart"),
+      (31L, "b", "same text two blocks apart"),
+      (40L, "b", "a lone singleton document")
+    ).toDF("doc_id", "src", "text")
+    def gen(d: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        blockCol = "src", k = 3, threshold = 0.5)
+    val full = Curation.dupClusters(rows, "doc_id", gen(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val collapsed = Curation.dupClustersCollapsed(rows, "doc_id",
+      exactKeyCols = Seq("src", "text"), pairGen = gen,
+      collapsible = col("text").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed === full)
+    // the semantics themselves: 10-14 one cluster via the near-dup
+    // bridge; 30/31 remain separate (different blocks)
+    assert((10L to 14L).map(collapsed).toSet === Set(10L))
+    assert(collapsed(30L) === 30L && collapsed(31L) === 31L)
+    assert(collapsed(40L) === 40L)
+    // and the pair-graph reduction this exists for: the generator only
+    // ever sees ONE member of the 4-way exact group
+    val repDocsSeen = scala.collection.mutable.Set[Long]()
+    Curation.dupClustersCollapsed(rows, "doc_id",
+      exactKeyCols = Seq("src", "text"),
+      pairGen = d => {
+        repDocsSeen ++= d.select("doc_id").collect().map(_.getLong(0))
+        gen(d)
+      },
+      collapsible = col("text").isNotNull).collect()
+    assert(repDocsSeen.intersect(Set(10L, 11L, 12L, 13L)) === Set(10L))
+  }
+
   test("IVF index persists: probe results identical, partitions pruned") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
