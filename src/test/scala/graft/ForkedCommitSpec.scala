@@ -7,28 +7,45 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 
+import graft.core.SystemClock
 import graft.store.GraphStore
 
-/** Main run in a SECOND JVM by [[ForkedCommitSpec]]: loops
-  * restore-mutate-commit against a shared snapshot root, exercising the
-  * cross-process commit protocol (OS file lock on the pointer flip,
+/** Main run in a SECOND JVM by [[ForkedCommitSpec]]: races the
+  * cross-process snapshot protocol (OS file lock on the pointer flip,
   * atomic mkdir version reservation, flip-time re-verify of
   * carried-forward data dirs) against a concurrently committing and
-  * GC-ing parent process. Sanctioned failures — a commit aborted because
-  * concurrent GC swept a referenced dir or its reserved v-dir, a restore
-  * racing a sweep — are caught and counted; anything else crashes the
-  * JVM and fails the spec via the exit code.
+  * GC-ing parent process, in one of three modes:
   *
-  * args: <rootDir> <iterations> <tag>; prints one final line
-  * `committed=<n> aborted=<m>`.
+  *  - `commit`  — restore-mutate-commit loop (the original race);
+  *  - `read`    — restore + full-table read loop: a reader in another
+  *    process is INVISIBLE to the parent's gcSnapshots (its pins are
+  *    per-process — the documented contract), so its restore/read may
+  *    abort when a sweep wins, but a read that SUCCEEDS must see exactly
+  *    the committed invariants (Cold carries 1 row forever; Hot >= 1) —
+  *    a torn read crashes the JVM and fails the spec;
+  *  - `compact` — restore-update-compactVersions-commit loop on a
+  *    versioned root: the history rewrite reads the restored version's
+  *    files, so a parent sweep mid-rewrite exercises the
+  *    "GC swept a version this rewrite was reading" race.
+  *
+  * Sanctioned failures — a commit/restore/read aborted because
+  * concurrent GC swept a referenced dir or its reserved v-dir — are
+  * caught and counted; anything else crashes the JVM and fails the spec
+  * via the exit code.
+  *
+  * args: <rootDir> <iterations> <tag> [mode]; prints `ready` once Spark
+  * is up (the parent waits for it before starting its own loop, so the
+  * two sides genuinely overlap) and one final line
+  * `done=<n> aborted=<m>`.
   */
 object ForkedCommitMain {
-  /** Sanctioned-abort classifier for commit/restore racing a concurrent
-    * GC sweep. Walks the CAUSE CHAIN, not just the top-level message:
-    * Spark wraps a mid-write FileNotFoundException (GC swept the dir a
-    * task was writing/reading) in a SparkException whose own message
-    * says only "Job aborted" — a message-only check misses it and
-    * crashes the JVM on a race that data-safety-wise is benign. */
+  /** Sanctioned-abort classifier for commit/restore/read racing a
+    * concurrent GC sweep. Walks the CAUSE CHAIN, not just the top-level
+    * message: Spark wraps a mid-write/mid-read FileNotFoundException
+    * (GC swept the dir a task was writing/reading) in a SparkException
+    * whose own message says only "Job aborted" — a message-only check
+    * misses it and crashes the JVM on a race that data-safety-wise is
+    * benign. */
   def sanctionedAbort(e: Throwable): Boolean = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .take(16).toList
@@ -37,17 +54,22 @@ object ForkedCommitMain {
         t.isInstanceOf[java.nio.file.NoSuchFileException]
       val byMsg = Option(t.getMessage).exists(m =>
         m.contains("gcSnapshots") || m.contains("concurrent") ||
-          m.contains("FileNotFound") || m.contains("does not exist"))
+          m.contains("FileNotFound") || m.contains("does not exist") ||
+          // restore's fail-closed signatures when a sweep wins the race
+          // between pointer read and manifest read
+          m.contains("no restorable snapshot") ||
+          m.contains("never committed"))
       byType || byMsg
     }
   }
 
   def main(args: Array[String]): Unit = {
-    // `iters` is a target of SUCCESSFUL commits, not attempts: under
+    // `iters` is a target of SUCCESSFUL operations, not attempts: under
     // heavy GC interference every attempt in a fixed-length loop can
-    // legitimately abort, and a zero-commit child turns the spec's
+    // legitimately abort, and a zero-progress child turns the spec's
     // progress assertion into a flake. Attempts are capped at 5x.
     val root = args(0); val iters = args(1).toInt; val tag = args(2)
+    val mode = if (args.length > 3) args(3) else "commit"
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-forked-$tag")
@@ -55,33 +77,66 @@ object ForkedCommitMain {
       .config("spark.sql.shuffle.partitions", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var committed = 0; var aborted = 0; var attempts = 0
-    while (committed < iters && attempts < iters * 5) {
+    println("ready") // parent gates its own loop on this
+    var done = 0; var aborted = 0; var attempts = 0
+    while (done < iters && attempts < iters * 5) {
       attempts += 1
       try {
-        val s =
-          if (Files.exists(Paths.get(s"$root/manifest.json")))
-            GraphStore.restore(spark, root)
-          else {
-            val fresh = new GraphStore(spark)
-            fresh.createSchema("Hot", "name" -> StringType)
-            fresh.createSchema("Cold", "name" -> StringType)
-            fresh.createNode("Cold", Map("name" -> "base"))
-            fresh
-          }
-        // mutate ONLY Hot: Cold carries forward by reference, so every
-        // commit after the first exercises the incremental-reuse path
-        // whose TOCTOU guard the parent's concurrent GC is aimed at.
-        s.createNode("Hot", Map("name" -> s"$tag-${System.nanoTime()}"))
-        s.commit(root)
-        s.close()
-        committed += 1
+        mode match {
+          case "commit" =>
+            val s =
+              if (Files.exists(Paths.get(s"$root/manifest.json")))
+                GraphStore.restore(spark, root)
+              else {
+                val fresh = new GraphStore(spark)
+                fresh.createSchema("Hot", "name" -> StringType)
+                fresh.createSchema("Cold", "name" -> StringType)
+                fresh.createNode("Cold", Map("name" -> "base"))
+                fresh
+              }
+            // mutate ONLY Hot: Cold carries forward by reference, so
+            // every commit after the first exercises the incremental-
+            // reuse path whose TOCTOU guard the parent's concurrent GC
+            // is aimed at.
+            s.createNode("Hot",
+              Map("name" -> s"$tag-${System.nanoTime()}"))
+            s.commit(root)
+            s.close()
+            done += 1
+          case "read" =>
+            val s = GraphStore.restore(spark, root)
+            val cold = s.nodes("Cold").count()
+            val hot = s.nodes("Hot").count()
+            s.close()
+            // A read that SUCCEEDS must be consistent — data dirs are
+            // immutable once written and sweeps remove whole version
+            // dirs, so there is no legal interleaving that yields a
+            // partial row set; crash (≠ sanctioned abort) on any other
+            // observation.
+            if (cold != 1 || hot < 1)
+              throw new AssertionError(
+                s"torn read: cold=$cold hot=$hot")
+            done += 1
+          case "compact" =>
+            val s = GraphStore.restore(spark, root)
+            val id = s.createNode("Hot",
+              Map("name" -> s"$tag-$attempts"))
+            // two versions of the same row, then drop the superseded
+            // history — the compaction rewrite reads the restored
+            // version's parquet while the parent may sweep it
+            s.updateNode("Hot", id, Map("name" -> s"$tag-$attempts-v2"))
+            s.compactVersions("Hot", beforeValid = SystemClock.nowNanos)
+            s.commit(root)
+            s.close()
+            done += 1
+          case other => sys.error(s"unknown mode: $other")
+        }
       } catch {
         case e: Exception if sanctionedAbort(e) => aborted += 1
       }
     }
     // println goes through sbt's StdoutOutput passthrough
-    println(s"committed=$committed aborted=$aborted")
+    println(s"done=$done aborted=$aborted")
     spark.stop()
     sys.exit(0)
   }
@@ -93,13 +148,26 @@ object ForkedCommitMain {
   * (GraphStore.scala flip critical section) exist precisely for
   * cross-process races, but SnapshotSpec exercises only in-JVM
   * concurrency. This spec forks a second JVM via ProcessBuilder on the
-  * test classpath and races commits + GC sweeps from both sides.
+  * test classpath and races, from both sides of the process boundary:
+  * commits + GC sweeps (case 1), restores/reads vs sweeps (case 2,
+  * VERDICT r6 "Next round" #6), and history compaction vs commits +
+  * sweeps (case 3, same item).
   */
 class ForkedCommitSpec extends SparkSpec {
 
-  test("cross-process commit race: pointer stays monotone, final state " +
-      "restorable, keep-window refs intact, no stray tmp files") {
-    val root = Files.createTempDirectory("graft-forked-race").toString
+  /** One full cross-process race: fork a child JVM in `mode`, overlap a
+    * parent-side commit+GC loop with it, then assert the shared
+    * invariants (monotone pointer, both sides progressed, final state
+    * restorable with Cold's carried-forward row intact, keep-window
+    * refs on disk, no stray tmp files). */
+  private def race(mode: String, childIters: Int,
+                   bootstrap: Option[SparkSession => GraphStore]): Unit = {
+    val root = Files.createTempDirectory(s"graft-forked-$mode").toString
+    // read/compact children need an existing root (they never create
+    // one); the commit child bootstraps itself on first iteration.
+    bootstrap.foreach { b =>
+      val s = b(spark); s.commit(root); s.close()
+    }
 
     // child JVM: same classpath + JVM flags as this (forked) test JVM —
     // the add-opens set Spark 4 needs on JDK 17 comes with them.
@@ -109,7 +177,7 @@ class ForkedCommitSpec extends SparkSpec {
     val cmd = (Seq(
       s"${System.getProperty("java.home")}/bin/java") ++ jvmArgs ++ Seq(
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
-      "graft.ForkedCommitMain", root, "6", "child"))
+      "graft.ForkedCommitMain", root, childIters.toString, "child", mode))
     val child = new ProcessBuilder(cmd.asJava)
       .redirectErrorStream(true).start()
     val childOut = new StringBuilder
@@ -144,19 +212,22 @@ class ForkedCommitSpec extends SparkSpec {
     })
     watcher.setDaemon(true); watcher.start()
 
-    // wait for the child's first commit (its Spark boot takes ~20 s) so
-    // the parent's loop genuinely overlaps the child's remaining ones
+    // wait until the child is genuinely racing (its Spark boot takes
+    // ~20 s): for the self-bootstrapping commit mode that's its first
+    // commit landing; for read/compact it's the post-boot `ready` line.
     val bootDeadline = System.nanoTime() + 180L * 1000000000L
-    while (!Files.exists(Paths.get(s"$root/manifest.json")) &&
-        child.isAlive && System.nanoTime() < bootDeadline)
+    def childUp: Boolean =
+      if (mode == "commit")
+        Files.exists(Paths.get(s"$root/manifest.json"))
+      else childOut.synchronized(childOut.toString()).contains("ready")
+    while (!childUp && child.isAlive && System.nanoTime() < bootDeadline)
       Thread.sleep(100)
-    assert(Files.exists(Paths.get(s"$root/manifest.json")),
-      s"child never produced a first commit:\n" +
-        childOut.synchronized(childOut.toString()))
+    assert(childUp, s"child never came up:\n" +
+      childOut.synchronized(childOut.toString()))
 
     // parent side: interleave commits with GC sweeps on the same root
-    // for as long as the child is still committing; like the child,
-    // keep retrying past sanctioned aborts until at least one commit
+    // for as long as the child is still working; like the child, keep
+    // retrying past sanctioned aborts until at least one commit
     // succeeds (capped), so GC interference can't flake the progress
     // assertion
     var parentCommits = 0; var parentAborts = 0
@@ -185,15 +256,15 @@ class ForkedCommitSpec extends SparkSpec {
     watcher.join(1000)
     val out = childOut.synchronized(childOut.toString())
     assert(child.exitValue() === 0, s"child JVM died:\n$out")
-    val m = "committed=(\\d+) aborted=(\\d+)".r.findFirstMatchIn(out)
+    val m = "done=(\\d+) aborted=(\\d+)".r.findFirstMatchIn(out)
       .getOrElse(fail(s"child printed no summary:\n$out"))
-    val childCommits = m.group(1).toInt
+    val childDone = m.group(1).toInt
 
     // 1. no pointer regression observed at any sample during the race
     assert(regression.isEmpty,
       s"pointer regressed during the race: $regression")
     // 2. both sides made progress (a vacuous race proves nothing)
-    assert(childCommits >= 1, s"child never committed:\n$out")
+    assert(childDone >= 1, s"child made no progress:\n$out")
     assert(parentCommits >= 1, "parent never committed")
     // 3. final state restores: current version complete and consistent —
     //    Cold's single carried-forward row must still be readable (GC
@@ -224,5 +295,37 @@ class ForkedCommitSpec extends SparkSpec {
     val strays = Option(new java.io.File(root).list()).getOrElse(Array())
       .filter(_.contains(".tmp"))
     assert(strays.isEmpty, s"stray tmp files: ${strays.mkString(", ")}")
+  }
+
+  private def plainBootstrap(s: SparkSession): GraphStore = {
+    val fresh = new GraphStore(s)
+    fresh.createSchema("Hot", "name" -> StringType)
+    fresh.createSchema("Cold", "name" -> StringType)
+    fresh.createNode("Cold", Map("name" -> "base"))
+    fresh.createNode("Hot", Map("name" -> "seed"))
+    fresh
+  }
+
+  test("cross-process commit race: pointer stays monotone, final state " +
+      "restorable, keep-window refs intact, no stray tmp files") {
+    race("commit", childIters = 6, bootstrap = None)
+  }
+
+  test("cross-process restore/read race: an external reader aborts " +
+      "sanctioned or sees committed state, never a torn read") {
+    race("read", childIters = 8,
+      bootstrap = Some(plainBootstrap))
+  }
+
+  test("cross-process compaction race: history rewrite vs concurrent " +
+      "commits and GC sweeps keeps every invariant") {
+    race("compact", childIters = 4, bootstrap = Some { s =>
+      val fresh = new GraphStore(s, versioningEnabled = true)
+      fresh.createSchema("Hot", "name" -> StringType)
+      fresh.createSchema("Cold", "name" -> StringType)
+      fresh.createNode("Cold", Map("name" -> "base"))
+      fresh.createNode("Hot", Map("name" -> "seed"))
+      fresh
+    })
   }
 }
