@@ -206,24 +206,92 @@ private[store] final class HadoopSnapshotIO extends SnapshotIO {
   }
 
   def withPointerLock[T](root: String)(body: => T): T = {
-    // Lease lock: exclusive create of a lock file (atomic on HDFS),
-    // deleted on release. A holder that crashed leaves a stale lease;
-    // it is stolen once its mtime is older than LockExpiryMs (clock
-    // skew between clients eats into the margin — the expiry is
-    // deliberately much longer than any flip takes). The JVM monitor in
-    // GraphStore.commit already serializes threads of this process.
+    // Lease lock for the pointer-flip critical section. Every
+    // state-changing step is an ATOMIC RENAME, because that is the one
+    // primitive this impl's scheme whitelist guarantees:
+    //
+    //  - ACQUIRE: write a holder-unique lease file (UUID content) to a
+    //    holder-unique tmp name, then rename it onto the lease path
+    //    WITHOUT overwrite — succeeds for exactly one contender. (A
+    //    plain createNewFile is NOT atomic on RawLocalFileSystem —
+    //    create + chmod — and a concurrent stealer's rename mid-call
+    //    makes it throw; LeaseLockSpec's two-stealer case caught this.)
+    //  - STEAL (crashed holder): once the lease mtime is older than the
+    //    expiry, rename it to a stealer-unique tombstone, then RE-VERIFY
+    //    staleness on the tombstone (mtime travels with the rename). A
+    //    fresh capture — another stealer completed its whole
+    //    steal-and-reacquire cycle between this stealer's staleness
+    //    read and its rename — is renamed straight back and this caller
+    //    falls through to ordinary waiting, so a live holder's lease is
+    //    never destroyed. Clock skew between clients eats into the
+    //    expiry margin — it is deliberately much longer than any flip.
+    //  - RELEASE: delete only if the lease content is still OUR uuid —
+    //    after an expiry steal the path may hold someone else's lease.
+    //
+    // The JVM monitor in GraphStore.commit already serializes threads
+    // of this process; this protocol is for crossing processes.
     val f = fs(root)
+    val me = java.util.UUID.randomUUID().toString
+    val expiryMs = LockExpiryMs
     val lock = new HPath(s"$root/.manifest.flip.lease")
-    val deadline = System.nanoTime() + LockExpiryMs * 2L * 1000000L
+    val fc = FileContext.getFileContext(lock.toUri, conf)
+    def leaseContent(p: HPath): Option[String] =
+      try {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    val deadline = System.nanoTime() + expiryMs * 2L * 1000000L
+    // The acquire atom is scheme-appropriate: HDFS/viewfs rename (and
+    // create) are NameNode-atomic, so tmp + rename-without-overwrite is
+    // the exclusive atom there. On a local `file:` root neither Hadoop
+    // createNewFile (create + chmod — two syscalls) nor a no-overwrite
+    // FileContext.rename (exists-check + rename(2), which OVERWRITES) is
+    // atomic — use java.nio CREATE_NEW, which maps to O_CREAT|O_EXCL.
+    def tryAcquire(): Boolean =
+      if ("file" == Option(lock.toUri.getScheme).orNull) {
+        try {
+          Files.write(Paths.get(lock.toUri),
+            me.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else {
+        val tmp = new HPath(s"$root/.manifest.flip.lease.tmp.$me")
+        val out = f.create(tmp, true)
+        try out.write(me.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        try { fc.rename(tmp, lock); true } // no-overwrite: atomic on HDFS
+        catch {
+          case _: java.io.IOException => f.delete(tmp, false); false
+        }
+      }
     var held = false
     while (!held) {
-      held = f.createNewFile(lock)
+      held = tryAcquire()
       if (!held) {
         val stale =
           try System.currentTimeMillis() -
-            f.getFileStatus(lock).getModificationTime > LockExpiryMs
+            f.getFileStatus(lock).getModificationTime > expiryMs
           catch { case _: java.io.FileNotFoundException => false }
-        if (stale) { f.delete(lock, false); () }
+        if (stale) {
+          val tomb = new HPath(s"$root/.manifest.flip.lease.stolen.$me")
+          try {
+            fc.rename(lock, tomb, Options.Rename.OVERWRITE)
+            val capturedStale = System.currentTimeMillis() -
+              f.getFileStatus(tomb).getModificationTime > expiryMs
+            if (capturedStale) { f.delete(tomb, false); () }
+            else fc.rename(tomb, lock, Options.Rename.OVERWRITE)
+          } catch { // another stealer's rename won; contend normally
+            case _: java.io.FileNotFoundException => ()
+          }
+          ()
+        }
         else if (System.nanoTime() > deadline)
           throw new IllegalStateException(
             s"pointer-flip lease at $lock held past expiry — crashed " +
@@ -231,7 +299,9 @@ private[store] final class HadoopSnapshotIO extends SnapshotIO {
         else Thread.sleep(20)
       }
     }
-    try body finally { f.delete(lock, false); () }
+    try body finally {
+      if (leaseContent(lock).contains(me)) { f.delete(lock, false); () }
+    }
   }
 
   def canonical(root: String): String =
