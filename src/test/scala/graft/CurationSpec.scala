@@ -112,7 +112,17 @@ class CurationSpec extends SparkSpec {
     for (edges <- cases) {
       val vs = (0L until 70L).toDF("u")
       val es = edges.toDF("u", "v")
+      // default path: these graphs are under TailFinishEdges, so this
+      // exercises the driver union-find fast path
       val mine = Curation.connectedComponents(vs, es)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // tailFinish = 0 forces the distributed contraction loop (and its
+      // in-loop convergence machinery) on the same graphs
+      val mineDist = Curation.connectedComponents(vs, es, tailFinish = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a mid-sized tail threshold makes the loop run SOME rounds and
+      // then hand the contracted remainder to the driver finisher
+      val mineTail = Curation.connectedComponents(vs, es, tailFinish = 4)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val g = Graph(
         spark.sparkContext.parallelize(
@@ -121,7 +131,9 @@ class CurationSpec extends SparkSpec {
           edges.map { case (a, b) => Edge(a, b, ()) }))
       val ref = g.connectedComponents().vertices.collect()
         .map { case (k, v) => (k: Long) -> (v: Long) }.toMap
-      assert(mine === ref, s"edge set: $edges")
+      assert(mine === ref, s"fast path, edge set: $edges")
+      assert(mineDist === ref, s"distributed path, edge set: $edges")
+      assert(mineTail === ref, s"tail-finish path, edge set: $edges")
     }
   }
 
