@@ -196,10 +196,15 @@ object Curation {
   private def unionFindRemap(rows: Array[org.apache.spark.sql.Row])
       : Seq[(Long, Long)] = {
     val root = scala.collection.mutable.LongMap.empty[Long]
+    // iterative find + full path compression: recursion would overflow
+    // the stack on a worst-case chain (parent depth can reach the edge
+    // count before compression kicks in)
     def find(x: Long): Long = {
-      val p = root.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); root(x) = r; r }
+      var r = x
+      while (root.getOrElse(r, r) != r) r = root.getOrElse(r, r)
+      var c = x
+      while (c != r) { val n = root.getOrElse(c, c); root(c) = r; c = n }
+      r
     }
     rows.foreach { r =>
       val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))

@@ -137,6 +137,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents driver fast path survives a worst-case " +
+      "60k-edge chain (path compression must not recurse)") {
+    import spark.implicits._
+    val n = 60000L
+    val vs = (0L until (n + 1)).toDF("u")
+    val es = (0L until n).map(i => (i, i + 1)).toDF("u", "v")
+    val res = Curation.connectedComponents(vs, es)
+      .agg(org.apache.spark.sql.functions.countDistinct("l"),
+        org.apache.spark.sql.functions.max("l"),
+        org.apache.spark.sql.functions.count("*")).head
+    assert(res.getLong(0) === 1L) // one component
+    assert(res.getLong(1) === 0L) // labeled by the min id
+    assert(res.getLong(2) === n + 1)
+  }
+
   test("dupClustersCollapsed: components identical to the full-corpus " +
       "generator run; star edges replace quadratic within-group pairs") {
     import spark.implicits._
