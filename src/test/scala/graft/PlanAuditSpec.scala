@@ -119,6 +119,26 @@ class PlanAuditSpec extends SparkSpec {
       s"shuffle crept into the friend_join shape:\n$plan")
   }
 
+  test("CC small-graph fast path: broadcast remap, zero vertex-side " +
+      "shuffle") {
+    // The sparse-pair regime's 100 TB shape (Curation.scala fast path):
+    // billions of documents, driver-sized pair set — labels must come
+    // from a BroadcastHashJoin against the union-find remap, with the
+    // vertex side never exchanged. A shuffle here means the corpus is
+    // being moved to answer a broadcast-sized question.
+    import spark.implicits._
+    val vs = (0L until 1000L).toDF("u")
+    val es = (0L until 500L).map(i => (i, i + 1)).toDF("u", "v")
+    val df = graft.pipeline.Curation.connectedComponents(vs, es)
+    val plan = physical(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"CC fast path lost its broadcast remap join:\n$plan")
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("Exchange hashpartitioning"),
+      s"shuffle crept into the CC fast path:\n$plan")
+  }
+
   test("as-of join is ONE shuffle+sort, no nested loop") {
     import org.apache.spark.sql.functions._
     val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
