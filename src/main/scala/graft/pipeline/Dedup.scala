@@ -234,27 +234,62 @@ object Dedup {
     * chunks (guarantees recall for hamming distance <= 3), verified with
     * bit_count(xor) <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucket: Int = 4096): DataFrame = {
     // materialize signatures before the chunk explode and self-join: the
     // nested-aggregate simhash expression must not collapse under the
-    // Generate (interpreted path) or evaluate once per join side
+    // Generate (interpreted path) or evaluate once per join side.
+    //
+    // The candidate join runs at DISTINCT-SIGNATURE grain, not document
+    // grain: byte-identical (and coincidentally sig-identical) documents
+    // collapse to one row before bucketing, candidate sig pairs dedup
+    // and hamming-filter BEFORE fan-out, and member pairs are expanded
+    // only for qualifying sig pairs — output-volume work, never
+    // candidate-volume. The first (doc-grain) version OOM'd a 24 GB
+    // heap at 30× sf0.1: 30-way duplicate families multiplied every
+    // bucket by 30 and the candidate sort by 900. Results are
+    // IDENTICAL: same-sig pairs are hamming 0 and emitted directly;
+    // cross-sig pairs expand each qualifying signature pair exactly
+    // once. `maxBucket` additionally caps a chunk bucket's DISTINCT
+    // signatures (deterministically, lowest sigs kept) — the same hard
+    // cost bound minhashLsh's bucket cap documents: a bucket past it is
+    // a pathological low-entropy family, and truncation trades recall
+    // on exactly those, never correctness of emitted pairs.
     val sigs = df.select(col(idCol).as("__id"),
       simhash(col(textCol)).as("__sig"))
       .transform(graft.core.Materialize(_))
-    val chunked = sigs.select(col("__id"), col("__sig"),
+    val distinctSigs = sigs.select(col("__sig")).distinct()
+    val chunked = distinctSigs.select(col("__sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         concat(c.cast("string"), lit(":"),
           call_function("shiftright", col("__sig"), c * 16).bitwiseAND(0xFFFFL)
             .cast("string")))).as("__chunk"))
-    val a = chunked.select(col("__id").as("id_a"),
-      col("__sig").as("sig_a"), col("__chunk"))
-    val b = chunked.select(col("__id").as("id_b"),
-      col("__sig").as("sig_b"), col("__chunk"))
-    a.join(b, a("__chunk") === b("__chunk") && col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__chunk").orderBy("__sig")))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+      .transform(graft.core.Materialize(_))
+    val sigPairs = chunked.select(col("__sig").as("sig_a"), col("__chunk"))
+      .join(chunked.select(col("__sig").as("sig_b"), col("__chunk")),
+        "__chunk")
+      .filter(col("sig_a") < col("sig_b"))
+      .select(col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+    val cross = sigPairs
+      .join(sigs.select(col("__sig").as("sig_a"), col("__id").as("__ia")),
+        "sig_a")
+      .join(sigs.select(col("__sig").as("sig_b"), col("__id").as("__ib")),
+        "sig_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val within = sigs.select(col("__sig"), col("__id").as("id_a"))
+      .join(sigs.select(col("__sig"), col("__id").as("id_b")), "__sig")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Exact n-gram Jaccard similarity pairs within `blockCol` blocks (never
