@@ -210,7 +210,14 @@ object Curation {
       val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
       if (a != b) { if (a < b) root(b) = a else root(a) = b }
     }
-    root.keysIterator.map(k => (k, find(k)))
+    // snapshot the keys BEFORE the final find() sweep: path compression
+    // mutates the LongMap during iteration, which is only safe while
+    // compression writes exclusively to existing keys (no insert →
+    // no resize). That invariant is one future edit away from silent
+    // iterator corruption — an array copy of the keys removes the
+    // dependence entirely, for one bounded allocation.
+    val ks = root.keysIterator.toArray
+    ks.iterator.map(k => (k, find(k)))
       .filter { case (k, v) => k != v }.toSeq
   }
 

@@ -20,6 +20,8 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** NOTE on the `localCheckpoint`s below: checkpointed blocks live
     * in executor storage until the driver GCs the DataFrame (the
     * ContextCleaner then drops them). A long-lived driver looping these
@@ -231,8 +233,16 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
-    * chunks (guarantees recall for hamming distance <= 3), verified with
-    * bit_count(xor) <= maxHamming. */
+    * chunks, verified with bit_count(xor) <= maxHamming — so every
+    * emitted pair is always correct. Recall for hamming distance <= 3 is
+    * guaranteed ONLY for chunk buckets holding at most `maxBucket`
+    * DISTINCT signatures: an oversized bucket (a pathological low-entropy
+    * family) is deterministically truncated to its lowest `maxBucket`
+    * sigs, dropping cross-signature candidates from exactly that bucket.
+    * Same-signature pairs are truncation-proof (the separate `within`
+    * branch never goes through buckets). Truncation is observable: each
+    * call logs the count of truncated buckets when nonzero, so recall
+    * loss at scale is a warning in the driver log, not a silent drop. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBucket: Int = 4096): DataFrame = {
@@ -259,7 +269,12 @@ object Dedup {
       simhash(col(textCol)).as("__sig"))
       .transform(graft.core.Materialize(_))
     val distinctSigs = sigs.select(col("__sig")).distinct()
-    val chunked = distinctSigs.select(col("__sig"),
+    // keep ONE row past the cap through the materialization: a bucket
+    // with a row at rank maxBucket+1 is exactly a truncated bucket, so
+    // the recall trade the scaladoc documents is countable from the
+    // bounded materialized frame (one cheap count, no second window
+    // pass) instead of being silently dropped in-plan.
+    val chunkedProbe = distinctSigs.select(col("__sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         concat(c.cast("string"), lit(":"),
           call_function("shiftright", col("__sig"), c * 16).bitwiseAND(0xFFFFL)
@@ -267,8 +282,16 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("__chunk").orderBy("__sig")))
-      .filter(col("__rn") <= maxBucket).drop("__rn")
+      .filter(col("__rn") <= maxBucket + 1)
       .transform(graft.core.Materialize(_))
+    val truncatedBuckets =
+      chunkedProbe.filter(col("__rn") > maxBucket).count()
+    if (truncatedBuckets > 0)
+      log.warn(
+        s"simhashPairs: $truncatedBuckets chunk bucket(s) exceeded " +
+          s"maxBucket=$maxBucket distinct signatures and were truncated " +
+          "— cross-signature recall is not guaranteed for those buckets")
+    val chunked = chunkedProbe.filter(col("__rn") <= maxBucket).drop("__rn")
     val sigPairs = chunked.select(col("__sig").as("sig_a"), col("__chunk"))
       .join(chunked.select(col("__sig").as("sig_b"), col("__chunk")),
         "__chunk")

@@ -816,7 +816,7 @@ final class GraphStore(
     // stage through the same file.
     val lostFlip: Boolean =
       GraphStore.flipMonitor(canonRoot).synchronized {
-      io.withPointerLock(path) {
+      io.withPointerLock(path) { lk =>
         val superseded = scala.util.Try {
           val cur = mapper.readTree(io.readString(pointer))
           cur.has("version") && cur.get("version").asInt() > v
@@ -838,6 +838,19 @@ final class GraphStore(
               s"dirs vanished (concurrent gcSnapshots?): " +
               vanished.mkString(", ") + " — retry the commit to rewrite")
         if (!superseded) {
+          // FENCING PROBE, last thing before the publish: on the Hadoop
+          // lease lock a holder paused past the lease expiry can be
+          // displaced by another committer's steal — this process would
+          // then be flipping OUTSIDE mutual exclusion, racing the
+          // thief's own read-compare-rename. A displaced holder refuses
+          // to publish (retryable abort; nothing was mutated). See
+          // PointerLock for the residual check-to-rename window.
+          if (!lk.stillHeld())
+            throw new IllegalStateException(
+              "commit aborted before pointer flip: this process's " +
+                "pointer-flip lease was stolen (paused past the lease " +
+                "expiry? clock skew?) — published state is unaffected, " +
+                "retry the commit")
           val ptr = mapper.createObjectNode()
           ptr.put("version", v)
           io.writeStringAtomic(pointer.toString,
@@ -874,7 +887,17 @@ final class GraphStore(
       // rewritten above — re-points here, so the store stops depending
       // on the other root's files and the next commit to this path can
       // reuse.
-      val repoint: List[(TableState, String, DataFrame)] =
+      // A sweep-surface failure HERE must not surface as a retryable
+      // abort: the pointer flip above already PUBLISHED v, so "published
+      // state is unaffected, retry" would be a lie — the caller would
+      // re-commit an identical duplicate version. Losing the re-point
+      // only means a still-faster committer superseded and swept v
+      // between the flip and these reads; the commit itself stands, each
+      // base still holds the valid plan it held before this commit, and
+      // the only cost is a deeper lineage until the next commit. Swallow
+      // the guarded class (keep old bases, still pin, report success);
+      // anything outside the class propagates untouched.
+      val repoint: List[(TableState, String, DataFrame)] = try {
         GraphStore.guardSweepableRead(s"commit re-point (v$v)") {
           val ns = nodeTables.toList.collect {
             case (label, t)
@@ -890,6 +913,11 @@ final class GraphStore(
           }
           ns ++ es
         }
+      } catch {
+        case e: IllegalStateException
+            if Option(e.getCause).exists(GraphStore.isSweepSurface) =>
+          Nil
+      }
       repoint.foreach { case (t, rel, df) =>
         t.base = Some(df)
         t.markClean(canonRoot, rel)

@@ -34,6 +34,25 @@ import org.apache.spark.sql.SparkSession
   * (src/storage/storage.cpp:401-444); this layer is what takes the
   * same contract to a cluster store.
   */
+/** Handle passed to the pointer-lock critical section. [[stillHeld]] is
+  * the FENCING PROBE the pointer flip calls immediately before
+  * publishing: on the Hadoop lease lock a holder paused past the lease
+  * expiry (long GC, VM freeze, skewed clock) can be displaced by
+  * another committer's expiry steal — after which two processes are
+  * inside the critical section. The displaced holder cannot be stopped
+  * from COMPUTING, but it can be stopped from PUBLISHING: a flip that
+  * verifies `stillHeld()` right before its pointer rename refuses to
+  * publish over the thief's. The check-then-rename gap is a residual
+  * TOCTOU, but it is microseconds against a 60 s expiry — a
+  * double-publish now needs a steal to land inside exactly that gap,
+  * versus the unguarded protocol where any >expiry pause sufficed.
+  * (True fencing would need the token IN the pointer rename itself,
+  * which filesystem renames cannot express — the object-store
+  * conditional-put backend is where that becomes possible.) */
+private[store] trait PointerLock {
+  def stillHeld(): Boolean
+}
+
 private[store] sealed trait SnapshotIO {
   /** Read a small control file fully; throws
     * [[java.nio.file.NoSuchFileException]] when missing (both impls
@@ -52,8 +71,10 @@ private[store] sealed trait SnapshotIO {
   def listVersions(root: String): Array[Int]
   def deleteRecursive(p: String): Unit
   /** Cross-process + cross-thread mutual exclusion for the pointer
-    * read-compare-rename critical section. */
-  def withPointerLock[T](root: String)(body: => T): T
+    * read-compare-rename critical section. The body receives a
+    * [[PointerLock]] whose `stillHeld()` the flip must probe before
+    * publishing (see the trait doc for what that fences). */
+  def withPointerLock[T](root: String)(body: PointerLock => T): T
   /** Canonical form of `root` for pin/monitor keying. */
   def canonical(root: String): String
 }
@@ -120,13 +141,20 @@ private[store] object NioSnapshotIO extends SnapshotIO {
     rm(new java.io.File(p))
   }
 
-  def withPointerLock[T](root: String)(body: => T): T = {
+  def withPointerLock[T](root: String)(body: PointerLock => T): T = {
     val ch = java.nio.channels.FileChannel.open(
       Paths.get(s"$root/.manifest.lock"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
     val fl = ch.lock()
-    try body finally { fl.release(); ch.close() }
+    // an OS FileChannel lock cannot be stolen — the kernel releases it
+    // only when the holder exits, so holding implies stillHeld
+    try body(NioSnapshotIO.OsLockHeld)
+    finally { fl.release(); ch.close() }
+  }
+
+  private[store] object OsLockHeld extends PointerLock {
+    def stillHeld(): Boolean = true
   }
 
   def canonical(root: String): String =
@@ -205,7 +233,7 @@ private[store] final class HadoopSnapshotIO extends SnapshotIO {
     fs(p).delete(new HPath(p), true); ()
   }
 
-  def withPointerLock[T](root: String)(body: => T): T = {
+  def withPointerLock[T](root: String)(body: PointerLock => T): T = {
     // Lease lock for the pointer-flip critical section. Every
     // state-changing step is an ATOMIC RENAME, because that is the one
     // primitive this impl's scheme whitelist guarantees:
@@ -217,14 +245,19 @@ private[store] final class HadoopSnapshotIO extends SnapshotIO {
     //    create + chmod — and a concurrent stealer's rename mid-call
     //    makes it throw; LeaseLockSpec's two-stealer case caught this.)
     //  - STEAL (crashed holder): once the lease mtime is older than the
-    //    expiry, rename it to a stealer-unique tombstone, then RE-VERIFY
-    //    staleness on the tombstone (mtime travels with the rename). A
-    //    fresh capture — another stealer completed its whole
-    //    steal-and-reacquire cycle between this stealer's staleness
-    //    read and its rename — is renamed straight back and this caller
-    //    falls through to ordinary waiting, so a live holder's lease is
-    //    never destroyed. Clock skew between clients eats into the
-    //    expiry margin — it is deliberately much longer than any flip.
+    //    expiry (re-read immediately before acting), rename it to a
+    //    stealer-unique tombstone, then RE-VERIFY staleness on the
+    //    tombstone (mtime travels with the rename). A fresh capture —
+    //    another stealer completed its whole steal-and-reacquire cycle
+    //    between this stealer's staleness read and its rename — is
+    //    restored via [[restoreDisplacedLease]] (atomic, NEVER
+    //    overwriting: a third contender that grabbed the momentarily
+    //    vacant path keeps its live lease) and this caller falls
+    //    through to ordinary waiting. Clock skew between clients eats
+    //    into the expiry margin — it is deliberately much longer than
+    //    any flip — and the residual displaced-holder window is fenced
+    //    by the PointerLock.stillHeld() probe the flip runs before
+    //    publishing.
     //  - RELEASE: delete only if the lease content is still OUR uuid —
     //    after an expiry steal the path may hold someone else's lease.
     //
@@ -280,15 +313,28 @@ private[store] final class HadoopSnapshotIO extends SnapshotIO {
             f.getFileStatus(lock).getModificationTime > expiryMs
           catch { case _: java.io.FileNotFoundException => false }
         if (stale) {
-          val tomb = new HPath(s"$root/.manifest.flip.lease.stolen.$me")
-          try {
-            fc.rename(lock, tomb, Options.Rename.OVERWRITE)
-            val capturedStale = System.currentTimeMillis() -
-              f.getFileStatus(tomb).getModificationTime > expiryMs
-            if (capturedStale) { f.delete(tomb, false); () }
-            else fc.rename(tomb, lock, Options.Rename.OVERWRITE)
-          } catch { // another stealer's rename won; contend normally
-            case _: java.io.FileNotFoundException => ()
+          // Re-read the mtime IMMEDIATELY before the displacing rename:
+          // the staleness read above may be arbitrarily old by the time
+          // this branch runs (another stealer can complete a whole
+          // steal-and-reacquire cycle in between, leaving a FRESH lease
+          // at the path). This shrinks — cannot close — the TOCTOU; the
+          // restore below and the stillHeld() fence bound the damage of
+          // the residual window.
+          val stillStale =
+            try System.currentTimeMillis() -
+              f.getFileStatus(lock).getModificationTime > expiryMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stillStale) {
+            val tomb = new HPath(s"$root/.manifest.flip.lease.stolen.$me")
+            try {
+              fc.rename(lock, tomb, Options.Rename.OVERWRITE)
+              val capturedStale = System.currentTimeMillis() -
+                f.getFileStatus(tomb).getModificationTime > expiryMs
+              if (capturedStale) { f.delete(tomb, false); () }
+              else restoreDisplacedLease(root, tomb)
+            } catch { // another stealer's rename won; contend normally
+              case _: java.io.FileNotFoundException => ()
+            }
           }
           ()
         }
@@ -299,9 +345,55 @@ private[store] final class HadoopSnapshotIO extends SnapshotIO {
         else Thread.sleep(20)
       }
     }
-    try body finally {
+    val handle = new PointerLock {
+      // fencing probe: our lease is ours only while it still carries our
+      // uuid — after an expiry steal the path holds the thief's lease
+      // (or nothing, mid-steal), and a displaced holder must not publish
+      def stillHeld(): Boolean = leaseContent(lock).contains(me)
+    }
+    try body(handle) finally {
       if (leaseContent(lock).contains(me)) { f.delete(lock, false); () }
     }
+  }
+
+  /** Put a wrongly-displaced (captured-but-FRESH) lease back WITHOUT
+    * ever overwriting: between the displacing rename and this restore
+    * the lock path is vacant, and a third contender may have atomically
+    * acquired it — an overwriting rename-back here would destroy that
+    * live lease and put a second process inside the critical section
+    * with no fence at all (the pre-r9 bug). The restore atom is
+    * scheme-appropriate: on `file:` a hard link (link(2) fails-if-exists
+    * atomically and preserves mtime — a no-overwrite FileContext.rename
+    * is exists-check + rename(2), which overwrites); on HDFS/viewfs a
+    * no-overwrite rename is NameNode-atomic. When the restore LOSES
+    * (lock re-acquired meanwhile), the displaced holder's lease is
+    * dropped with the tombstone: its release already no-ops on the uuid
+    * mismatch, and its `stillHeld()` fence refuses the flip — so losing
+    * the restore costs that holder a retryable abort, never a torn
+    * publish. Returns true when the lease went back. */
+  private[store] def restoreDisplacedLease(root: String,
+                                           tomb: HPath): Boolean = {
+    val f = fs(root)
+    val lock = new HPath(s"$root/.manifest.flip.lease")
+    val restored =
+      if ("file" == Option(lock.toUri.getScheme).orNull) {
+        try {
+          Files.createLink(Paths.get(lock.toUri), Paths.get(tomb.toUri))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else {
+        val fc = FileContext.getFileContext(lock.toUri, conf)
+        try { fc.rename(tomb, lock); true } // no-overwrite: atomic on HDFS
+        catch { case _: java.io.IOException => false }
+      }
+    // the link path leaves the tomb name behind on success, and a lost
+    // restore leaves the captured lease in it — remove either way
+    try { f.delete(tomb, false); () }
+    catch { case _: java.io.IOException => () }
+    restored
   }
 
   def canonical(root: String): String =

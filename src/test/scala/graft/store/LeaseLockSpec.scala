@@ -42,7 +42,7 @@ class LeaseLockSpec extends AnyFunSuite {
     plantLease(local, ageMs = 0)
     val entered = new CountDownLatch(1)
     val t = new Thread(() => {
-      io(root).withPointerLock(root) { entered.countDown() }
+      io(root).withPointerLock(root) { _ => entered.countDown() }
     })
     t.setDaemon(true); t.start()
     // must NOT enter while the fresh lease sits there
@@ -60,7 +60,7 @@ class LeaseLockSpec extends AnyFunSuite {
     val (root, local) = newRoot()
     plantLease(local, ageMs = HadoopSnapshotIO.LockExpiryMs + 60000L)
     val entered = new AtomicInteger(0)
-    io(root).withPointerLock(root) { entered.incrementAndGet(); () }
+    io(root).withPointerLock(root) { _ => entered.incrementAndGet(); () }
     assert(entered.get() === 1)
     // release deleted the stolen-then-reacquired lease; the rename-steal
     // left no tombstone behind either
@@ -83,7 +83,7 @@ class LeaseLockSpec extends AnyFunSuite {
       new Thread(() => {
         try {
           start.await()
-          io(root).withPointerLock(root) {
+          io(root).withPointerLock(root) { _ =>
             val now = inside.incrementAndGet()
             maxInside.updateAndGet(m => math.max(m, now))
             Thread.sleep(50) // widen any overlap window
@@ -106,6 +106,91 @@ class LeaseLockSpec extends AnyFunSuite {
     assert(strays.isEmpty, s"stray lease files: ${strays.mkString(", ")}")
   }
 
+  test("FENCING: a holder paused past the expiry is displaced by a " +
+      "steal, observes stillHeld()=false (its flip must refuse to " +
+      "publish), and its release never deletes the thief's lease") {
+    val (root, local) = newRoot()
+    val aInside = new CountDownLatch(1)
+    val bHolds = new CountDownLatch(1)
+    val bMayRelease = new CountDownLatch(1)
+    val heldAtEntry = new AtomicReference[Option[Boolean]](None)
+    val heldAfterSteal = new AtomicReference[Option[Boolean]](None)
+    val err = new AtomicReference[Throwable](null)
+    val a = new Thread(() => {
+      try io(root).withPointerLock(root) { lk =>
+        heldAtEntry.set(Some(lk.stillHeld()))
+        // simulate a GC pause / VM freeze past the lease expiry by
+        // backdating our own lease's mtime — to every other contender
+        // this lease now looks like a crashed holder's
+        Files.setLastModifiedTime(local.resolve(".manifest.flip.lease"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() -
+              HadoopSnapshotIO.LockExpiryMs - 60000L))
+        aInside.countDown()
+        // B steals our lease and enters; once it holds, our fence must
+        // read false — this is exactly the probe GraphStore's flip runs
+        // immediately before publishing the pointer
+        assert(bHolds.await(20, TimeUnit.SECONDS), "thief never entered")
+        heldAfterSteal.set(Some(lk.stillHeld()))
+      } catch { case t: Throwable => err.compareAndSet(null, t); () }
+    })
+    val b = new Thread(() => {
+      try {
+        aInside.await()
+        io(root).withPointerLock(root) { _ =>
+          bHolds.countDown()
+          bMayRelease.await()
+        }
+      } catch { case t: Throwable => err.compareAndSet(null, t); () }
+    })
+    a.setDaemon(true); b.setDaemon(true); a.start(); b.start()
+    // A exits its critical section while B still holds: A's release must
+    // no-op on the uuid mismatch, leaving B's lease alive
+    a.join(30000)
+    assert(err.get() == null, s"contender died: ${err.get()}")
+    assert(Files.exists(local.resolve(".manifest.flip.lease")),
+      "displaced holder's release deleted the thief's live lease")
+    bMayRelease.countDown()
+    b.join(30000)
+    assert(err.get() == null, s"contender died: ${err.get()}")
+    assert(heldAtEntry.get() === Some(true),
+      "an undisplaced holder must observe stillHeld()=true")
+    assert(heldAfterSteal.get() === Some(false),
+      "a displaced holder observed stillHeld()=true — the fence would " +
+        "have let it publish over the thief's flip")
+    val strays = Option(local.toFile.list()).getOrElse(Array[String]())
+      .filter(_.startsWith(".manifest.flip.lease"))
+    assert(strays.isEmpty, s"stray lease files: ${strays.mkString(", ")}")
+  }
+
+  test("restoreDisplacedLease puts a wrongly-captured FRESH lease back " +
+      "when the lock is vacant, but NEVER clobbers a third contender " +
+      "that acquired the vacant lock meanwhile") {
+    val (root, local) = newRoot()
+    val hio = new HadoopSnapshotIO()
+    val lockP = local.resolve(".manifest.flip.lease")
+    val tombP = local.resolve(".manifest.flip.lease.stolen.t1")
+    // vacant-lock case: the capture displaced a live holder and nobody
+    // grabbed the vacancy — the restore must put the SAME lease back
+    Files.writeString(tombP, "displaced-holder-uuid")
+    assert(hio.restoreDisplacedLease(root,
+      new org.apache.hadoop.fs.Path(s"$root/.manifest.flip.lease.stolen.t1")))
+    assert(Files.readString(lockP) === "displaced-holder-uuid",
+      "restore did not put the displaced lease back")
+    assert(!Files.exists(tombP), "restore left the tombstone behind")
+    // occupied-lock case: a third contender acquired during the vacancy
+    // window — the restore must LOSE, keep the third contender's lease
+    // byte-identical, and clean up the tombstone (the displaced holder
+    // is then fenced by stillHeld() and no-ops its release)
+    Files.writeString(lockP, "third-contender-uuid")
+    Files.writeString(tombP, "displaced-holder-uuid")
+    assert(!hio.restoreDisplacedLease(root,
+      new org.apache.hadoop.fs.Path(s"$root/.manifest.flip.lease.stolen.t1")))
+    assert(Files.readString(lockP) === "third-contender-uuid",
+      "restore clobbered a live third contender's lease — two holders")
+    assert(!Files.exists(tombP), "restore left the tombstone behind")
+  }
+
   test("sequential flips under contention stay serialized (acquire/" +
       "release protocol, no lease leak across iterations)") {
     val (root, local) = newRoot()
@@ -116,7 +201,7 @@ class LeaseLockSpec extends AnyFunSuite {
       new Thread(() => {
         try {
           (1 to 5).foreach { _ =>
-            io(root).withPointerLock(root) {
+            io(root).withPointerLock(root) { _ =>
               val now = inside.incrementAndGet()
               maxInside.updateAndGet(m => math.max(m, now))
               inside.decrementAndGet()
