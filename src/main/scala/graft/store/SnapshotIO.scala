@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * The parquet DATA in a snapshot always goes through Spark's Hadoop
   * FileSystem and works on any scheme; the small-file control plane
   * (manifests, the version-dir reservation, the pointer flip, GC
-  * sweeps) is what this trait routes. Two implementations:
+  * sweeps) is what this trait routes. Three implementations:
   *
   *   - [[NioSnapshotIO]] for plain local paths (no URI scheme): the
   *     original java.nio protocol — OS `FileChannel` lock on the flip,
@@ -24,15 +24,23 @@ import org.apache.spark.sql.SparkSession
   *     exclusive-create lease file with mtime-based expiry (HDFS has
   *     no byte-range locks; a crashed holder's lease is stolen after
   *     [[HadoopSnapshotIO.LockExpiryMs]]).
+  *   - [[ObjectStoreSnapshotIO]] (`mem:`; see ObjectStoreIO.scala) for
+  *     stores with NO rename at all: the same protocol re-expressed
+  *     over conditional puts — put-if-absent reservation, single-PUT
+  *     pointer flip (whole-object replace is atomic), CAS lease with
+  *     put-if-match steal and delete-if-match release. In-sandbox it
+  *     binds only to the in-memory double; a production S3/GCS/Azure
+  *     binding supplies the same five primitives via the store's
+  *     conditional-write API.
   *
-  * Schemes WITHOUT atomic rename (s3a, gs, abfs, …) are rejected
-  * loudly at selection time: an object store cannot host this commit
-  * protocol without a coordination service (the same reason Delta Lake
-  * needs a LogStore / commit coordinator on S3), and failing at
-  * `commit()` beats publishing a torn pointer. Reference analog: the
-  * reference persists snapshots on a single local filesystem only
-  * (src/storage/storage.cpp:401-444); this layer is what takes the
-  * same contract to a cluster store.
+  * Object-store schemes WITHOUT a conditional-write client binding in
+  * this build (s3a, gs, abfs, …) are rejected loudly at selection
+  * time: their rename is non-atomic, so the rename protocol cannot run
+  * there (the same reason Delta Lake needs a LogStore / commit
+  * coordinator on S3), and failing at `commit()` beats publishing a
+  * torn pointer. Reference analog: the reference persists snapshots on
+  * a single local filesystem only (src/storage/storage.cpp:401-444);
+  * this layer is what takes the same contract to a cluster store.
   */
 /** Handle passed to the pointer-lock critical section. [[stillHeld]] is
   * the FENCING PROBE the pointer flip calls immediately before
@@ -53,7 +61,7 @@ private[store] trait PointerLock {
   def stillHeld(): Boolean
 }
 
-private[store] sealed trait SnapshotIO {
+private[store] trait SnapshotIO {
   /** Read a small control file fully; throws
     * [[java.nio.file.NoSuchFileException]] when missing (both impls
     * normalize to this so GC's Orphan-vs-Unreadable classification is
@@ -97,13 +105,23 @@ private[store] object SnapshotIO {
   def forPath(path: String): SnapshotIO = schemeOf(path) match {
     case None => NioSnapshotIO
     case Some(s) if AtomicRenameSchemes(s) => new HadoopSnapshotIO()
+    // mem: = the conditional-put protocol over the in-memory object
+    // store (ObjectStoreIO.scala) — the seam a production S3/GCS/Azure
+    // binding plugs into (those stores' conditional writes supply the
+    // same primitives; only the five Bucket ops need a client).
+    case Some("mem") => new ObjectStoreSnapshotIO()
     case Some(s) =>
       throw new IllegalArgumentException(
         s"snapshot root '$path': scheme '$s' has no atomic rename — the " +
-          "commit protocol (atomic pointer flip, exclusive version " +
-          "reservation) cannot run directly against an object store. " +
-          "Commit to HDFS (or a file: path) and copy/distcp the result, " +
-          "or front the store with a commit-coordination service.")
+          "rename-based commit protocol (atomic pointer flip, exclusive " +
+          "version reservation) cannot run directly against an object " +
+          "store, and no conditional-write client binding for this " +
+          "scheme ships in this build. The conditional-put protocol " +
+          "itself exists (graft.store.ObjectStoreSnapshotIO — proven on " +
+          "the mem: double; binding it needs the store's conditional " +
+          "PUT/DELETE, e.g. S3 If-None-Match/If-Match). Until a binding " +
+          "exists: commit to HDFS (or a file: path) and copy/distcp the " +
+          "result, or front the store with a commit-coordination service.")
   }
 }
 

@@ -473,16 +473,14 @@ class SnapshotSpec extends SparkSpec {
     assert(e3.getMessage.contains("FIXED_STRING(8)"))
   }
 
-  test("Hadoop FileSystem-backed snapshot root: commit/restore/GC/time " +
-      "travel through a file: URI (cluster-storage path, S4/S5/D10)") {
-    // Scheme-qualified roots route the manifest/lock control plane
-    // through Hadoop FileSystem (SnapshotIO.HadoopSnapshotIO) — the same
-    // code path an hdfs:// root takes on a real cluster; file: exercises
-    // it hermetically. Everything SnapshotSpec proves for plain local
-    // paths must hold: round-trip, incremental reuse, version
-    // reservation, GC with keep-window, explicit-version restore.
-    val local = java.nio.file.Files.createTempDirectory("graft-hfs")
-    val dir = s"file:$local"
+  /** End-to-end cluster-storage behavior every scheme-qualified backend
+    * must satisfy — the same contract SnapshotSpec proves for plain
+    * local paths: round-trip, incremental reuse, version reservation,
+    * GC with keep-window + referenced-version liveness, explicit-version
+    * restore. `readFile` reads a control file through the backend's own
+    * storage (for manifest-content assertions). */
+  private def clusterRootBehavior(dir: String,
+                                  readFile: String => String): Unit = {
     val s = new GraphStore(spark)
     s.createSchema("User", "name" -> StringType)
     s.createSchema("Cold", "name" -> StringType)
@@ -490,22 +488,21 @@ class SnapshotSpec extends SparkSpec {
     s.createNode("Cold", Map("name" -> "keep"))
     s.commit(dir)
     // v1 exists with manifest + reservation marker, readable back
-    assert(java.nio.file.Files.exists(local.resolve("v1/manifest.json")))
+    assert(readFile(s"$dir/v1/manifest.json").contains("v1/nodes/User"))
     val r1 = GraphStore.restore(spark, dir)
     assert(r1.nodes("User").count() === 1)
     // mutate only User: Cold must carry forward BY REFERENCE (v2
-    // manifest points into v1) — the incremental path over Hadoop IO
+    // manifest points into v1) — the incremental path over this IO
     r1.createNode("User", Map("name" -> "bob"))
     r1.commit(dir)
-    val man2 = new String(java.nio.file.Files.readAllBytes(
-      local.resolve("v2/manifest.json")))
+    val man2 = readFile(s"$dir/v2/manifest.json")
     assert(man2.contains("v1/nodes/Cold"), man2)
     r1.close()
     val r2 = GraphStore.restore(spark, dir)
     assert(r2.nodes("User").count() === 2)
     assert(r2.nodes("Cold").count() === 1)
     // two more commits, then GC: keep-window retention + referenced-
-    // version liveness must hold through the Hadoop delete path
+    // version liveness must hold through the backend's delete path
     r2.createNode("User", Map("name" -> "carol")); r2.commit(dir)
     r2.createNode("User", Map("name" -> "dave")); r2.commit(dir)
     r2.close()
@@ -519,6 +516,71 @@ class SnapshotSpec extends SparkSpec {
     assert(r4.nodes("User").count() === 4)
     assert(r4.nodes("Cold").count() === 1)
     r4.close()
+    s.close()
+  }
+
+  test("Hadoop FileSystem-backed snapshot root: commit/restore/GC/time " +
+      "travel through a file: URI (cluster-storage path, S4/S5/D10)") {
+    // Scheme-qualified roots route the manifest/lock control plane
+    // through Hadoop FileSystem (SnapshotIO.HadoopSnapshotIO) — the same
+    // code path an hdfs:// root takes on a real cluster; file: exercises
+    // it hermetically (LocalFileSystem = ChecksumFileSystem, so the
+    // CRC-shadow-file behaviors the nio path never hits run here too).
+    val local = java.nio.file.Files.createTempDirectory("graft-hfs")
+    clusterRootBehavior(s"file:$local",
+      p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.stripPrefix("file:")))))
+  }
+
+  test("object-store (mem://) snapshot root: the same end-to-end through " +
+      "the conditional-put control plane and the no-rename data plane") {
+    // mem:// routes the control plane through ObjectStoreSnapshotIO
+    // (put-if-absent reservation, single-PUT pointer flip, CAS lease)
+    // and the parquet data plane through MemObjectStoreFileSystem
+    // (copy+delete rename, implicit dirs) — the protocol a production
+    // S3/GCS/Azure binding would run. Same behavior contract as file:.
+    graft.store.MemObjectStore.clear("snapspec")
+    val bkt = graft.store.MemObjectStore.bucket("snapspec")
+    clusterRootBehavior("mem://snapspec/graft",
+      p => new String(
+        bkt.get(p.stripPrefix("mem://snapspec/")).get.bytes, "UTF-8"))
+  }
+
+  test("concurrent committers to one mem:// root: put-if-absent " +
+      "reservation serializes versions, the flip is monotone (last " +
+      "committer wins), and the loser's snapshot is complete on disk") {
+    graft.store.MemObjectStore.clear("snaprace")
+    val dir = "mem://snaprace/graft"
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "base"))
+    s.commit(dir) // v1
+    val a = GraphStore.restore(spark, dir)
+    val b = GraphStore.restore(spark, dir)
+    a.createNode("User", Map("name" -> "fromA"))
+    b.createNode("User", Map("name" -> "fromB"))
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val ts = Seq(a, b).map(st => new Thread(() => {
+      try st.commit(dir)
+      catch { case t: Throwable => err.compareAndSet(null, t); () }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(err.get() == null, s"committer died: ${err.get()}")
+    // both reservations went through: v2 AND v3 exist, each complete
+    val bkt = graft.store.MemObjectStore.bucket("snaprace")
+    assert(bkt.get("graft/v2/manifest.json").isDefined)
+    assert(bkt.get("graft/v3/manifest.json").isDefined)
+    // pointer names the LAST committer (monotone flip)
+    assert(new String(bkt.get("graft/manifest.json").get.bytes, "UTF-8")
+      .contains("\"version\" : 3"))
+    // the published snapshot restores to one of the two valid outcomes
+    // (base + exactly one of fromA/fromB — last-committer-wins, never a
+    // merge and never a torn state)
+    val r = GraphStore.restore(spark, dir)
+    val names = r.nodes("User").collect().map(_.getAs[String]("name")).toSet
+    assert(names.size === 2 && names.contains("base") &&
+      (names.contains("fromA") ^ names.contains("fromB")), names)
+    r.close(); a.close(); b.close(); s.close()
   }
 
   test("object-store snapshot roots are rejected loudly (no atomic " +

@@ -23,6 +23,10 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // mem:// object-store double (graft.store.MemObjectStoreFileSystem)
+      // for the parquet data plane of object-store snapshot-root specs
+      .config("spark.hadoop.fs.mem.impl",
+        "graft.store.MemObjectStoreFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
