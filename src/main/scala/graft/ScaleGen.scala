@@ -38,7 +38,14 @@ import org.apache.spark.sql.functions._
   *    prefixed `g<group>_` — a deterministic re-tokenization that zeroes
   *    cross-group shingle/token overlap (exact, MinHash, SimHash and
   *    Jaccard all see unrelated text) while keeping within-group
-  *    structure byte-for-byte what the legacy scheme produced;
+  *    structure byte-for-byte what the legacy scheme produced; the
+  *    `source` column is salted per group the same way (`src3_g5`),
+  *    because blocked operators (Jaccard pair generation, dup-cluster
+  *    exact keys) are quadratic WITHIN a block — a real corpus grows by
+  *    adding sources, not by inflating each source without bound, so
+  *    fixed-width mode holds block size constant and grows the block
+  *    COUNT linearly (group 0 keeps the original sources, so copy 0
+  *    stays byte-identical);
   *  - embeddings: groups beyond the first apply a cyclic coordinate
   *    rotation by the group index — an orthogonal transform, so
   *    within-group pairwise cosines (and per-group cluster structure for
@@ -114,6 +121,10 @@ object ScaleGen {
       // within-group exact/near structure is untouched), THEN the
       // per-copy near-dup suffix
       d.withColumn("doc_id", shift("doc_id", cp))
+        .withColumn("source",
+          when(grp > 0,
+            concat(col("source"), lit("_g"), grp.cast("string")))
+            .otherwise(col("source")))
         .withColumn("text",
           when(grp > 0,
             regexp_replace(col("text"), lit("(\\S+)"),

@@ -817,10 +817,13 @@ final class GraphStore(
     val lostFlip: Boolean =
       GraphStore.flipMonitor(canonRoot).synchronized {
       io.withPointerLock(path) { lk =>
-        val superseded = scala.util.Try {
-          val cur = mapper.readTree(io.readString(pointer))
+        // One observation serves both the monotonicity check and (on
+        // conditional-write backends) the fenced publish below.
+        val (curPointer, obs) = io.observePointer(pointer)
+        val superseded = curPointer.exists(c => scala.util.Try {
+          val cur = mapper.readTree(c)
           cur.has("version") && cur.get("version").asInt() > v
-        }.getOrElse(false)
+        }.getOrElse(false))
         // TOCTOU guard: between the reusable() existence check and this
         // flip, an external-process gcSnapshots can sweep a version this
         // manifest carries forward by reference. Re-verify EVERY data
@@ -853,9 +856,22 @@ final class GraphStore(
                 "retry the commit")
           val ptr = mapper.createObjectNode()
           ptr.put("version", v)
-          io.writeStringAtomic(pointer.toString,
+          // publishPointer: atomic staged-rename on filesystems (always
+          // succeeds — the lock serializes); a CAS on the observed
+          // generation on object stores, where a lost CAS means the
+          // lease was stolen mid-section — same displaced-holder abort
+          // as the probe above, but enforced by the store itself.
+          val published = io.publishPointer(pointer.toString,
             s"$path/.manifest.json.v$v.tmp",
-            mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ptr))
+            mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ptr),
+            obs)
+          if (!published)
+            throw new IllegalStateException(
+              "commit aborted at pointer flip: the conditional publish " +
+                "lost — the pointer changed inside this critical " +
+                "section, so this process's lease must have been stolen " +
+                "(paused past the lease expiry?) — published state is " +
+                "unaffected, retry the commit")
         }
         superseded
       }

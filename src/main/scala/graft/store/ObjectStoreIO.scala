@@ -10,7 +10,7 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{CreateFlag, FSDataInputStream, FSDataOutputStream, FSInputStream, FileAlreadyExistsException, FileStatus, FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FSInputStream, FileAlreadyExistsException, FileStatus, FileSystem, Path => HPath}
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
@@ -457,4 +457,41 @@ private[store] final class ObjectStoreSnapshotIO extends SnapshotIO {
     s"mem://${u.getAuthority}${Option(u.getPath).getOrElse("")
       .stripSuffix("/")}"
   }
+
+  /** Observation = the pointer's current generation (or Absent). */
+  override def observePointer(p: String): (Option[String], AnyRef) = {
+    val (b, k) = parse(p)
+    b.get(k) match {
+      case Some(o) =>
+        (Some(new String(o.bytes, UTF_8)), java.lang.Long.valueOf(o.etag))
+      case None => (None, ObjectStoreSnapshotIO.PointerAbsent)
+    }
+  }
+
+  /** TRUE-fenced flip: a conditional put on the generation observed
+    * inside this same critical section. If ANY write touched the
+    * pointer since — only possible when this holder's lease was stolen
+    * during a pause — the CAS loses and the caller aborts retryably;
+    * the store itself guarantees no lost update and no pointer
+    * regression, with no dependence on lease timing at all. This is
+    * the fencing-token-in-the-publish-primitive the filesystem
+    * backends structurally cannot have (renames take no condition). */
+  override def publishPointer(p: String, tmp: String, content: String,
+                              obs: AnyRef): Boolean = {
+    val (b, k) = parse(p)
+    obs match {
+      case ObjectStoreSnapshotIO.PointerAbsent =>
+        b.putIfAbsent(k, content.getBytes(UTF_8)).isDefined
+      case etag: java.lang.Long =>
+        b.putIfMatch(k, content.getBytes(UTF_8), etag.longValue()).isDefined
+      case other =>
+        throw new IllegalArgumentException(
+          s"publishPointer: foreign observation token $other")
+    }
+  }
+}
+
+private[store] object ObjectStoreSnapshotIO {
+  /** Observation token: the pointer did not exist when observed. */
+  private[store] object PointerAbsent
 }

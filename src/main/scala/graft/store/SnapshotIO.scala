@@ -83,11 +83,37 @@ private[store] trait SnapshotIO {
     * [[PointerLock]] whose `stillHeld()` the flip must probe before
     * publishing (see the trait doc for what that fences). */
   def withPointerLock[T](root: String)(body: PointerLock => T): T
+
+  /** Read the current pointer (None when absent) plus an opaque
+    * observation token for [[publishPointer]]'s conditional write.
+    * Filesystem backends return a dummy token — the pointer lock is
+    * what serializes their read-compare-write. */
+  def observePointer(p: String): (Option[String], AnyRef) =
+    (try Some(readString(p))
+     catch { case _: NoSuchFileException => None },
+      SnapshotIO.NoObservation)
+
+  /** Publish the pointer that [[observePointer]] observed. Filesystem
+    * backends: one atomic staged-rename replace, always true (the
+    * pointer lock already serializes). Object-store backends OVERRIDE
+    * with a conditional put on the observed generation — TRUE fencing:
+    * if anything (a lease steal during a long pause, however unlikely)
+    * changed the pointer between observe and publish, the conditional
+    * write LOSES (returns false) instead of silently regressing the
+    * pointer. The caller treats false as the same retryable
+    * displaced-holder abort the stillHeld() probe throws. */
+  def publishPointer(p: String, tmp: String, content: String,
+                     obs: AnyRef): Boolean = {
+    writeStringAtomic(p, tmp, content); true
+  }
   /** Canonical form of `root` for pin/monitor keying. */
   def canonical(root: String): String
 }
 
 private[store] object SnapshotIO {
+  /** Dummy observation token for backends whose publish needs none. */
+  private[store] object NoObservation
+
   /** Schemes whose `rename` is atomic — the commit protocol's one hard
     * requirement. Everything else with a scheme is an object store (or
     * unknown) and is rejected. */

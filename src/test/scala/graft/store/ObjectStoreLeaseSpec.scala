@@ -138,6 +138,31 @@ class ObjectStoreLeaseSpec extends AnyFunSuite {
     assert(bkt.get(Lease).isEmpty, "lease leaked after the thief released")
   }
 
+  test("publishPointer is a CAS on the observed generation: a late " +
+      "publish after ANY intervening write loses instead of regressing " +
+      "the pointer (true fencing, independent of lease timing)") {
+    val (root, _) = newRoot()
+    io.mkdirs(root)
+    val ptr = s"$root/manifest.json"
+    // first publish goes through the absent-pointer (put-if-absent) path
+    val (none, obsAbsent) = io.observePointer(ptr)
+    assert(none.isEmpty)
+    assert(io.publishPointer(ptr, "", """{"version":1}""", obsAbsent))
+    // a stale holder observes v1 …
+    val (c1, obs1) = io.observePointer(ptr)
+    assert(c1.exists(_.contains("1")))
+    // … then a thief (who stole its lease during a pause) publishes v2
+    val (_, obs2) = io.observePointer(ptr)
+    assert(io.publishPointer(ptr, "", """{"version":2}""", obs2))
+    // the stale holder's late publish must LOSE — the store refuses it
+    assert(!io.publishPointer(ptr, "", """{"version":1}""", obs1),
+      "a publish conditioned on a stale observation went through")
+    assert(io.readString(ptr) === """{"version":2}""")
+    // and a second absent-conditioned publish loses too (pointer exists)
+    assert(!io.publishPointer(ptr, "", """{"version":0}""", obsAbsent))
+    assert(io.readString(ptr) === """{"version":2}""")
+  }
+
   test("version-dir reservation is exactly-once across concurrent " +
       "reservers (put-if-absent)") {
     val (root, _) = newRoot()
