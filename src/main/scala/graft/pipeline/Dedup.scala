@@ -240,9 +240,12 @@ object Dedup {
     * family) is deterministically truncated to its lowest `maxBucket`
     * sigs, dropping cross-signature candidates from exactly that bucket.
     * Same-signature pairs are truncation-proof (the separate `within`
-    * branch never goes through buckets). Truncation is observable: each
-    * call logs the count of truncated buckets when nonzero, so recall
-    * loss at scale is a warning in the driver log, not a silent drop. */
+    * branch never goes through buckets). Truncation is observable: the
+    * boundary rows are counted into an accumulator by whatever job
+    * materializes the bucket pass and warned driver-side at the next
+    * job boundary ([[graft.core.Diagnostics]]) — recall loss at scale
+    * is a driver-log warning, not a silent drop, and the check costs
+    * zero extra jobs (an eager count here measured 70-100 ms/call). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBucket: Int = 4096): DataFrame = {
@@ -270,10 +273,20 @@ object Dedup {
       .transform(graft.core.Materialize(_))
     val distinctSigs = sigs.select(col("__sig")).distinct()
     // keep ONE row past the cap through the materialization: a bucket
-    // with a row at rank maxBucket+1 is exactly a truncated bucket, so
-    // the recall trade the scaladoc documents is countable from the
-    // bounded materialized frame (one cheap count, no second window
-    // pass) instead of being silently dropped in-plan.
+    // with a row at rank maxBucket+1 is exactly a truncated bucket. The
+    // boundary rows feed an accumulator via a codegen'd projection tap
+    // ([[graft.functions.AccumulateIf]]) carried through the
+    // materialization, so truncation is counted by whatever job first
+    // computes the pass — no dedicated count job (measured 70-100 ms
+    // per call), no row-conversion fence.
+    val truncAcc = graft.core.Diagnostics.warnOnNonZero(
+      df.sparkSession, "simhash.truncatedBuckets") { n =>
+      log.warn(
+        s"simhashPairs: $n chunk bucket(s) exceeded maxBucket=" +
+          s"$maxBucket distinct signatures and were truncated — " +
+          "cross-signature recall is not guaranteed for those buckets")
+    }
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
     val chunkedProbe = distinctSigs.select(col("__sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         concat(c.cast("string"), lit(":"),
@@ -283,15 +296,11 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy("__chunk").orderBy("__sig")))
       .filter(col("__rn") <= maxBucket + 1)
+      .withColumn("__trunc", bridge.column(graft.functions.AccumulateIf(
+        bridge.expression(col("__rn") > maxBucket), truncAcc)))
       .transform(graft.core.Materialize(_))
-    val truncatedBuckets =
-      chunkedProbe.filter(col("__rn") > maxBucket).count()
-    if (truncatedBuckets > 0)
-      log.warn(
-        s"simhashPairs: $truncatedBuckets chunk bucket(s) exceeded " +
-          s"maxBucket=$maxBucket distinct signatures and were truncated " +
-          "— cross-signature recall is not guaranteed for those buckets")
-    val chunked = chunkedProbe.filter(col("__rn") <= maxBucket).drop("__rn")
+    val chunked = chunkedProbe.filter(col("__rn") <= maxBucket)
+      .drop("__rn", "__trunc")
     val sigPairs = chunked.select(col("__sig").as("sig_a"), col("__chunk"))
       .join(chunked.select(col("__sig").as("sig_b"), col("__chunk")),
         "__chunk")
