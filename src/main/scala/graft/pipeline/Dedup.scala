@@ -169,9 +169,24 @@ object Dedup {
     // corpora is traded for a hard cost bound. The oversized-id list is at
     // most n·bands/cap buckets and in practice tiny — AQE broadcasts the
     // anti-join; this replaces a Window count (full sort of every bucket
-    // row) with one map-side-combined aggregate.
+    // row) with one map-side-combined aggregate. The drop is observable:
+    // the filter predicate runs through a diagnostic tap (same channel
+    // as simhashPairs — zero extra jobs; a nondeterministic predicate
+    // cannot be pruned or pushed), warning driver-side with the dropped
+    // bucket count the first time recall is actually traded.
+    val overAcc = graft.core.Diagnostics.warnOnNonZero(
+      df.sparkSession, "minhash.droppedBuckets") { n =>
+      log.warn(
+        s"minhashLsh: $n band bucket(s) exceeded maxBucketSize=" +
+          s"$maxBucketSize members and were dropped from candidate " +
+          "generation — recall is not guaranteed for those buckets")
+    }
     val over = rawBuckets.groupBy("__b").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > maxBucketSize).select("__b")
+      .filter(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.AccumulateIf(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("__cnt") > maxBucketSize), overAcc)))
+      .select("__b")
     val buckets = rawBuckets.join(over, Seq("__b"), "left_anti")
     // Pairs are generated inside each (≤ cap)-bounded bucket: one grouping
     // shuffle + a local double-explode over the sorted member list, instead
