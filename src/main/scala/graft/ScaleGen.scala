@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions._
   *    prefixed `g<group>_` — a deterministic re-tokenization that zeroes
   *    cross-group shingle/token overlap (exact, MinHash, SimHash and
   *    Jaccard all see unrelated text) while keeping within-group
-  *    structure byte-for-byte what the legacy scheme produced; the
+  *    structure ISOMORPHIC to the legacy scheme (same family width and
+  *    pair volume; not byte-identical — in groups > 0 every member
+  *    carries a ` v<copy>` suffix, where the legacy scheme leaves one
+  *    unsuffixed base member per family); the
   *    `source` column is salted per group the same way (`src3_g5`),
   *    because blocked operators (Jaccard pair generation, dup-cluster
   *    exact keys) are quadratic WITHIN a block — a real corpus grows by

@@ -644,7 +644,39 @@ object SparkEntry {
       TextAnalysis.tfIdf(TpchGraph.store(s, dir).nodes("documents"),
         "id", "text", vocab = 20)
         .select(col("doc").as("doc_id"), col("term"), col("tf"),
-          col("df")))
+          col("df"))),
+    // REAL image codec, end to end: per-id solid-color PNG (even ids) /
+    // BMP (odd ids) synthesized on executors, decoded back through
+    // javax.imageio — dims, channel means, and the luminance-histogram
+    // bucket are pure id arithmetic, so DuckDB recomputes them exactly.
+    // hist_bucket = 1-indexed position of the full pixel count in the
+    // 8-bucket histogram (solid color ⇒ exactly one nonzero bucket),
+    // gating the histogram CONTENT without hashing an array column.
+    "p55_image_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.synthesizeImages(
+        TpchGraph.store(s, dir).nodes("documents"), "id"))
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("mean_r"), col("mean_g"), col("mean_b"),
+          array_position(col("histogram"),
+            col("width").cast("long") * col("height"))
+            .cast("int").as("hist_bucket"))),
+    // REAL audio codec: per-id square-wave WAV (16-bit mono PCM, 8 kHz)
+    // through javax.sound.sampled — header fields read back verbatim,
+    // peak and RMS of a ±amp square wave both equal amp exactly.
+    "p56_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeAudio(Multimodal.synthesizeWav(
+        TpchGraph.store(s, dir).nodes("documents"), "id"))
+        .select(col("id").as("doc_id"), col("format"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          col("peak_amp"), col("rms_amp"))),
+    // REAL image resample: cap the longest side at 32 px (aspect kept,
+    // integer floor), re-encode, decode again — within-budget images
+    // pass through byte-identical, resampled solid color stays exact.
+    "p57_image_resize" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.resizeImages(Multimodal.synthesizeImages(
+        TpchGraph.store(s, dir).nodes("documents"), "id"), maxDim = 32))
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("mean_r"), col("mean_g"), col("mean_b")))
   )
 
   /** Temporal DIFF + variable-length paths (beyond-reference ops). */
@@ -1029,6 +1061,40 @@ object SparkEntry {
         "GROUP BY term) " +
         "SELECT tf.doc_id, tf.term, tf.tf, dfq.df FROM tf " +
         "JOIN top USING (term) JOIN dfq USING (term)"),
+    // real-codec gates: the p55-p57 fixtures are synthesized so every
+    // decoded property is pure integer arithmetic on the id (solid-color
+    // bitmaps, square-wave PCM) — DuckDB recomputes what javax.imageio /
+    // javax.sound.sampled must read back from genuine containers
+    "p55_image_decode" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image/png' " +
+        "ELSE 'image/bmp' END AS format, " +
+        "CAST(16 + doc_id % 48 AS INT) AS width, " +
+        "CAST(16 + doc_id % 32 AS INT) AS height, " +
+        "CAST((doc_id * 31) % 256 AS INT) AS mean_r, " +
+        "CAST((doc_id * 57) % 256 AS INT) AS mean_g, " +
+        "CAST((doc_id * 91) % 256 AS INT) AS mean_b, " +
+        "CAST((((doc_id * 31) % 256 + (doc_id * 57) % 256 + " +
+        "(doc_id * 91) % 256) // 3) // 32 + 1 AS INT) AS hist_bucket " +
+        "FROM documents"),
+    "p56_audio_decode" ->
+      ("SELECT doc_id, 'audio/wav' AS format, " +
+        "CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
+        "CAST(256 + doc_id % 512 AS BIGINT) AS n_frames, " +
+        "CAST(1000 + doc_id % 20000 AS INT) AS peak_amp, " +
+        "CAST(1000 + doc_id % 20000 AS INT) AS rms_amp FROM documents"),
+    "p57_image_resize" ->
+      ("WITH d AS (SELECT doc_id, 16 + doc_id % 48 AS w, " +
+        "16 + doc_id % 32 AS h FROM documents), " +
+        "m AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM d) " +
+        "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image/png' " +
+        "ELSE 'image/bmp' END AS format, " +
+        "CAST(CASE WHEN mx <= 32 THEN w " +
+        "ELSE greatest(1, w * 32 // mx) END AS INT) AS width, " +
+        "CAST(CASE WHEN mx <= 32 THEN h " +
+        "ELSE greatest(1, h * 32 // mx) END AS INT) AS height, " +
+        "CAST((doc_id * 31) % 256 AS INT) AS mean_r, " +
+        "CAST((doc_id * 57) % 256 AS INT) AS mean_g, " +
+        "CAST((doc_id * 91) % 256 AS INT) AS mean_b FROM m"),
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
         "WHERE c_custkey % 3 = 0"),

@@ -1,7 +1,7 @@
 package graft.core
 
-import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.AtomicReference
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd}
 import org.apache.spark.sql.SparkSession
@@ -28,9 +28,21 @@ import org.apache.spark.util.LongAccumulator
   */
 object Diagnostics {
 
-  private val pending =
-    new ConcurrentLinkedQueue[(LongAccumulator, Long => Unit)]()
-  private val installedFor = new AtomicReference[String](null)
+  /** One registration: the fed accumulator, the warn callback, and an
+    * at-most-once claim flag. The flag — not queue-iterator `remove()`,
+    * whose success is unobservable — is what makes the warn fire exactly
+    * once even when the async listener bus and [[drainNow]] (or two
+    * listeners) drain concurrently (r9 ADVICE). */
+  private final class Entry(val acc: LongAccumulator,
+                            val warn: Long => Unit) {
+    val fired = new AtomicBoolean(false)
+  }
+
+  private val pending = new ConcurrentLinkedQueue[Entry]()
+  // all applicationIds that already have a listener — a plain last-one
+  // slot flip-flops when two live contexts alternate registrations and
+  // installs duplicates (r9 ADVICE). Bounded by contexts-per-JVM.
+  private val installed = ConcurrentHashMap.newKeySet[String]()
 
   /** Register `warn` to fire once, driver-side, the first time `acc`
     * is observed nonzero at a job boundary. Returns the accumulator to
@@ -44,33 +56,35 @@ object Diagnostics {
                    (warn: Long => Unit): LongAccumulator = {
     val sc = spark.sparkContext
     val acc = sc.longAccumulator(name)
-    pending.add((acc, warn))
+    pending.add(new Entry(acc, warn))
     while (pending.size > 1024) pending.poll()
     // one listener per SparkContext (keyed by applicationId — a fresh
     // local context in tests gets its own); entries from a previous
     // context stay zero and age out of the bounded queue
-    val appId = sc.applicationId
-    if (installedFor.getAndSet(appId) != appId) {
+    if (installed.add(sc.applicationId)) {
       sc.addSparkListener(new SparkListener {
-        override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit = {
-          val it = pending.iterator()
-          while (it.hasNext) {
-            val entry = it.next()
-            if (entry._1.value > 0) { it.remove(); entry._2(entry._1.value) }
-          }
-        }
+        override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit = drain()
       })
     }
     acc
   }
 
-  /** Test hook: fire any tripped warnings immediately (the listener bus
-    * is asynchronous; specs assert deterministically through this). */
-  private[graft] def drainNow(): Unit = {
+  /** Fire each tripped registration at most once: claim via CAS before
+    * invoking, remove after (an already-claimed entry met by another
+    * drainer is just removed — never re-fired). */
+  private def drain(): Unit = {
     val it = pending.iterator()
     while (it.hasNext) {
-      val entry = it.next()
-      if (entry._1.value > 0) { it.remove(); entry._2(entry._1.value) }
+      val e = it.next()
+      if (e.fired.get()) it.remove()
+      else if (e.acc.value > 0 && e.fired.compareAndSet(false, true)) {
+        it.remove()
+        e.warn(e.acc.value)
+      }
     }
   }
+
+  /** Test hook: fire any tripped warnings immediately (the listener bus
+    * is asynchronous; specs assert deterministically through this). */
+  private[graft] def drainNow(): Unit = drain()
 }

@@ -317,10 +317,13 @@ object Multimodal {
 
   // ---- deterministic real-media synthesis (gate fixtures) ----
   // The sandbox's testdata carries no media files, so the oracle-gated
-  // real-codec queries make their own: per-id solid-color bitmaps and
+  // real-codec queries (SparkEntry p55_image_decode, p56_audio_decode,
+  // p57_image_resize) make their own: per-id solid-color bitmaps and
   // square-wave WAVs whose decoded properties are pure integer
   // arithmetic on the id — expressible in ANSI SQL for the DuckDB gate
   // while the bytes in between are genuine PNG/BMP/WAV containers.
+  // MultimodalCodecSpec gates the same round-trips plus the failure
+  // paths (corrupt container → pseudo fallback, non-WAV → null stats).
 
   /** Per-id solid-color image, PNG for even ids / BMP for odd (both
     * lossless, so decoded channel means gate exactly):

@@ -1224,6 +1224,17 @@ object GraphStore {
     //   Unreadable (any other failure) — environmental. Deletion is
     //     irreversible: FAIL CLOSED, abort the whole sweep.
     //   Ok(refs) — a finished commit and its data references.
+    // A manifest that PARSES but references a data dir that is GONE is
+    // ALSO Orphan — on backends where that state can legitimately arise
+    // (io.manifestsResurrectable: object stores have no parent
+    // constraint, so a committer paused across a sweep can resurrect a
+    // lone manifest key into the swept v-dir). Such a dir is exactly as
+    // restorable as its data — not at all — and must not occupy a
+    // retention slot or evict a real snapshot. The demotion never
+    // touches the CURRENT or a PINNED version, and on filesystem
+    // backends (whose parent check makes resurrection impossible, and
+    // whose Files.exists can return false on I/O error) missing data
+    // means corruption or a lying probe → FAIL CLOSED instead.
     sealed trait Cls
     case object Orphan extends Cls
     case object Unreadable extends Cls
@@ -1231,11 +1242,15 @@ object GraphStore {
     def classify(ver: Int): Cls =
       try {
         val m = mapper.readTree(io.readString(s"$path/v$ver/manifest.json"))
-        Ok((m.get("labels").elements().asScala ++
+        val rels = (m.get("labels").elements().asScala ++
           m.get("edges").elements().asScala)
           .filter(_.has("data"))
-          .flatMap(n => versionOfRel(n.get("data").asText()))
-          .toSet)
+          .map(_.get("data").asText()).toSeq
+        if (rels.exists(rel => !io.exists(s"$path/$rel"))) {
+          if (io.manifestsResurrectable && ver != current &&
+              !pinned(ver)) Orphan
+          else Unreadable
+        } else Ok(rels.flatMap(versionOfRel).toSet)
       } catch {
         case _: java.nio.file.NoSuchFileException => Orphan
         case scala.util.control.NonFatal(_) => Unreadable

@@ -265,7 +265,13 @@ final class MemObjectStoreFileSystem extends FileSystem {
     var p = f.getParent
     while (p != null && key(p).nonEmpty) { bkt.mkdir(key(p)); p = p.getParent }
     val buf = new ByteArrayOutputStream() {
-      override def close(): Unit = { super.close(); bkt.put(k, toByteArray); () }
+      // PUT exactly once: Hadoop stream wrappers commonly double-close,
+      // and a second identical-bytes PUT would mint a new generation,
+      // spuriously failing etag-conditioned observers of the key
+      private var closed = false
+      override def close(): Unit = {
+        if (!closed) { closed = true; super.close(); bkt.put(k, toByteArray) }
+      }
     }
     new FSDataOutputStream(buf, null)
   }
@@ -283,6 +289,11 @@ final class MemObjectStoreFileSystem extends FileSystem {
     val dk =
       if (status(dst).exists(_.isDirectory)) s"$dk0/${src.getName}"
       else dk0
+    // Hadoop contract: rename onto an EXISTING file fails (HDFS and S3A
+    // both return false) — silently overwriting would make the double
+    // MORE permissive than the stores it models and could mask
+    // data-plane committer bugs (r9 ADVICE)
+    if (bkt.get(dk).isDefined) return false
     if (bkt.get(sk).isDefined) {
       bkt.get(sk).foreach(o => bkt.put(dk, o.bytes))
       bkt.delete(sk)
@@ -354,7 +365,19 @@ private[store] final class ObjectStoreSnapshotIO extends SnapshotIO {
     * dir) maps to requiring the parent prefix non-empty: a swept v-dir
     * has no keys left (deleteRecursive removes the manifest first and
     * the .reserved marker with the rest), so the write surfaces the
-    * sweep as the same NoSuchFileException the other impls throw. */
+    * sweep as the same NoSuchFileException the other impls throw.
+    *
+    * BINDING CONTRACT (r9 ADVICE): this LIST-then-PUT guard is
+    * BEST-EFFORT and non-atomic even here, and a production S3/GCS/
+    * Azure binding cannot implement it at all — object stores have no
+    * parent constraint, so a committer paused across a sweep CAN
+    * resurrect a lone manifest key into the swept version dir. The
+    * protocol tolerates that: [[manifestsResurrectable]] is true for
+    * this backend, so GC classifies a manifest whose referenced data
+    * dirs are gone as a sweepable Orphan (SnapshotSpec gates this by
+    * putting a manifest into a swept dir directly), and the committer's
+    * own parquet writes / fenced pointer flip fail loudly long before a
+    * reader could observe the resurrected version as current. */
   def writeStringAtomic(target: String, tmp: String,
                         content: String): Unit = {
     val (b, k) = parse(target)
@@ -457,6 +480,11 @@ private[store] final class ObjectStoreSnapshotIO extends SnapshotIO {
     s"mem://${u.getAuthority}${Option(u.getPath).getOrElse("")
       .stripSuffix("/")}"
   }
+
+  /** See [[writeStringAtomic]]'s binding contract: real object stores
+    * cannot enforce the parent check, so swept-dir manifest
+    * resurrection is a tolerated (GC-reclaimed) state here. */
+  override def manifestsResurrectable: Boolean = true
 
   /** Observation = the pointer's current generation (or Absent). */
   override def observePointer(p: String): (Option[String], AnyRef) = {

@@ -108,6 +108,16 @@ private[store] trait SnapshotIO {
   }
   /** Canonical form of `root` for pin/monitor keying. */
   def canonical(root: String): String
+
+  /** True when this backend cannot guarantee [[writeStringAtomic]]'s
+    * parent-exists check — object stores have no parent constraint, so
+    * the check is a best-effort LIST-then-PUT at most, and a committer
+    * paused across a GC sweep can RESURRECT a lone manifest key into
+    * the swept version dir. GC uses this to classify a parseable
+    * manifest whose referenced data is gone as a sweepable Orphan on
+    * such backends (and to fail closed everywhere else, where a missing
+    * data dir can only mean corruption or a lying `exists`). */
+  def manifestsResurrectable: Boolean = false
 }
 
 private[store] object SnapshotIO {

@@ -1,0 +1,168 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Multimodal
+
+/** Gates for the REAL JDK codec paths (r9 VERDICT item 1): the decode /
+  * decodeAudio / resizeImages operators against genuine PNG / BMP / WAV
+  * containers synthesized by [[Multimodal.synthesizeImages]] /
+  * [[Multimodal.synthesizeWav]], plus every failure path (corrupt
+  * container → pseudo fallback, non-WAV → null-stat row, non-image
+  * passthrough). The same round-trips are oracle-gated end-to-end on
+  * the documents table as SparkEntry p55/p56/p57.
+  */
+class MultimodalCodecSpec extends SparkSpec {
+
+  private def ids = {
+    import spark.implicits._
+    // spans both containers (even=PNG, odd=BMP), both resize branches
+    // (max dim 16+47%48=63 > 32 down to within-budget), and wraps the
+    // mean arithmetic past 256
+    Seq(0L, 1L, 7L, 16L, 33L, 100L, 255L).toDF("doc_id")
+  }
+
+  private def expected(id: Long) = (
+    16 + (id % 48).toInt, 16 + (id % 32).toInt,
+    ((id * 31) % 256).toInt, ((id * 57) % 256).toInt,
+    ((id * 91) % 256).toInt,
+    if (id % 2 == 0) "image/png" else "image/bmp")
+
+  test("synthesized containers are genuine: magic bytes + ImageIO parse") {
+    val rows = Multimodal.synthesizeImages(ids, "doc_id").collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]]("media")
+      val (w, h, _, _, _, fmt) = expected(id)
+      assert(Multimodal.sniffFormat(bytes) === fmt, s"id=$id")
+      // the container really parses outside our own decode path
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img.getWidth === w && img.getHeight === h, s"id=$id")
+    }
+  }
+
+  test("image decode round-trip: dims, channel means, histogram") {
+    val decoded = Multimodal.decode(
+      Multimodal.synthesizeImages(ids, "doc_id")).collect()
+    decoded.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val (w, h, mr, mg, mb, fmt) = expected(id)
+      assert(r.getAs[String]("format") === fmt, s"id=$id")
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      assert(r.getAs[Int]("mean_r") === mr, s"id=$id mean_r")
+      assert(r.getAs[Int]("mean_g") === mg, s"id=$id mean_g")
+      assert(r.getAs[Int]("mean_b") === mb, s"id=$id mean_b")
+      // solid color ⇒ exactly one nonzero histogram bucket holding every
+      // pixel, at the luminance bucket of the (exact) channel means
+      val hist = r.getSeq[Long](r.fieldIndex("histogram"))
+      assert(hist.count(_ > 0) === 1 && hist.sum === w.toLong * h)
+      assert(hist(((mr + mg + mb) / 3) >> 5) === w.toLong * h, s"id=$id")
+    }
+  }
+
+  test("corrupt container falls back to pseudo-decode, null means") {
+    import spark.implicits._
+    // PNG magic but garbage body: sniffs as image, ImageIO fails, and
+    // the row takes the deterministic pseudo path instead of erroring
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      42, 42, 42)
+    val df = Seq((5L, junk)).toDF("id", "media")
+      .withColumn("meta", struct(lit("fake/raw").as("format"),
+        lit(junk.length.toLong).as("n_bytes")))
+    val r = Multimodal.decode(df).collect().head
+    assert(r.getAs[String]("format") === "fake/raw") // caller's label kept
+    assert(r.getAs[Int]("width") === junk.length % 1024 + 1)
+    assert(r.isNullAt(r.fieldIndex("mean_r")))
+  }
+
+  test("audio decode round-trip: header fields + square-wave peak/RMS") {
+    val decoded = Multimodal.decodeAudio(
+      Multimodal.synthesizeWav(ids, "doc_id")).collect()
+    assert(decoded.length === 7)
+    decoded.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val amp = (1000 + id % 20000).toInt
+      assert(r.getAs[String]("format") === "audio/wav")
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Long]("n_frames") === 256 + id % 512, s"id=$id")
+      assert(r.getAs[Int]("peak_amp") === amp, s"id=$id peak")
+      assert(r.getAs[Int]("rms_amp") === amp, s"id=$id rms")
+    }
+  }
+
+  test("non-WAV payload yields a null-stat audio row, not a failure") {
+    val df = Multimodal.attachBinary(ids.withColumn("text",
+      concat(lit("opaque text payload "), col("doc_id"))),
+      "doc_id", "text")
+    val rows = Multimodal.decodeAudio(df).collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      assert(r.getAs[String]("format") === "application/octet-stream")
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
+      assert(r.isNullAt(r.fieldIndex("peak_amp")))
+    }
+  }
+
+  test("resizeImages: over-budget resampled exactly, within-budget " +
+      "passes through byte-identical, non-image untouched") {
+    val media = Multimodal.synthesizeImages(ids, "doc_id")
+    val before = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap
+    val resized = Multimodal.resizeImages(media, maxDim = 32)
+    val after = resized.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap
+    before.foreach { case (id, orig) =>
+      val (w, h, mr, mg, mb, fmt) = expected(id)
+      val m = math.max(w, h)
+      if (m <= 32) {
+        // no decode/re-encode loss: the exact original bytes
+        assert(java.util.Arrays.equals(after(id), orig), s"id=$id")
+      } else {
+        val img = ImageIO.read(new ByteArrayInputStream(after(id)))
+        assert(img.getWidth === math.max(1, w * 32 / m), s"id=$id w")
+        assert(img.getHeight === math.max(1, h * 32 / m), s"id=$id h")
+        // solid color survives resampling and the container round-trip
+        val p = img.getRGB(0, 0)
+        assert(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+          === ((mr, mg, mb)), s"id=$id color")
+        assert(Multimodal.sniffFormat(after(id)) === fmt, s"id=$id fmt")
+      }
+    }
+    // composes with decode downstream: means unchanged by the resample
+    Multimodal.decode(resized).collect().foreach { r =>
+      val (_, _, mr, mg, mb, _) = expected(r.getAs[Long]("id"))
+      assert((r.getAs[Int]("mean_r"), r.getAs[Int]("mean_g"),
+        r.getAs[Int]("mean_b")) === ((mr, mg, mb)))
+    }
+    // non-image payloads pass through unchanged
+    val opaque = Multimodal.attachBinary(ids.withColumn("text",
+      concat(lit("not an image "), col("doc_id"))), "doc_id", "text")
+    val opBefore = opaque.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap
+    Multimodal.resizeImages(opaque, maxDim = 32).collect().foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("media"), opBefore(r.getLong(0))))
+      assert(r.getAs[org.apache.spark.sql.Row]("meta")
+        .getAs[String]("format") === "fake/raw")
+    }
+  }
+
+  test("sniffFormat magic bytes") {
+    assert(Multimodal.sniffFormat("RIFFxxxxWAVEfmt ".getBytes) ===
+      "audio/wav")
+    assert(Multimodal.sniffFormat(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)) ===
+      "image/jpeg")
+    assert(Multimodal.sniffFormat("GIF89a".getBytes) === "image/gif")
+    assert(Multimodal.sniffFormat("BM".getBytes) ===
+      "application/octet-stream") // too short for a BMP header
+    assert(Multimodal.sniffFormat("plain text".getBytes) ===
+      "application/octet-stream")
+  }
+}

@@ -583,6 +583,40 @@ class SnapshotSpec extends SparkSpec {
     r.close(); a.close(); b.close(); s.close()
   }
 
+  test("object-store GC reclaims a resurrected manifest: a manifest key " +
+      "put directly into a swept version dir classifies Orphan, not Ok") {
+    // Real stores have no parent constraint, so writeStringAtomic's
+    // LIST-then-PUT guard is best-effort there (Bucket binding
+    // contract): a committer paused across a sweep can land a lone
+    // manifest key in the swept v-dir. GC must treat that dir as
+    // exactly as restorable as its data — gone — instead of letting it
+    // occupy a retention slot forever.
+    graft.store.MemObjectStore.clear("resur")
+    val dir = "mem://resur/graft"
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "a"))
+    s.commit(dir) // v1
+    s.createNode("User", Map("name" -> "b"))
+    s.commit(dir) // v2 (current)
+    s.close()
+    val bkt = graft.store.MemObjectStore.bucket("resur")
+    val v1Manifest = bkt.get("graft/v1/manifest.json").get.bytes
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 1) // v1 swept
+    assert(bkt.listPrefix("graft/v1/").isEmpty)
+    // the resurrection: the paused committer's PUT lands with no parent
+    bkt.put("graft/v1/manifest.json", v1Manifest)
+    // the manifest PARSES but its data dirs are gone → Orphan → swept;
+    // a second pass confirms steady state (nothing left to reclaim)
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 1)
+    assert(bkt.get("graft/v1/manifest.json").isEmpty)
+    assert(GraphStore.gcSnapshots(dir, keep = 1) === 0)
+    // the live snapshot is untouched throughout
+    val r = GraphStore.restore(spark, dir)
+    assert(r.nodes("User").count() === 2)
+    r.close()
+  }
+
   test("object-store snapshot roots are rejected loudly (no atomic " +
       "rename, no commit coordinator)") {
     val s = new GraphStore(spark)
