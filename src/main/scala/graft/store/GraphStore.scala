@@ -1190,6 +1190,13 @@ object GraphStore {
     * re-verifies referenced dirs under the pointer lock and fails closed
     * rather than publish dangling refs — safe, but the commit dies).
     * Returns the number of version dirs removed. */
+  /** True when `path` holds a committed snapshot pointer — routed
+    * through the root's own [[SnapshotIO]] backend, so it answers for
+    * nio, Hadoop, and object-store roots alike (a raw `Files.exists`
+    * only works for the first). */
+  def hasSnapshot(path: String): Boolean =
+    SnapshotIO.forPath(path).exists(s"$path/manifest.json")
+
   def gcSnapshots(path: String, keep: Int = 2): Int = {
     require(keep >= 1, "must keep at least the current snapshot")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
