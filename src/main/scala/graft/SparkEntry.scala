@@ -676,7 +676,17 @@ object SparkEntry {
       Multimodal.decode(Multimodal.resizeImages(Multimodal.synthesizeImages(
         TpchGraph.store(s, dir).nodes("documents"), "id"), maxDim = 32))
         .select(col("id").as("doc_id"), col("format"), col("width"),
-          col("height"), col("mean_r"), col("mean_g"), col("mean_b")))
+          col("height"), col("mean_r"), col("mean_g"), col("mean_b"))),
+    // REAL video container: per-id RIFF/AVI with uncompressed RGB24 DIB
+    // frames, frame-sampled by walking the actual chunk structure (strf
+    // header for dims, movi 00db chunks for frames) — k=3 evenly-spaced
+    // picks; every stat is lossless pixel arithmetic on (id, frame_idx).
+    "p58_video_frames" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(Multimodal.synthesizeAvi(
+        TpchGraph.store(s, dir).nodes("documents"), "id"), k = 3)
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b")))
   )
 
   /** Temporal DIFF + variable-length paths (beyond-reference ops). */
@@ -1095,6 +1105,18 @@ object SparkEntry {
         "CAST((doc_id * 31) % 256 AS INT) AS mean_r, " +
         "CAST((doc_id * 57) % 256 AS INT) AS mean_g, " +
         "CAST((doc_id * 91) % 256 AS INT) AS mean_b FROM m"),
+    "p58_video_frames" ->
+      ("WITH j AS (SELECT doc_id, unnest(range(3)) AS jj " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, CAST(jj * (3 + doc_id % 5 - 1) // 2 " +
+        "AS INT) AS frame_idx FROM j) " +
+        "SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n_frames, " +
+        "frame_idx, CAST(16 + doc_id % 16 AS INT) AS width, " +
+        "CAST(8 + doc_id % 8 AS INT) AS height, " +
+        "CAST((doc_id * 31 + frame_idx * 17) % 256 AS INT) AS mean_r, " +
+        "CAST((doc_id * 57 + frame_idx * 23) % 256 AS INT) AS mean_g, " +
+        "CAST((doc_id * 91 + frame_idx * 29) % 256 AS INT) AS mean_b " +
+        "FROM f"),
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
         "WHERE c_custkey % 3 = 0"),

@@ -153,6 +153,45 @@ class MultimodalCodecSpec extends SparkSpec {
     }
   }
 
+  test("AVI round-trip: container parses for real, sampled frame stats " +
+      "are exact, truncated container falls back to the null-stat row") {
+    val media = Multimodal.synthesizeAvi(ids, "doc_id")
+    media.collect().foreach(r =>
+      assert(Multimodal.sniffFormat(r.getAs[Array[Byte]]("media"))
+        === "video/avi"))
+    val rows = Multimodal.sampleVideoFrames(media, k = 3).collect()
+    // k=3 picks are distinct for every n >= 3 (0, (n-1)/2, n-1)
+    assert(rows.length === 7 * 3)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val n = 3 + (id % 5).toInt
+      val f = r.getAs[Int]("frame_idx")
+      assert(r.getAs[Int]("n_frames") === n, s"id=$id")
+      assert(r.getAs[Int]("width") === 16 + (id % 16).toInt)
+      assert(r.getAs[Int]("height") === 8 + (id % 8).toInt)
+      assert(r.getAs[Int]("mean_r") === ((id * 31 + f * 17) % 256).toInt)
+      assert(r.getAs[Int]("mean_g") === ((id * 57 + f * 23) % 256).toInt)
+      assert(r.getAs[Int]("mean_b") === ((id * 91 + f * 29) % 256).toInt)
+    }
+    // per-id sampled indices: first, middle, last
+    val byId = rows.groupBy(_.getAs[Long]("id"))
+    byId.foreach { case (id, rs) =>
+      val n = 3 + (id % 5).toInt
+      assert(rs.map(_.getAs[Int]("frame_idx")).sorted.toSeq
+        === Seq(0, (n - 1) / 2, n - 1), s"id=$id")
+    }
+    // a truncated container (torn mid-movi) degrades to null stats, not
+    // a crash — and a non-video payload does the same
+    import spark.implicits._
+    val whole = media.collect().head.getAs[Array[Byte]]("media")
+    val torn = whole.take(40)
+    val junk = Seq((9L, torn), (10L, "not a container".getBytes))
+      .toDF("id", "media")
+    val fallback = Multimodal.sampleVideoFrames(junk, k = 3).collect()
+    assert(fallback.length === 2)
+    fallback.foreach(r => assert(r.isNullAt(r.fieldIndex("n_frames"))))
+  }
+
   test("sniffFormat magic bytes") {
     assert(Multimodal.sniffFormat("RIFFxxxxWAVEfmt ".getBytes) ===
       "audio/wav")
