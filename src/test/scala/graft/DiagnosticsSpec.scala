@@ -40,6 +40,28 @@ class DiagnosticsSpec extends SparkSpec {
     assert(neverFired.get() === 0, "zero accumulator never warns")
   }
 
+  test("concurrent drains fire a tripped warning exactly once (CAS " +
+      "claim, not iterator-remove)") {
+    // r9 ADVICE: the async listener bus and drainNow (or duplicate
+    // listeners) can drain the queue concurrently; the warn must still
+    // run at most once. 8 threads hammer drainNow over a pre-tripped
+    // accumulator.
+    val fired = new AtomicLong(0)
+    val acc = Diagnostics.warnOnNonZero(spark, "diag.spec.race") { _ =>
+      fired.incrementAndGet(); ()
+    }
+    acc.add(7L) // tripped before any drain
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val ts = (1 to 8).map(_ => new Thread(() => {
+      barrier.await()
+      var i = 0
+      while (i < 200) { Diagnostics.drainNow(); i += 1 }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(30000))
+    assert(fired.get() === 1,
+      s"warn ran ${fired.get()} times under concurrent drains")
+  }
+
   test("AccumulateIf generates compilable code and counts under codegen " +
       "(no silent interpreted fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow

@@ -53,6 +53,94 @@ class MemObjectStoreFsSpec extends AnyFunSuite {
     assert(new String(bkt.get("d/src").get.bytes, "UTF-8") === "payload")
   }
 
+  /** One Bucket-contract exercise both doubles must satisfy identically:
+    * the conditional ops' semantics are what the commit protocol rides
+    * on, so MemBucket (CHM computes) and FileBucket (OS-lock-serialized
+    * shared files) are held to the same behavior. */
+  private def bucketContract(bkt: MemObjectStore.Bucket): Unit = {
+    def b(s: String) = s.getBytes("UTF-8")
+    // put-if-absent: exactly one creator
+    assert(bkt.putIfAbsent("k", b("v1")).isDefined)
+    assert(bkt.putIfAbsent("k", b("v2")).isEmpty)
+    val g1 = bkt.get("k").get
+    assert(new String(g1.bytes, "UTF-8") === "v1")
+    // put-if-match: stale etag loses, fresh wins, etag advances
+    assert(bkt.putIfMatch("k", b("v3"), g1.etag - 1).isEmpty)
+    val g2 = bkt.putIfMatch("k", b("v3"), g1.etag).get
+    assert(g2.etag > g1.etag)
+    // unconditional put replaces and advances
+    val g3 = bkt.put("k", b("v4"))
+    assert(g3.etag > g2.etag)
+    // delete-if-match: displaced holder (old etag) cannot delete
+    assert(!bkt.deleteIfMatch("k", g2.etag))
+    assert(bkt.get("k").isDefined)
+    assert(bkt.deleteIfMatch("k", g3.etag))
+    assert(bkt.get("k").isEmpty)
+    // list-by-prefix sees exactly the live keys, with payloads
+    bkt.put("p/a", b("A")); bkt.put("p/b", b("B")); bkt.put("q/c", b("C"))
+    val listed = bkt.listPrefix("p/").map {
+      case (k, o) => k -> new String(o.bytes, "UTF-8")
+    }.toMap
+    assert(listed === Map("p/a" -> "A", "p/b" -> "B"))
+    // dir records are independent of objects
+    bkt.mkdir("d/e")
+    assert(bkt.isExplicitDir("d/e") && !bkt.isExplicitDir("d"))
+    assert(bkt.listDirsPrefix("d/") === Seq("d/e"))
+    bkt.rmdir("d/e")
+    assert(!bkt.isExplicitDir("d/e"))
+    // concurrent put-if-absent: exactly one of 16 racers creates
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(16)
+    val ts = (1 to 16).map(i => new Thread(() => {
+      barrier.await()
+      if (bkt.putIfAbsent("race", b(s"w$i")).isDefined)
+        wins.incrementAndGet()
+      ()
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(30000))
+    assert(wins.get() === 1, s"${wins.get()} racers won put-if-absent")
+    // concurrent CAS increments: every successful swap is serialized
+    val cas = new java.util.concurrent.atomic.AtomicInteger(0)
+    bkt.put("ctr", b("0"))
+    val ts2 = (1 to 8).map(_ => new Thread(() => {
+      var done = 0
+      while (done < 10) {
+        val cur = bkt.get("ctr").get
+        val n = new String(cur.bytes, "UTF-8").toInt
+        if (bkt.putIfMatch("ctr", b((n + 1).toString), cur.etag)
+            .isDefined) { done += 1; cas.incrementAndGet(); () }
+      }
+    }))
+    ts2.foreach(_.start()); ts2.foreach(_.join(60000))
+    assert(cas.get() === 80)
+    assert(new String(bkt.get("ctr").get.bytes, "UTF-8") === "80",
+      "lost update: CAS swaps were not serialized")
+  }
+
+  test("Bucket contract: in-memory double") {
+    MemObjectStore.clear("contract-mem")
+    bucketContract(MemObjectStore.bucket("contract-mem"))
+  }
+
+  test("Bucket contract: file-backed double (identical semantics over " +
+      "OS-lock-serialized shared files)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-filebucket")
+    bucketContract(
+      MemObjectStore.bindFileBucket("contract-file", dir))
+  }
+
+  test("file-backed backdate preserves bytes and etag, changes mtime " +
+      "(lease-expiry clock control)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fb-bd")
+    val bkt = MemObjectStore.bindFileBucket("contract-bd", dir)
+    val o = bkt.put("lease", "holder".getBytes("UTF-8"))
+    bkt.backdate("lease", o.mtime - 120000)
+    val after = bkt.get("lease").get
+    assert(after.etag === o.etag, "backdate must not mint a generation")
+    assert(after.mtime === o.mtime - 120000)
+    assert(new String(after.bytes, "UTF-8") === "holder")
+  }
+
   test("double-close PUTs exactly once: no new generation for an " +
       "etag-conditioned observer to spuriously lose against") {
     val fs = freshFs("fsclose")
