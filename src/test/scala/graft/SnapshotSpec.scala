@@ -617,6 +617,48 @@ class SnapshotSpec extends SparkSpec {
     r.close()
   }
 
+  test("GC fails closed on a filesystem root when a manifest's data dir " +
+      "is missing: abort the sweep, never demote to Orphan") {
+    // The resurrected-manifest demotion (previous test) is scoped to
+    // backends where resurrection can happen. On filesystem backends a
+    // parseable manifest with missing data means corruption or a lying
+    // Files.exists — deleting anything on that evidence would be
+    // irreversible, so the whole sweep must abort (return 0).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gc-failclosed").toString
+    val s = new GraphStore(spark)
+    s.createSchema("User", "name" -> StringType)
+    s.createNode("User", Map("name" -> "a"))
+    s.commit(dir) // v1
+    s.createNode("User", Map("name" -> "b"))
+    s.commit(dir) // v2
+    s.createNode("User", Map("name" -> "c"))
+    s.commit(dir) // v3 (current); v1 is now outside keep=2
+    s.close()
+    // corrupt v1's data out from under its manifest
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val man = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/v1/manifest.json")))
+    val rel = (man.get("labels").elements().asScala ++
+      man.get("edges").elements().asScala)
+      .filter(_.has("data")).map(_.get("data").asText())
+      .find(_.startsWith("v1/"))
+      .getOrElse(fail("v1 manifest references no own data"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array()).foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/$rel"))
+    // v1 would be swept by keep=2 if classified; missing data makes it
+    // Unreadable on this backend → the entire sweep aborts
+    assert(GraphStore.gcSnapshots(dir, keep = 2) === 0)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v2")), "fail-closed sweep deleted v2")
+    // the live snapshot stays readable throughout
+    val r = GraphStore.restore(spark, dir)
+    assert(r.nodes("User").count() === 3)
+    r.close()
+  }
+
   test("object-store snapshot roots are rejected loudly (no atomic " +
       "rename, no commit coordinator)") {
     val s = new GraphStore(spark)
