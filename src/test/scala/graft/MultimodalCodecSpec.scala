@@ -153,6 +153,42 @@ class MultimodalCodecSpec extends SparkSpec {
     }
   }
 
+  test("GIF and JPEG containers decode through the real path too " +
+      "(GIF lossless-exact, JPEG dims exact + means near for a solid " +
+      "color)") {
+    import spark.implicits._
+    def encode(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val gif = encode("gif", 20, 12, 0x64C832) // (100, 200, 50)
+    val jpg = encode("jpg", 24, 18, 0x508C3C) // (80, 140, 60)
+    assert(Multimodal.sniffFormat(gif) === "image/gif")
+    assert(Multimodal.sniffFormat(jpg) === "image/jpeg")
+    val df = Seq((1L, gif), (2L, jpg)).toDF("id", "media")
+      .withColumn("meta", struct(lit("fake/raw").as("format"),
+        length(col("media")).cast("long").as("n_bytes")))
+    val rows = Multimodal.decode(df).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val g = rows(1L)
+    assert(g.getAs[String]("format") === "image/gif")
+    assert((g.getAs[Int]("width"), g.getAs[Int]("height")) === ((20, 12)))
+    // a 1-color GIF palette holds the color exactly
+    assert((g.getAs[Int]("mean_r"), g.getAs[Int]("mean_g"),
+      g.getAs[Int]("mean_b")) === ((100, 200, 50)))
+    val j = rows(2L)
+    assert(j.getAs[String]("format") === "image/jpeg")
+    assert((j.getAs[Int]("width"), j.getAs[Int]("height")) === ((24, 18)))
+    // JPEG is lossy: dims/format are exact, solid-color means land close
+    assert(math.abs(j.getAs[Int]("mean_r") - 80) <= 4, j.toString)
+    assert(math.abs(j.getAs[Int]("mean_g") - 140) <= 4, j.toString)
+    assert(math.abs(j.getAs[Int]("mean_b") - 60) <= 4, j.toString)
+  }
+
   test("AVI round-trip: container parses for real, sampled frame stats " +
       "are exact, truncated container falls back to the null-stat row") {
     val media = Multimodal.synthesizeAvi(ids, "doc_id")
