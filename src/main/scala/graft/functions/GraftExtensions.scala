@@ -24,7 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[VectorFold].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[VectorFold].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def binary(name: String,
       f: (Expression, Expression) => Expression)

@@ -92,7 +92,7 @@ object Curation {
     val toks = docs.select(col(idCol).cast("long").as("__id"),
       graft.pipeline.TextAnalysis.tokenCountWs(col(textCol))
         .cast("long").as("n_tokens"))
-    val maxId = toks.agg(max("__id")).head.get(0)
+    val maxId = toks.agg(max("__id")).head().get(0)
       .asInstanceOf[java.lang.Long]
     if (maxId == null) {
       return toks.select(col("__id").as(idCol), col("n_tokens"),

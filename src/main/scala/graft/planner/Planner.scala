@@ -316,7 +316,8 @@ final class Planner(store: GraphStore) {
                     val main = s"${t.dstAlias}$SEP${c.stripPrefix(t2)}"
                     d.withColumn(main, coalesce(col(main), col(c)))
                   }
-                merged.drop(merged.columns.filter(_.startsWith(t2)): _*)
+                merged.drop(merged.columns.filter(_.startsWith(t2))
+                  .toIndexedSeq: _*)
               case other => throw new UnsupportedOperationException(
                 s"$other shared-target multi-pattern: the reference pins " +
                   "INNER (intersection) and LEFT (union) only")
@@ -331,7 +332,8 @@ final class Planner(store: GraphStore) {
         if (t.kind != JoinKind.Semi && t.kind != JoinKind.Anti)
           bound += t.dstAlias
         if (t.edgeAlias.isEmpty)
-          df = df.drop(df.columns.filter(_.startsWith(s"$eAlias$SEP")): _*)
+          df = df.drop(df.columns
+            .filter(_.startsWith(s"$eAlias$SEP")).toIndexedSeq: _*)
     }
 
     // ---- Deferred cross-alias WHERE (reference F7:
