@@ -396,13 +396,21 @@ object SparkEntry {
       TpchGraph.store(s, dir).nodes("customer")
         .groupBy(col("nationkey"))
         .agg(countDistinct(col("mktsegment")).as("n_seg"))),
-    // ---- HLL approx-distinct (approximate → rows-only check, no
-    // oracle). Quantitatively gated by LshRecallSpec "a25 HLL": the
-    // estimate must sit within 3x the default HLL++ rsd (0.05) of the
-    // exact distinct count on the same table.
+    // ---- HLL approx-distinct, hard-gated: the query emits the exact
+    // distinct count PLUS a boolean asserting the HLL++ estimate sits
+    // within 3x its default rsd (0.05) of that exact count — so the
+    // DuckDB oracle (exact count, literal true) hash-gates the sketch's
+    // documented error contract instead of a rows-only check.
+    // LshRecallSpec "a25 HLL" additionally books the observed relative
+    // error.
     "a25_approx_distinct" -> ((s, dir) =>
       TpchGraph.store(s, dir).nodes("orders")
-        .agg(approx_count_distinct(col("custkey")).as("approx_customers"))),
+        .agg(countDistinct(col("custkey")).as("exact_custkeys"),
+          approx_count_distinct(col("custkey")).as("__approx"))
+        .select(col("exact_custkeys"),
+          (abs(col("__approx") - col("exact_custkeys")).cast("double") <=
+            lit(0.15) * col("exact_custkeys").cast("double"))
+            .as("approx_ok"))),
     // ---- exact percentiles (sort-based; integer inputs keep the linear
     // interpolation bit-identical across engines)
     "a26_percentile" -> ((s, dir) =>
@@ -485,18 +493,23 @@ object SparkEntry {
     "p30_dedup_exact" -> ((s, dir) =>
       Dedup.exact(TpchGraph.store(s, dir).nodes("documents"), "id",
         Seq("text")).select(col("id").as("doc_id"), col("cnt"))),
-    // approximate LSH candidate generation → rows-only check
-    // (8 bands of r=8 keep buckets selective — the synthetic corpus has a
-    // tiny vocabulary, so loose bands would explode the candidate set)
+    // Hard-gated against the exact all-pairs Jaccard oracle: the LSH
+    // output is verified-exact pairs ∩ candidates, so with 32 bands of
+    // r=2 the per-pair miss probability at the 0.6 threshold is
+    // (1-0.36)^32 ≈ 6e-7 — recall is deterministically 1 on the gate
+    // corpora (every real pair sits at J ≥ 0.9, miss ≈ 1e-24), and the
+    // oracle checks the banding+verification machinery end to end.
     "p31_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLsh(
         TpchGraph.store(s, dir).nodes("documents").filter(col("id") < 1000),
-        "id", "text", numHashes = 64, bands = 8, shingleK = 2,
+        "id", "text", numHashes = 64, bands = 32, shingleK = 2,
         threshold = 0.6)),
     "p32_jaccard_block" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(TpchGraph.store(s, dir).nodes("documents"),
         "id", "text", blockCol = "source", k = 3, threshold = 0.01)),
-    // xxhash-based signature → rows-only check
+    // Hard-gated: the DuckDB oracle recomputes xxhash64 itself (the
+    // [[DuckOracleSql]] HUGEINT XXH64 mirror) and replays the signature,
+    // chunk-bucket and hamming logic independently.
     "p33_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(TpchGraph.store(s, dir).nodes("documents"), "id",
         "text", maxHamming = 10)),
@@ -504,7 +517,10 @@ object SparkEntry {
       Dedup.cosinePairs(
         TpchGraph.store(s, dir).nodes("embeddings").filter(col("id") < 500),
         "id", "embedding", threshold = 0.4)),
-    // LSH-bucketed variant (recall < 1 by design) → rows-only check
+    // LSH-bucketed variant (recall < 1 by design) — hard-gated: the
+    // oracle mirrors the xxhash64-derived hyperplanes in DuckDB and
+    // replays bucketing + exact verification, so the emitted set (NOT
+    // just its size) must match bit for bit.
     "p35_cosine_lsh" -> ((s, dir) =>
       Dedup.cosinePairsLsh(TpchGraph.store(s, dir).nodes("embeddings"),
         "id", "embedding", threshold = 0.4, planes = 8)),
@@ -514,7 +530,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),
         k = 10).select("q_id", "nn_id", "rank", "cosine")
     }),
-    // IVF probing is approximate → rows-only check
+    // IVF probing is approximate vs brute force, but fully deterministic
+    // given the data — hard-gated by a DuckDB oracle that replays the
+    // whole pipeline: lowest-id init, two Lloyd rounds (argmin-L2²
+    // assignment, per-dim double mean cast to float — the float cast
+    // absorbs cross-engine summation-order noise), 4-probe, exact
+    // cosine top-10 within probed cells.
     "p37_ann_ivf" -> ((s, dir) => {
       val vecs = TpchGraph.store(s, dir).nodes("embeddings")
         .withColumnRenamed("id", "vec_id")
@@ -788,13 +809,152 @@ object SparkEntry {
       "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (x,y) -> x+y)"
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
-  /** DuckDB dialect: word-3-shingles matching [[Dedup.shingles]]. */
-  private val duckShingles: String =
-    "list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
-      "ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)] " +
-      "END)"
+  /** DuckDB dialect: word-k-shingles matching [[Dedup.shingles]]. */
+  private def duckShinglesK(k: Int): String =
+    s"list_distinct(CASE WHEN len(w) < $k THEN [array_to_string(w, ' ')] " +
+      s"ELSE [array_to_string(w[i:i+${k - 1}], ' ') " +
+      s"FOR i IN range(1, len(w)-${k - 2})] END)"
+  private val duckShingles: String = duckShinglesK(3)
   private val duckStops: String =
     TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** DuckDB dialect: sequential float64 (a-b)² fold — bit-for-bit
+    * identical to [[graft.functions.VectorFunctions.l2sq]]. */
+  private def duckL2sq(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      "p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*" +
+      "(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))), (x,y) -> x+y)"
+
+  /** p33 oracle: an independent DuckDB replay of
+    * [[Dedup.simhashPairs]](maxHamming=10, maxBucket=4096) — tokenize,
+    * hash every distinct token with the [[DuckOracleSql]] XXH64 mirror,
+    * rebuild the 64 signed bit-counters per document from (token, count)
+    * multiplicities, bucket distinct signatures by 16-bit chunk
+    * (truncated at maxBucket like the engine), and emit cross- plus
+    * within-signature pairs. */
+  private def p33Oracle: String = {
+    val ts = DuckOracleSql.toSigned(
+      "sum(CASE WHEN s > 0 THEN power(2::HUGEINT, b)::HUGEINT " +
+        "ELSE 0::HUGEINT END)")
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS ct FROM tok GROUP BY 1, 2),
+voc AS (SELECT DISTINCT tok FROM tc),
+${DuckOracleSql.xxh64StrCtes("voc", "tok", "vh").trim},
+bits AS (
+  SELECT tc.doc_id, b.b,
+         sum(tc.ct * CASE WHEN (vh.xh // power(2::HUGEINT, b.b)::HUGEINT) % 2 = 1
+                          THEN 1 ELSE -1 END) AS s
+  FROM tc JOIN vh ON tc.tok = vh.tok CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY 1, 2),
+sig AS (SELECT doc_id, $ts AS sig FROM bits GROUP BY doc_id),
+dsig AS (SELECT DISTINCT sig FROM sig),
+chunked AS (
+  SELECT sig, c, (sig >> (c * 16)) & 65535 AS chunk,
+         row_number() OVER (PARTITION BY c, (sig >> (c * 16)) & 65535 ORDER BY sig) AS rn
+  FROM dsig CROSS JOIN (SELECT unnest(range(4)) AS c) cc
+  QUALIFY rn <= 4096),
+sigpairs AS (
+  SELECT DISTINCT a.sig AS sig_a, b.sig AS sig_b
+  FROM chunked a JOIN chunked b ON a.c = b.c AND a.chunk = b.chunk
+   AND a.sig < b.sig),
+hp AS (
+  SELECT sig_a, sig_b, bit_count(xor(sig_a, sig_b)) AS hamming
+  FROM sigpairs WHERE bit_count(xor(sig_a, sig_b)) <= 10),
+cross_pairs AS (
+  SELECT least(ia.doc_id, ib.doc_id) AS id_a,
+         greatest(ia.doc_id, ib.doc_id) AS id_b, hp.hamming
+  FROM hp JOIN sig ia ON ia.sig = hp.sig_a JOIN sig ib ON ib.sig = hp.sig_b),
+within AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+  FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM cross_pairs
+UNION ALL
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM within"""
+  }
+
+  /** p35 oracle: independent DuckDB replay of
+    * [[Dedup.cosinePairsLsh]](planes=8, tables=1, threshold=0.4) — the
+    * hyperplane component (p, d) is (pmod(xxhash64(p, d), 2001)-1000)/1000
+    * with xxhash64(int, int) = hashInt(d, hashInt(p, 42)) rebuilt via the
+    * [[DuckOracleSql]] lateral-alias chains (materialized stages: DuckDB
+    * inlines plain CTEs/aliases by substitution and the bound tree
+    * explodes otherwise). */
+  private def p35Oracle: String = {
+    val (c1, h1) = DuckOracleSql.xxh64IntAliases("p", "42::HUGEINT", "q")
+    val (c2, h2) = DuckOracleSql.xxh64IntAliases("d", h1, "r")
+    val w = s"(CAST(((((${DuckOracleSql.toSigned(h2)}) % 2001) + 2001) " +
+      "% 2001) - 1000 AS DOUBLE) / 1000.0)"
+    s"""WITH hp0 AS MATERIALIZED (
+  SELECT p.p, d.d, $c1
+  FROM (SELECT unnest(range(8)) AS p) p
+  CROSS JOIN (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS d) d),
+hp1 AS MATERIALIZED (SELECT p, d, $c2 FROM hp0),
+hp AS MATERIALIZED (
+  SELECT p, list(w ORDER BY d) AS wl FROM (SELECT p, d, $w AS w FROM hp1)
+  GROUP BY p),
+bkt AS MATERIALIZED (
+  SELECT e.vec_id, sum(CASE WHEN ${duckDot("e.embedding", "hp.wl")} > 0.0
+                       THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b, ${duckCos("va.embedding", "vb.embedding")} AS cosine
+FROM cand c JOIN embeddings va ON va.vec_id = c.id_a
+JOIN embeddings vb ON vb.vec_id = c.id_b
+WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
+  }
+
+  /** p37 oracle: independent DuckDB replay of [[Similarity.ivfTrain]]
+    * (k=16, iters=2) + ivfAssign + ivfTopK(k=10, nProbe=4, queries =
+    * vec_id < 5): lowest-id init, two Lloyd rounds (argmin-L2²
+    * assignment with lowest-c_id ties, per-dim double mean cast to FLOAT
+    * — the float cast absorbs cross-engine summation-order noise), probe
+    * the 4 nearest centroids per query, exact cosine top-10 in probed
+    * cells. */
+  private def p37Oracle: String = {
+    val dims = "(SELECT len(embedding) FROM embeddings LIMIT 1)"
+    def assign(vecs: String, cents: String, out: String) =
+      s"""$out AS MATERIALIZED (
+  SELECT vec_id, embedding, c_id AS cluster FROM (
+    SELECT v.vec_id, v.embedding, c.c_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY ${duckL2sq("v.embedding", "c.cv")} ASC, c.c_id ASC) AS rn
+    FROM $vecs v CROSS JOIN $cents c)
+  WHERE rn = 1)"""
+    def means(assigned: String, out: String) =
+      s"""$out AS MATERIALIZED (
+  SELECT cluster AS c_id, list(CAST(m AS FLOAT) ORDER BY d) AS cv FROM (
+    SELECT a.cluster, d.d, avg(CAST(a.embedding[d.d + 1] AS DOUBLE)) AS m
+    FROM $assigned a CROSS JOIN (SELECT unnest(range($dims)) AS d) d
+    GROUP BY 1, 2)
+  GROUP BY cluster)"""
+    s"""WITH c0 AS MATERIALIZED (
+  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+  ORDER BY vec_id LIMIT 16),
+${assign("embeddings", "c0", "a1")},
+${means("a1", "c1")},
+${assign("embeddings", "c1", "a2")},
+${means("a2", "c2")},
+${assign("embeddings", "c2", "af")},
+probes AS MATERIALIZED (
+  SELECT q_id, qv, c_id AS cluster FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${duckL2sq("q.embedding", "c.cv")} ASC, c.c_id ASC) AS rn
+    FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 5)
+  WHERE rn <= 4)
+SELECT q_id, nn_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT p.q_id, a.vec_id AS nn_id,
+    ${duckCos("p.qv", "a.embedding")} AS cosine,
+    row_number() OVER (PARTITION BY p.q_id
+      ORDER BY ${duckCos("p.qv", "a.embedding")} DESC, a.vec_id ASC) AS rank
+  FROM af a JOIN probes p ON a.cluster = p.cluster
+  WHERE p.q_id <> a.vec_id)
+WHERE rank <= 10"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -875,6 +1035,26 @@ object SparkEntry {
         "AND a.doc_id < b.doc_id " +
         "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / " +
         "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.01"),
+    "a25_approx_distinct" ->
+      ("SELECT count(DISTINCT o_custkey) AS exact_custkeys, " +
+        "true AS approx_ok FROM orders"),
+    // exact all-pairs 2-shingle Jaccard: equals the LSH output because
+    // 32 bands of r=2 make recall deterministic (see the query comment)
+    "p31_minhash_pairs" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+        "FROM documents WHERE doc_id < 1000), " +
+        s"sh AS (SELECT doc_id, ${duckShinglesK(2)} AS sh FROM t), " +
+        "sz AS (SELECT doc_id, sh, len(sh) AS n FROM sh) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "(a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard " +
+        "FROM sz a JOIN sz b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "(a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.6"),
+    "p33_simhash_pairs" -> p33Oracle,
+    "p35_cosine_lsh" -> p35Oracle,
+    "p37_ann_ivf" -> p37Oracle,
     "p34_cosine_pairs" ->
       ("WITH e AS (SELECT vec_id, embedding FROM embeddings " +
         "WHERE vec_id < 500) " +
