@@ -14,6 +14,16 @@ import graft.ql.TundraQL._
   * (apps/tundra_shell.cpp). Returns a DataFrame for statements that
   * produce rows (MATCH / SHOW), None otherwise.
   */
+object Shell {
+  /** Cap on ids a property selector may resolve to in edge statements
+    * (CREATE EDGE between selector-matched sets). 100k ids ≈ 800 KB on
+    * the shell heap — far past any interactive intent, cheap to hold.
+    * Overridable (system property) for deployments and for the spec. */
+  def MaxSelectorMatches: Int =
+    sys.props.get("graft.shell.maxSelectorMatches").map(_.toInt)
+      .getOrElse(100000)
+}
+
 final class Shell(store: GraphStore,
                   snapshotPath: Option[String] = None) {
   private val planner = new Planner(store)
@@ -281,13 +291,22 @@ final class Shell(store: GraphStore,
   }
 
   /** Selector → matching id set (apps/tundra_shell.cpp:385-462); an
-    * interactive small-set resolution by design. */
+    * interactive small-set resolution by design — and BOUNDED like
+    * [[resolve]]'s limit(2) discipline: a property selector that matches
+    * more than [[Shell.MaxSelectorMatches]] ids (a low-selectivity value
+    * on a big table) fails fast with a clear error instead of collecting
+    * an unbounded id list onto the shell's heap. */
   private def resolveMany(s: Selector): (String, Seq[Long]) = s match {
     case ById(label, id) => (label, Seq(id))
     case ByProps(label, props) =>
       val cond = props.map { case (k, v) => col(k) === lit(v) }
         .reduce(_ && _)
-      val rows = store.nodes(label).filter(cond).select("id").collect()
+      val rows = store.nodes(label).filter(cond).select("id")
+        .limit(Shell.MaxSelectorMatches + 1).collect()
+      require(rows.length <= Shell.MaxSelectorMatches,
+        s"selector ($label{...}) matched more than " +
+          s"${Shell.MaxSelectorMatches} nodes — too unselective for an " +
+          "interactive edge statement; narrow the property selector")
       (label, rows.map(_.getLong(0)).toSeq)
   }
 

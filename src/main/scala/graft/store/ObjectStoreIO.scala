@@ -217,7 +217,14 @@ object MemObjectStore {
         if (Files.exists(genPath))
           new String(Files.readAllBytes(genPath), UTF_8).trim.toLong
         else 0L
-      Files.write(genPath, (g + 1).toString.getBytes(UTF_8))
+      // stage-and-atomic-move, like writeObj: a truncating write torn by
+      // a process crash would leave a corrupt counter that poisons every
+      // subsequent etag (r10 ADVICE) — the move either lands the new
+      // counter or leaves the old one intact
+      val tmp = genPath.resolveSibling(".gen.staging")
+      Files.write(tmp, (g + 1).toString.getBytes(UTF_8))
+      Files.move(tmp, genPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
       g + 1
     }
 

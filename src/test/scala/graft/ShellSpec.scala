@@ -106,6 +106,30 @@ class ShellSpec extends SparkSpec {
     assert(err.getMessage.contains("UNIQUE constraint violated"))
   }
 
+  test("pathological selector fails fast instead of unbounded collect") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA User (name: STRING, team: STRING);
+      CREATE SCHEMA Room (name: STRING);
+      CREATE NODE User (name = "a", team = "eng");
+      CREATE NODE User (name = "b", team = "eng");
+      CREATE NODE User (name = "c", team = "eng");
+      CREATE NODE Room (name = "r1");
+    """)
+    System.setProperty("graft.shell.maxSelectorMatches", "2")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        sh.execute(
+          """CREATE EDGE BOOKED FROM (User{team = "eng"}) TO (Room{name = "r1"});""")
+      }
+      assert(err.getMessage.contains("more than 2"))
+    } finally System.clearProperty("graft.shell.maxSelectorMatches")
+    // back under the cap, the same statement works
+    sh.execute(
+      """CREATE EDGE BOOKED FROM (User{team = "eng"}) TO (Room{name = "r1"});""")
+    assert(sh.execute("SHOW EDGES BOOKED;").get.count() === 3)
+  }
+
   test("edge schema with properties via QL") {
     val sh = shell()
     sh.execute("""

@@ -129,6 +129,25 @@ class MemObjectStoreFsSpec extends AnyFunSuite {
       MemObjectStore.bindFileBucket("contract-file", dir))
   }
 
+  test("file-backed generation counter survives a crash mid-stage: " +
+      "a torn .gen.staging never poisons subsequent etags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fb-gen")
+    val bkt = MemObjectStore.bindFileBucket("contract-gen", dir)
+    val o1 = bkt.put("k", "a".getBytes("UTF-8"))
+    // simulate a process killed between staging and the atomic move:
+    // the staging file holds garbage, the live .gen is intact
+    java.nio.file.Files.write(dir.resolve(".gen.staging"),
+      "torn-garb".getBytes("UTF-8"))
+    val o2 = bkt.put("k", "b".getBytes("UTF-8"))
+    assert(o2.etag === o1.etag + 1,
+      "a torn staging file must not perturb the generation sequence")
+    // the live counter is always a parseable long (the atomic move either
+    // lands the new value or leaves the old one — never a truncation)
+    val gen = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve(".gen")), "UTF-8").trim.toLong
+    assert(gen === o2.etag)
+  }
+
   test("file-backed backdate preserves bytes and etag, changes mtime " +
       "(lease-expiry clock control)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fb-bd")
