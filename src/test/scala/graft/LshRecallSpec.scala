@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Similarity}
 
-/** Property gates for the approximate (LSH) dedup paths — the rows the
-  * driver can only check rows-only (p31/p33/p35). Two machine-checked
-  * properties per path, on a deterministic planted-near-dup corpus:
+/** Property gates for the approximate (LSH) dedup paths. Since round 11
+  * the p31/p33/p35/p37/a25 CORRECTNESS rows are ALSO hard-gated by
+  * independent DuckDB oracles (see [[graft.DuckOracleSql]]); these specs
+  * remain the quantitative recall/error-bound layer on planted corpora.
+  * Two machine-checked properties per path, on a deterministic
+  * planted-near-dup corpus:
   *
   *  1. CONTAINMENT — every LSH-found pair is in the exact brute-force
   *     pair set (LSH may miss, it must never invent: verification is
@@ -133,6 +136,53 @@ class LshRecallSpec extends SparkSpec {
     val recall = lsh.size.toDouble / bf.size
     assert(recall >= 0.8,
       f"cosine-LSH recall $recall%.3f < 0.8 (${lsh.size}/${bf.size})")
+  }
+
+  test("IVF centroid init sensitivity: lowest-id vs hash-scattered init, " +
+      "recall@10 measured for both (Similarity.ivfTrain's documented " +
+      "seedless stand-in has a measured cost, not just a scaladoc note)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    // 20 clusters × 10 members, ids assigned cluster-by-cluster — so the
+    // k=16 lowest ids span only the first two clusters: exactly the
+    // degenerate low-id regime the scaladoc warns about
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    var id = 0L
+    (0 until 20).foreach { _ =>
+      val base = unit(16)
+      (0 until 10).foreach { _ =>
+        rows += ((id, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)))
+        id += 1
+      }
+    }
+    val vecs = rows.toSeq.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 37 === 0)
+    val bf = Similarity.bruteForceTopK(vecs, queries, k = 10)
+      .select("q_id", "nn_id")
+    val bfN = bf.count().toDouble
+    def recallOf(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = Similarity.ivfAssign(vecs, centroids)
+      val ivf = Similarity.ivfTopK(assigned, centroids, queries,
+        k = 10, nProbe = 4).select("q_id", "nn_id")
+      ivf.intersect(bf).count().toDouble / bfN
+    }
+    val lowest = recallOf(Similarity.ivfTrain(vecs, k = 16, iters = 2))
+    // hash-scattering the ids makes "the k lowest ids" a pseudo-random
+    // draw across clusters — same API, de-degenerated init
+    val scattered = recallOf(Similarity.ivfTrain(
+      vecs.withColumn("vec_id", xxhash64(col("vec_id"))), k = 16,
+      iters = 2))
+    info(f"recall@10: lowest-id init $lowest%.3f, " +
+      f"hash-scattered init $scattered%.3f")
+    assert(scattered >= lowest - 0.05,
+      "scattering the init should never cost recall materially")
+    assert(scattered >= 0.5,
+      f"hash-scattered init recall $scattered%.3f unexpectedly low")
   }
 
   test("a25 HLL approx-distinct is within the HLL++ error bound of exact") {

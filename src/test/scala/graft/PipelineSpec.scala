@@ -259,6 +259,46 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: interval-join state is EVICTED once the watermark " +
+      "passes (both stores shrink, not just stop matching)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lmem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val rmem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val l = lmem.toDF().toDF("ts", "uid", "l_tag")
+    val r = rmem.toDF().toDF("r_ts", "r_uid", "r_tag")
+    val q = EventStreams.intervalJoin(l, r, "uid", "r_uid", "r_ts",
+      "10 MINUTES", Some("5 minutes"))
+      .select("l_tag", "r_tag")
+      .writeStream.format("memory").queryName("ij_evict")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      // batch 1: two rows that will become stale
+      lmem.addData((ts(100), 1L, "old_l"))
+      rmem.addData((ts(105), 1L, "old_r"))
+      q.processAllAvailable()
+      val peak = q.lastProgress.stateOperators.apply(0).numRowsTotal
+      assert(peak >= 2, s"expected both sides buffered, state=$peak")
+      // batch 2 jumps event time far ahead on BOTH sides (the global
+      // watermark is the min across sources), batch 3 makes the updated
+      // watermark take effect on the state stores
+      lmem.addData((ts(300), 2L, "new_l"))
+      rmem.addData((ts(305), 2L, "new_r"))
+      q.processAllAvailable()
+      lmem.addData((ts(320), 3L, "n3l"))
+      rmem.addData((ts(325), 3L, "n3r"))
+      q.processAllAvailable()
+      val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      val removed = progs.map(_.stateOperators.apply(0).numRowsRemoved).sum
+      val finalTotal = progs.last.stateOperators.apply(0).numRowsTotal
+      assert(removed >= 2,
+        s"watermark passed the old rows but evicted only $removed")
+      assert(finalTotal <= 4,
+        s"state should hold only the recent rows, has $finalTotal")
+    } finally q.stop()
+  }
+
   test("corpus clean: quality gate + exact dedup composition") {
     import spark.implicits._
     val corpus = Seq(
