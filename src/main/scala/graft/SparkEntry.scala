@@ -707,6 +707,17 @@ object SparkEntry {
         TpchGraph.store(s, dir).nodes("documents"), "id"), k = 3)
         .select(col("id").as("doc_id"), col("n_frames"),
           col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
+    // p59: same gate for the ISO-BMFF container family — real MP4 box
+    // walk (moov/trak/stbl; stsd + stsz + stsc chunk-run expansion +
+    // stco) over spec-shaped synthesized containers with TWO samples
+    // per chunk; every stat is lossless pixel arithmetic on
+    // (id, frame_idx).
+    "p59_mp4_frames" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(Multimodal.synthesizeMp4(
+        TpchGraph.store(s, dir).nodes("documents"), "id"), k = 3)
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("frame_idx"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b")))
   )
 
@@ -1296,6 +1307,18 @@ WHERE rank <= 10"""
         "CAST((doc_id * 31 + frame_idx * 17) % 256 AS INT) AS mean_r, " +
         "CAST((doc_id * 57 + frame_idx * 23) % 256 AS INT) AS mean_g, " +
         "CAST((doc_id * 91 + frame_idx * 29) % 256 AS INT) AS mean_b " +
+        "FROM f"),
+    "p59_mp4_frames" ->
+      ("WITH j AS (SELECT doc_id, unnest(range(3)) AS jj " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, CAST(jj * (3 + doc_id % 6 - 1) // 2 " +
+        "AS INT) AS frame_idx FROM j) " +
+        "SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS n_frames, " +
+        "frame_idx, CAST(12 + doc_id % 20 AS INT) AS width, " +
+        "CAST(6 + doc_id % 10 AS INT) AS height, " +
+        "CAST((doc_id * 37 + frame_idx * 19) % 256 AS INT) AS mean_r, " +
+        "CAST((doc_id * 53 + frame_idx * 29) % 256 AS INT) AS mean_g, " +
+        "CAST((doc_id * 89 + frame_idx * 31) % 256 AS INT) AS mean_b " +
         "FROM f"),
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +

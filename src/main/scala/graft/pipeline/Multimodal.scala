@@ -85,6 +85,8 @@ object Multimodal {
       at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio/wav"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
       at(8, 'A') && at(9, 'V') && at(10, 'I') && at(11, ' ')) "video/avi"
+    else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p'))
+      "video/mp4"
     else "application/octet-stream"
   }
 
@@ -362,6 +364,148 @@ object Multimodal {
     else Some((w, h, frames.toIndexedSeq))
   }
 
+  // ---- ISO-BMFF (MP4/QuickTime) container walk — the OTHER container
+  //      family real pipelines ship, beside RIFF/AVI ----
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((be32(b, o) & 0xFFFFFFFFL) << 32) | (be32(b, o + 4) & 0xFFFFFFFFL)
+
+  /** Iterate ISO-BMFF boxes in `[from, to)`: (type, payloadFrom,
+    * payloadTo). Handles the spec's three size encodings — normal,
+    * size==1 (64-bit largesize follows the type), size==0 (extends to
+    * the enclosing container's end). Stops cleanly at a torn box. */
+  private def mp4Boxes(b: Array[Byte], lo: Int,
+                       hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var o = lo
+      def hasNext: Boolean = o + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size32 = be32(b, o)
+        val tpe = fourcc(b, o + 4)
+        def clamp(payload: Int) = { val r = (tpe, payload, hi); o = hi; r }
+        if (size32 == 0) clamp(o + 8) // box runs to container end
+        else if (size32 == 1) {
+          if (o + 16 > hi) clamp(o + 16)
+          else {
+            val ls = be64(b, o + 8)
+            if (ls < 16 || o + ls > hi) clamp(o + 16) // torn: clamp
+            else { val end = o + ls.toInt; val r = (tpe, o + 16, end)
+              o = end; r }
+          }
+        } else if (size32 < 8 || o + size32 > hi) clamp(o + 8) // torn
+        else { val end = o + size32; val r = (tpe, o + 8, end); o = end; r }
+      }
+    }
+
+  /** Walk an MP4's `moov` for the first VIDEO track with an uncompressed
+    * `raw ` 24-bit sample entry and expand its sample tables
+    * (stsd + stsz + stsc + stco — the real chunk-run expansion, not a
+    * 1:1 shortcut) into absolute (offset, size) frame extents.
+    * Compressed sample entries (avc1, hev1, …) are the documented JNI
+    * seam — the walk and the sampling host are unchanged, only the
+    * per-frame decode differs. Returns None for anything torn or not a
+    * parseable video MP4 (caller falls back to the null-stat row). */
+  private def parseMp4(b: Array[Byte])
+      : Option[(Int, Int, IndexedSeq[(Int, Int)])] = {
+    if (sniffFormat(b) != "video/mp4") return None
+    mp4Boxes(b, 0, b.length).collectFirst {
+      case ("moov", mf, mt) => (mf, mt)
+    }.flatMap { case (mf, mt) =>
+      mp4Boxes(b, mf, mt).collect { case ("trak", tf, tt) =>
+        parseTrak(b, tf, tt)
+      }.collectFirst { case Some(t) => t }
+    }
+  }
+
+  private def parseTrak(b: Array[Byte], from: Int,
+                        to: Int): Option[(Int, Int, IndexedSeq[(Int, Int)])] = {
+    var handler = ""
+    var fmt = ""
+    var w = -1; var h = -1; var depth = -1
+    var sizes: IndexedSeq[Int] = IndexedSeq.empty
+    var chunkOffs: IndexedSeq[Int] = IndexedSeq.empty
+    var stsc: IndexedSeq[(Int, Int)] = IndexedSeq.empty // (firstChunk, perChunk)
+    def walk(from: Int, to: Int): Unit =
+      mp4Boxes(b, from, to).foreach {
+        case ("mdia", f, t) => walk(f, t)
+        case ("minf", f, t) => walk(f, t)
+        case ("stbl", f, t) => walk(f, t)
+        case ("hdlr", f, t) if t - f >= 12 =>
+          handler = fourcc(b, f + 8)
+        case ("stsd", f, t) if t - f >= 16 =>
+          val entry = f + 8 // ver/flags + entry_count
+          if (entry + 86 <= t) {
+            fmt = fourcc(b, entry + 4)
+            w = be16(b, entry + 32); h = be16(b, entry + 34)
+            depth = be16(b, entry + 82)
+          }
+        case ("stsz", f, t) if t - f >= 12 =>
+          val fixed = be32(b, f + 4)
+          val n = be32(b, f + 8)
+          if (n >= 0 && (fixed != 0 || f + 12 + 4L * n <= t))
+            sizes = (0 until n).map(i =>
+              if (fixed != 0) fixed else be32(b, f + 12 + 4 * i))
+        case ("stco", f, t) if t - f >= 8 =>
+          val n = be32(b, f + 4)
+          if (n >= 0 && f + 8 + 4L * n <= t)
+            chunkOffs = (0 until n).map(i => be32(b, f + 8 + 4 * i))
+        case ("stsc", f, t) if t - f >= 8 =>
+          val n = be32(b, f + 4)
+          if (n >= 0 && f + 8 + 12L * n <= t)
+            stsc = (0 until n).map(i =>
+              (be32(b, f + 8 + 12 * i), be32(b, f + 12 + 12 * i)))
+        case _ => ()
+      }
+    walk(from, to)
+    if (handler != "vide" || fmt != "raw " || depth != 24 || w <= 0 ||
+        h <= 0 || sizes.isEmpty || chunkOffs.isEmpty || stsc.isEmpty)
+      return None
+    // stsc chunk-run expansion: entry i applies from its firstChunk up
+    // to the next entry's firstChunk (1-based); samples are laid out
+    // back-to-back inside each chunk
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var sample = 0
+    var ci = 0
+    while (ci < chunkOffs.length && sample < sizes.length) {
+      val chunkNo = ci + 1
+      val perChunk = stsc.takeWhile(_._1 <= chunkNo).lastOption
+        .map(_._2).getOrElse(0)
+      if (perChunk <= 0) return None // malformed table
+      var off = chunkOffs(ci)
+      var s = 0
+      while (s < perChunk && sample < sizes.length) {
+        val sz = sizes(sample)
+        if (off < 0 || sz < 0 || off.toLong + sz > b.length) return None
+        frames += ((off, sz))
+        off += sz; s += 1; sample += 1
+      }
+      ci += 1
+    }
+    if (sample < sizes.length) None // stco ran out before the samples
+    else Some((w, h, frames.toIndexedSeq))
+  }
+
+  /** Exact channel means of one packed top-down RGB24 MP4 `raw ` sample
+    * (no row padding — MP4 samples carry no DIB stride). */
+  private def rgb24Means(b: Array[Byte], off: Int, size: Int,
+                         w: Int, h: Int): Option[(Int, Int, Int)] = {
+    val need = w * h * 3
+    if (size < need || off + need > b.length) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = off
+    val end = off + need
+    while (p < end) {
+      sr += b(p) & 0xFF; sg += b(p + 1) & 0xFF; sb += b(p + 2) & 0xFF
+      p += 3
+    }
+    val n = w.toLong * h
+    Some(((sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
+  }
+
   /** Exact channel means of one uncompressed RGB24 DIB frame (bottom-up
     * rows, 4-byte-aligned stride, BGR byte order — the DIB contract). */
   private def dibMeans(b: Array[Byte], off: Int, size: Int,
@@ -383,13 +527,15 @@ object Multimodal {
     Some(((sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
   }
 
-  /** REAL frame sampling: parse the RIFF/AVI container, pick `k`
-    * evenly-spaced frames (`j * (n-1) / (k-1)`), and emit exact
-    * per-frame stats from the uncompressed pixels. Payloads that are
-    * not parseable AVI emit one null-stat row (same totality contract
-    * as [[decodeAudio]]). Compressed-codec AVIs (`##dc` with a non-DIB
-    * strf) are where a production JNI codec plugs into this SAME
-    * partition host — the container walk and sampling do not change. */
+  /** REAL frame sampling: parse the container — RIFF/AVI ([[parseAvi]])
+    * or ISO-BMFF MP4 ([[parseMp4]]) — pick `k` evenly-spaced frames
+    * (`j * (n-1) / (k-1)`), and emit exact per-frame stats from the
+    * uncompressed pixels (DIB BGR bottom-up for AVI, packed RGB top-down
+    * for MP4 `raw ` samples). Payloads that parse as neither emit one
+    * null-stat row (same totality contract as [[decodeAudio]]).
+    * Compressed codecs (H.264 in either container) are where a
+    * production JNI codec plugs into this SAME partition host — the
+    * container walks and sampling do not change. */
   def sampleVideoFrames(media: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     implicit val enc: Encoder[Row] =
@@ -398,15 +544,22 @@ object Multimodal {
       it.flatMap { r =>
         val id = r.getAs[Long]("id")
         val bytes = r.getAs[Array[Byte]]("media")
-        parseAvi(bytes) match {
-          case Some((w, h, frames)) =>
+        val parsed = parseAvi(bytes)
+          .map { case (w, h, fr) => (w, h, fr, true) }
+          .orElse(parseMp4(bytes)
+            .map { case (w, h, fr) => (w, h, fr, false) })
+        parsed match {
+          case Some((w, h, frames, isDib)) =>
             val n = frames.length
             val picks =
               if (k == 1) Seq(0)
               else (0 until k).map(j => j * (n - 1) / (k - 1)).distinct
             picks.iterator.map { f =>
               val (off, size) = frames(f)
-              dibMeans(bytes, off, size, w, h) match {
+              val means =
+                if (isDib) dibMeans(bytes, off, size, w, h)
+                else rgb24Means(bytes, off, size, w, h)
+              means match {
                 case Some((mr, mg, mb)) =>
                   Row(id, n, f, w, h, mr, mg, mb)
                 case None => Row(id, n, f, w, h, null, null, null)
@@ -486,6 +639,125 @@ object Multimodal {
         }
         val bytes = out.toByteArray
         Row(id, bytes, Row("video/avi", bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Per-id synthesized ISO-BMFF MP4 (gate fixture, same
+    * id-arithmetic-only discipline as [[synthesizeAvi]]): `3 + id % 6`
+    * packed top-down RGB24 `raw ` frames of `12 + id % 20` × `6 + id %
+    * 10`, frame `f` solid-colored `((id*37 + f*19) % 256, (id*53 +
+    * f*29) % 256, (id*89 + f*31) % 256)` — every sampled-frame stat is
+    * pure integer arithmetic on (id, frame_idx) while the bytes form a
+    * spec-shaped container the [[parseMp4]] walk must traverse for
+    * real: ftyp + mdat + moov{mvhd, trak{tkhd, mdia{mdhd, hdlr(vide),
+    * minf{vmhd, dinf{dref{url }}, stbl{stsd('raw ', depth 24), stts,
+    * stsc, stsz, stco}}}}}, with TWO samples per chunk (odd counts get
+    * a short tail chunk) so the stsc chunk-run expansion is exercised,
+    * not just a 1:1 shortcut. */
+  def synthesizeMp4(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 12 + (id % 20).toInt
+        val h = 6 + (id % 10).toInt
+        val n = 3 + (id % 6).toInt
+        val frameSize = w * h * 3
+        val nChunks = (n + 1) / 2
+        val out = new ByteArrayOutputStream()
+        def b32(v: Int): Unit = {
+          out.write((v >> 24) & 0xFF); out.write((v >> 16) & 0xFF)
+          out.write((v >> 8) & 0xFF); out.write(v & 0xFF)
+        }
+        def b16(v: Int): Unit = {
+          out.write((v >> 8) & 0xFF); out.write(v & 0xFF)
+        }
+        def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+        def zeros(k: Int): Unit = (0 until k).foreach(_ => out.write(0))
+        // ---- ftyp (20) then mdat: frame i starts at 28 + i*frameSize
+        b32(20); cc("ftyp"); cc("isom"); b32(0); cc("isom")
+        val mdatPayloadAt = 20 + 8
+        b32(8 + n * frameSize); cc("mdat")
+        var f = 0
+        while (f < n) {
+          val fr = ((id * 37 + f * 19) % 256).toInt
+          val fg = ((id * 53 + f * 29) % 256).toInt
+          val fb = ((id * 89 + f * 31) % 256).toInt
+          var p = 0
+          while (p < w * h) {
+            out.write(fr); out.write(fg); out.write(fb)
+            p += 1
+          }
+          f += 1
+        }
+        // ---- moov (sizes computed leaf-first)
+        val stsdSz = 16 + 86
+        val sttsSz = 24
+        val stscSz = 16 + 12 * (if (n % 2 == 1) 2 else 1)
+        val stszSz = 20 + 4 * n
+        val stcoSz = 16 + 4 * nChunks
+        val stblSz = 8 + stsdSz + sttsSz + stscSz + stszSz + stcoSz
+        val vmhdSz = 20
+        val dinfSz = 8 + (8 + 8 + 12) // dinf{dref{url }}
+        val minfSz = 8 + vmhdSz + dinfSz + stblSz
+        val mdhdSz = 32
+        val hdlrSz = 33
+        val mdiaSz = 8 + mdhdSz + hdlrSz + minfSz
+        val tkhdSz = 92
+        val trakSz = 8 + tkhdSz + mdiaSz
+        val mvhdSz = 108
+        b32(8 + mvhdSz + trakSz); cc("moov")
+        b32(mvhdSz); cc("mvhd"); b32(0) // version+flags
+        b32(0); b32(0); b32(1000); b32(n * 40) // times, timescale, duration
+        b32(0x00010000); b16(0x0100); zeros(10) // rate, volume, reserved
+        b32(0x00010000); b32(0); b32(0) // identity matrix rows
+        b32(0); b32(0x00010000); b32(0)
+        b32(0); b32(0); b32(0x40000000)
+        zeros(24); b32(2) // pre_defined, next track id
+        b32(trakSz); cc("trak")
+        b32(tkhdSz); cc("tkhd"); b32(7) // version 0, flags enabled
+        b32(0); b32(0); b32(1); b32(0); b32(n * 40) // times, id, duration
+        zeros(8); b16(0); b16(0); b16(0); b16(0) // layer..reserved
+        b32(0x00010000); b32(0); b32(0) // identity matrix
+        b32(0); b32(0x00010000); b32(0)
+        b32(0); b32(0); b32(0x40000000)
+        b32(w << 16); b32(h << 16) // 16.16 fixed dims
+        b32(mdiaSz); cc("mdia")
+        b32(mdhdSz); cc("mdhd"); b32(0)
+        b32(0); b32(0); b32(1000); b32(n * 40)
+        b16(0x55C4); b16(0) // language 'und', pre_defined
+        b32(hdlrSz); cc("hdlr"); b32(0)
+        b32(0); cc("vide"); zeros(12); out.write(0) // empty name
+        b32(minfSz); cc("minf")
+        b32(vmhdSz); cc("vmhd"); b32(1); b16(0); b16(0); b16(0); b16(0)
+        b32(dinfSz); cc("dinf")
+        b32(8 + 8 + 12); cc("dref"); b32(0); b32(1)
+        b32(12); cc("url "); b32(1) // self-contained
+        b32(stblSz); cc("stbl")
+        b32(stsdSz); cc("stsd"); b32(0); b32(1)
+        b32(86); cc("raw "); zeros(6); b16(1) // sample entry header
+        b16(0); b16(0); zeros(12) // pre_defined, reserved, pre_defined
+        b16(w); b16(h)
+        b32(0x00480000); b32(0x00480000) // 72 dpi
+        b32(0); b16(1); zeros(32) // data size, frame count, compressor
+        b16(24); b16(0xFFFF) // depth, pre_defined -1
+        b32(sttsSz); cc("stts"); b32(0); b32(1); b32(n); b32(40)
+        b32(stscSz); cc("stsc"); b32(0)
+        if (n % 2 == 1) {
+          b32(2); b32(1); b32(2); b32(1) // chunks 1.. hold 2 samples,
+          b32(nChunks); b32(1); b32(1)   // the tail chunk holds 1
+        } else {
+          b32(1); b32(1); b32(2); b32(1)
+        }
+        b32(stszSz); cc("stsz"); b32(0); b32(0); b32(n)
+        (0 until n).foreach(_ => b32(frameSize))
+        b32(stcoSz); cc("stco"); b32(0); b32(nChunks)
+        (0 until nChunks).foreach(c => b32(mdatPayloadAt +
+          2 * c * frameSize))
+        val bytes = out.toByteArray
+        Row(id, bytes, Row("video/mp4", bytes.length.toLong))
       }
     }(enc)
   }

@@ -228,6 +228,47 @@ class MultimodalCodecSpec extends SparkSpec {
     fallback.foreach(r => assert(r.isNullAt(r.fieldIndex("n_frames"))))
   }
 
+  test("MP4 round-trip: ISO-BMFF box walk + stsc chunk-run expansion, " +
+      "sampled frame stats exact, torn/foreign payloads degrade to " +
+      "null-stat rows") {
+    val media = Multimodal.synthesizeMp4(ids, "doc_id")
+    media.collect().foreach(r =>
+      assert(Multimodal.sniffFormat(r.getAs[Array[Byte]]("media"))
+        === "video/mp4"))
+    val rows = Multimodal.sampleVideoFrames(media, k = 3).collect()
+    assert(rows.length === 7 * 3)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val n = 3 + (id % 6).toInt
+      val f = r.getAs[Int]("frame_idx")
+      assert(r.getAs[Int]("n_frames") === n, s"id=$id")
+      assert(r.getAs[Int]("width") === 12 + (id % 20).toInt)
+      assert(r.getAs[Int]("height") === 6 + (id % 10).toInt)
+      assert(r.getAs[Int]("mean_r") === ((id * 37 + f * 19) % 256).toInt)
+      assert(r.getAs[Int]("mean_g") === ((id * 53 + f * 29) % 256).toInt)
+      assert(r.getAs[Int]("mean_b") === ((id * 89 + f * 31) % 256).toInt)
+    }
+    // the fixtures pack TWO samples per chunk (odd counts end in a short
+    // tail chunk), so exact means prove the stsc expansion walked runs,
+    // not a 1:1 shortcut; per-id picks are first/middle/last
+    val byId = rows.groupBy(_.getAs[Long]("id"))
+    byId.foreach { case (id, rs) =>
+      val n = 3 + (id % 6).toInt
+      assert(rs.map(_.getAs[Int]("frame_idx")).sorted.toSeq
+        === Seq(0, (n - 1) / 2, n - 1).distinct, s"id=$id")
+    }
+    // torn container (cut inside mdat, so stco points past the end),
+    // and a non-container payload: null-stat rows, never a crash
+    import spark.implicits._
+    val whole = media.collect().head.getAs[Array[Byte]]("media")
+    val torn = whole.take(64)
+    val junk = Seq((9L, torn), (10L, "ftyp is not at 4".getBytes))
+      .toDF("id", "media")
+    val fallback = Multimodal.sampleVideoFrames(junk, k = 3).collect()
+    assert(fallback.length === 2)
+    fallback.foreach(r => assert(r.isNullAt(r.fieldIndex("n_frames"))))
+  }
+
   test("sniffFormat magic bytes") {
     assert(Multimodal.sniffFormat("RIFFxxxxWAVEfmt ".getBytes) ===
       "audio/wav")
