@@ -844,22 +844,28 @@ object SparkEntry {
     * (truncated at maxBucket like the engine), and emit cross- plus
     * within-signature pairs. */
   private def p33Oracle: String = {
-    val ts = DuckOracleSql.toSigned(
-      "sum(CASE WHEN s > 0 THEN power(2::HUGEINT, b)::HUGEINT " +
-        "ELSE 0::HUGEINT END)")
+    // 64 per-bit counter SUM COLUMNS over the (doc, token, count) join —
+    // not a docs×vocab×64 row explosion (which hits ~2B intermediate
+    // rows at the 100× ladder scale); DuckDB vectorizes the wide
+    // aggregate over the ~n_tokens-sized join instead
+    val sums = (0 until 64).map { b =>
+      s"sum(CASE WHEN (vh.xh // ${BigInt(2).pow(b)}::HUGEINT) % 2 = 1 " +
+        s"THEN tc.ct ELSE -tc.ct END) AS s$b"
+    }.mkString(", ")
+    val sigSum = (0 until 64).map { b =>
+      s"(CASE WHEN s$b > 0 THEN ${BigInt(2).pow(b)}::HUGEINT " +
+        "ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
     s"""WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
   FROM documents),
 tc AS (SELECT doc_id, tok, count(*) AS ct FROM tok GROUP BY 1, 2),
 voc AS (SELECT DISTINCT tok FROM tc),
 ${DuckOracleSql.xxh64StrCtes("voc", "tok", "vh").trim},
-bits AS (
-  SELECT tc.doc_id, b.b,
-         sum(tc.ct * CASE WHEN (vh.xh // power(2::HUGEINT, b.b)::HUGEINT) % 2 = 1
-                          THEN 1 ELSE -1 END) AS s
-  FROM tc JOIN vh ON tc.tok = vh.tok CROSS JOIN (SELECT unnest(range(64)) AS b) b
-  GROUP BY 1, 2),
-sig AS (SELECT doc_id, $ts AS sig FROM bits GROUP BY doc_id),
+csum AS (SELECT tc.doc_id, $sums
+  FROM tc JOIN vh ON tc.tok = vh.tok GROUP BY tc.doc_id),
+sig AS (SELECT doc_id, ${DuckOracleSql.toSigned(s"($sigSum)")} AS sig
+  FROM csum),
 dsig AS (SELECT DISTINCT sig FROM sig),
 chunked AS (
   SELECT sig, c, (sig >> (c * 16)) & 65535 AS chunk,

@@ -35,6 +35,12 @@ def canon(rows, cols):
 
 def main(sf_dir, out_dir, subset=None):
     con = duckdb.connect()
+    # bound DuckDB's footprint (default: 80% of RAM — collides with a
+    # concurrent big-heap Spark JVM) and give it a spill dir so capped
+    # ladder-scale queries degrade to disk instead of OOM
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_DUCK_MEM", "40GB"))
+    con.execute("SET temp_directory='%s/duck_spill'" % out_dir)
     for t in TABLES:
         # driver testdata is one file per table; ScaleGen output is a
         # Spark-style directory of part files per table
