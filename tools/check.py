@@ -50,6 +50,7 @@ def main(sf_dir, out_dir, subset=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    book = {}
     for name, sql in sorted(oracle.items()):
         # A missing dump is only benign when the Verify run was explicitly
         # filtered (pass the same comma-separated subset as 3rd arg);
@@ -73,6 +74,8 @@ def main(sf_dir, out_dir, subset=None):
             oc, orr = canon(orows, ocols)
             if ec != oc:
                 print(f"FAIL {name}: columns {ec} vs {oc}")
+                book[name] = {"pass": False, "rows": len(er),
+                              "oracle": "duckdb"}
                 n_fail += 1
             elif er != orr:
                 diff = [(a, b) for a, b in zip(er, orr) if a != b][:3]
@@ -81,14 +84,22 @@ def main(sf_dir, out_dir, subset=None):
                 print(f"FAIL {name}: rows {len(er)} vs {len(orr)}; "
                       f"first diffs {diff} | only-engine {only_e} | "
                       f"only-oracle {only_o}")
+                book[name] = {"pass": False, "rows": len(er),
+                              "oracle": "duckdb"}
                 n_fail += 1
             else:
                 print(f"PASS {name} ({len(er)} rows)")
+                book[name] = {"pass": True, "rows": len(er),
+                              "oracle": "duckdb"}
                 n_pass += 1
         except Exception as e:
             print(f"ERROR {name}: {e}")
+            book[name] = {"pass": False, "rows": None, "oracle": "duckdb",
+                          "err": str(e)[:200]}
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skipped (filtered)")
+    if os.environ.get("GRAFT_CHECK_BOOK"):
+        json.dump(book, open(os.environ["GRAFT_CHECK_BOOK"], "w"), indent=1)
     return 1 if n_fail else 0
 
 

@@ -13,7 +13,15 @@ Sample rule (deterministic, no RNG): sort the distinct sources, keep
 every `stride`-th starting at index 0. `documents` is rewritten filtered
 to those sources; every other table is symlinked unchanged.
 
-Usage: sample_blocks.py <sf_dir> <out_dir> [stride=20]
+The same closed-world argument holds for the hyperplane-LSH pair oracle
+(p35), whose buckets are a pure function of each VECTOR: any vector
+subset is a self-contained corpus, and its pairs are exactly the full
+corpus's pairs restricted to the subset. Pass vec_stride > 0 to also
+rewrite `embeddings` keeping vec_id % vec_stride == 0 (ScaleGen copy
+offsets are multiples of any small stride, so every copy is sampled
+evenly).
+
+Usage: sample_blocks.py <sf_dir> <out_dir> [stride=20] [vec_stride=0]
 """
 import os
 import sys
@@ -22,6 +30,7 @@ import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 stride = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+vec_stride = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
 docs = f"{sf_dir}/documents.parquet"
 if os.path.isdir(docs):
@@ -43,8 +52,24 @@ con.execute(f"COPY (SELECT * FROM '{docs}' WHERE source IN ({kept_sql})) "
 n = con.execute(f"SELECT count(*) FROM '{out_docs}'").fetchone()[0]
 print(f"[sample] documents: {n} rows")
 
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "embeddings"]:
+passthrough = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events"]
+if vec_stride > 0:
+    emb = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(emb):
+        emb = emb + "/*.parquet"
+    out_emb = f"{out_dir}/embeddings.parquet"
+    if os.path.islink(out_emb) or os.path.exists(out_emb):
+        os.remove(out_emb)
+    con.execute(f"COPY (SELECT * FROM '{emb}' "
+                f"WHERE vec_id % {vec_stride} = 0) "
+                f"TO '{out_emb}' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM '{out_emb}'").fetchone()[0]
+    print(f"[sample] embeddings: {n} rows (vec_id % {vec_stride} == 0)")
+else:
+    passthrough.append("embeddings")
+
+for t in passthrough:
     src = os.path.abspath(f"{sf_dir}/{t}.parquet")
     dst = f"{out_dir}/{t}.parquet"
     if os.path.islink(dst) or os.path.exists(dst):
