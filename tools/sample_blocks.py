@@ -21,7 +21,16 @@ rewrite `embeddings` keeping vec_id % vec_stride == 0 (ScaleGen copy
 offsets are multiples of any small stride, so every copy is sampled
 evenly).
 
+The graph-analytics family (g42-g47) blocks on nation: its tournament
+edges are pairs of SUPPLIERS within a nation, a pure function of the
+supplier set — so a deterministic supplier-stride subset is a closed
+world too (the fixture's edge count is quadratic in suppliers-per-
+nation because nations are fixed dims; sampling suppliers is the sound
+way to hold the fixture linear at 100x). Pass sup_stride > 0 to rewrite
+`supplier` keeping s_suppkey % sup_stride == 0.
+
 Usage: sample_blocks.py <sf_dir> <out_dir> [stride=20] [vec_stride=0]
+       [sup_stride=0]
 """
 import os
 import sys
@@ -31,6 +40,7 @@ import duckdb
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 stride = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 vec_stride = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+sup_stride = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
 docs = f"{sf_dir}/documents.parquet"
 if os.path.isdir(docs):
@@ -52,8 +62,22 @@ con.execute(f"COPY (SELECT * FROM '{docs}' WHERE source IN ({kept_sql})) "
 n = con.execute(f"SELECT count(*) FROM '{out_docs}'").fetchone()[0]
 print(f"[sample] documents: {n} rows")
 
-passthrough = ["region", "nation", "customer", "supplier", "part",
+passthrough = ["region", "nation", "customer", "part",
                "orders", "lineitem", "events"]
+if sup_stride > 0:
+    sup = f"{sf_dir}/supplier.parquet"
+    if os.path.isdir(sup):
+        sup = sup + "/*.parquet"
+    out_sup = f"{out_dir}/supplier.parquet"
+    if os.path.islink(out_sup) or os.path.exists(out_sup):
+        os.remove(out_sup)
+    con.execute(f"COPY (SELECT * FROM '{sup}' "
+                f"WHERE s_suppkey % {sup_stride} = 0) "
+                f"TO '{out_sup}' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM '{out_sup}'").fetchone()[0]
+    print(f"[sample] supplier: {n} rows (s_suppkey % {sup_stride} == 0)")
+else:
+    passthrough.append("supplier")
 if vec_stride > 0:
     emb = f"{sf_dir}/embeddings.parquet"
     if os.path.isdir(emb):
