@@ -82,6 +82,28 @@ object DuckOracleSql {
   /** UTF-8 byte list of a VARCHAR column (codepoint -> byte arithmetic;
     * `string_split(s, '')` yields grapheme clusters — multi-codepoint
     * clusters would mis-expand, none exist in the ASCII corpora). */
+  /** Spark XXH64.hashLong(value, seed) as a lateral-alias column chain:
+    * acc = seed + P5 + 8; acc ^= rotl31(value*P2)*P1;
+    * acc = rotl27(acc)*P1 + P4; then the standard avalanche — the
+    * public spec's 8-byte-chunk + finalize path. `value` must already
+    * be the unsigned 64-bit reinterpretation (HUGEINT in [0, 2^64)).
+    * Returns (select-list fragment, output column name); value and
+    * seed are each referenced exactly once. Validated against Spark's
+    * own `xxhash64` over BIGINT inputs by tools/duck_xxh64_proto.py. */
+  def xxh64LongAliases(value: String, seed: String,
+                       pfx: String): (String, String) = {
+    val steps = Seq(
+      s"${pfx}a" -> round0(value),
+      s"${pfx}b" -> xor(add(add(seed, P5), "8::HUGEINT"), s"${pfx}a"),
+      s"${pfx}c" -> add(mul(rotl(s"${pfx}b", 27), P1), P4),
+      s"${pfx}d" -> xor(s"${pfx}c", shr(s"${pfx}c", 33)),
+      s"${pfx}e" -> mul(s"${pfx}d", P2),
+      s"${pfx}f" -> xor(s"${pfx}e", shr(s"${pfx}e", 29)),
+      s"${pfx}g" -> mul(s"${pfx}f", P3),
+      s"${pfx}h" -> xor(s"${pfx}g", shr(s"${pfx}g", 32)))
+    (steps.map { case (n, e) => s"$e AS $n" }.mkString(", "), s"${pfx}h")
+  }
+
   private def utf8Bytes(col: String) =
     s"flatten(list_transform(list_filter(string_split($col, ''), " +
       "c -> c <> ''), c -> " +

@@ -718,7 +718,25 @@ object SparkEntry {
         TpchGraph.store(s, dir).nodes("documents"), "id"), k = 3)
         .select(col("id").as("doc_id"), col("n_frames"),
           col("frame_idx"), col("width"), col("height"),
-          col("mean_r"), col("mean_g"), col("mean_b")))
+          col("mean_r"), col("mean_g"), col("mean_b"))),
+    // Duplicated-substring spans (Lee et al. 2021 shape): token
+    // positions covered by an 8-gram occurring >= 2 times corpus-wide,
+    // merged per doc. Hash-grain corpus shuffle; the DuckDB oracle
+    // groups the gram STRINGS, so a 64-bit gram-hash collision would
+    // surface as a hash mismatch here.
+    "p60_substring_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(TpchGraph.store(s, dir).nodes("documents"),
+        "id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_end"))),
+    // Deterministic training-shard shuffle: xxhash64-permutation shard
+    // + within-shard position; hard-gated against the DuckDB XXH64
+    // mirror's hashLong chain.
+    "p61_shuffle_shards" -> ((s, dir) =>
+      Curation.shuffleShards(
+        TpchGraph.store(s, dir).nodes("documents"), "id", nShards = 16)
+        .select(col("id").as("doc_id"), col("shard"), col("sort_key"),
+          col("pos")))
   )
 
   /** Temporal DIFF + variable-length paths (beyond-reference ops). */
@@ -931,6 +949,22 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
     * — the float cast absorbs cross-engine summation-order noise), probe
     * the 4 nearest centroids per query, exact cosine top-10 in probed
     * cells. */
+  /** p61 oracle: replay [[Curation.shuffleShards]](nShards=16) with the
+    * [[DuckOracleSql]] XXH64 hashLong mirror — shard via Spark's pmod
+    * on the SIGNED hash, position via row_number per shard. */
+  private def p61Oracle: String = {
+    val m = "18446744073709551616::HUGEINT"
+    val (frag, out) = DuckOracleSql.xxh64LongAliases(
+      s"(((doc_id)::HUGEINT + $m) % $m)", "42::HUGEINT", "zz")
+    s"WITH t AS (SELECT doc_id, $frag FROM documents), " +
+      s"s AS (SELECT doc_id, ${DuckOracleSql.toSigned(out)} AS sort_key " +
+      "FROM t), " +
+      "x AS (SELECT doc_id, ((sort_key % 16) + 16) % 16 AS shard, " +
+      "sort_key FROM s) " +
+      "SELECT doc_id, shard, sort_key, row_number() OVER " +
+      "(PARTITION BY shard ORDER BY sort_key, doc_id) - 1 AS pos FROM x"
+  }
+
   private def p37Oracle: String = {
     val dims = "(SELECT len(embedding) FROM embeddings LIMIT 1)"
     def assign(vecs: String, cents: String, out: String) =
@@ -1326,6 +1360,27 @@ WHERE rank <= 10"""
         "CAST((doc_id * 53 + frame_idx * 29) % 256 AS INT) AS mean_g, " +
         "CAST((doc_id * 89 + frame_idx * 31) % 256 AS INT) AS mean_b " +
         "FROM f"),
+    // independent replay of Dedup.duplicatedSpans(k=8, minCount=2) —
+    // grams as STRINGS (the engine shuffles xxhash64 longs), merge via
+    // gaps-and-islands instead of the engine's aggregate fold
+    "p60_substring_spans" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, pos, " +
+        "array_to_string(w[pos+1:pos+8], ' ') AS gram " +
+        "FROM (SELECT doc_id, w, unnest(range(0, len(w)-7)) AS pos " +
+        "FROM t WHERE len(w) >= 8)), " +
+        "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
+        "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
+        "i AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END " +
+        "AS brk FROM h), " +
+        "s AS (SELECT doc_id, pos, sum(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS isl FROM i) " +
+        "SELECT doc_id, min(pos) AS span_start, max(pos) + 7 " +
+        "AS span_end FROM s GROUP BY doc_id, isl"),
+    "p61_shuffle_shards" -> p61Oracle,
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
         "WHERE c_custkey % 3 = 0"),

@@ -428,4 +428,32 @@ object Curation {
     val near = pairGen(repDocs).select(col(aCol), col(bCol))
     dupClusters(docs, idCol, near.unionByName(star), aCol, bCol)
   }
+
+  /** Deterministic global shuffle for training-shard writing: assign
+    * every row a pseudorandom shard and a position within it via the
+    * xxhash64 permutation of its id — the standard "shuffle once,
+    * stream shards sequentially" layout LLM training jobs consume.
+    * Reproducible across runs and engines (no RNG, no
+    * partition-dependent state), stable under re-partitioning of the
+    * input, and incremental: a row's (shard, sort_key) never changes as
+    * the corpus grows, so newly ingested docs interleave into existing
+    * shards without reshuffling old ones.
+    *
+    * 100 TB shape: the projection is zero-shuffle; the per-shard
+    * `row_number` is one hash-partition-by-shard exchange followed by a
+    * within-shard sort — exactly the work a shard writer must do anyway
+    * (`repartition(shard) + sortWithinPartitions(sort_key)`), with each
+    * shard 1/nShards of the corpus. Downstream writers that only need
+    * the ORDER (not the dense index) can drop `pos` and keep the plan
+    * sort-only.
+    */
+  def shuffleShards(df: DataFrame, idCol: String,
+                    nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val h = xxhash64(col(idCol).cast("long"))
+    val w = Window.partitionBy("shard").orderBy("sort_key", idCol)
+    df.select(col(idCol), pmod(h, lit(nShards.toLong)).as("shard"),
+        h.as("sort_key"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+  }
 }

@@ -440,4 +440,59 @@ object Dedup {
         VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Exact duplicated-substring span detection — the substring-level
+    * exact-dedup shape of Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better"): find every token position covered
+    * by a `k`-token gram that occurs at least `minCount` times
+    * CORPUS-WIDE, and merge the per-document positions into maximal
+    * [span_start, span_end] token ranges (0-based, inclusive,
+    * overlap-or-adjacency merged). Removal is then a trivial projection
+    * over the spans; detection is the operator.
+    *
+    * 100 TB shape: grams are carried as xxhash64 longs, never strings,
+    * so the one corpus-wide shuffle (groupBy gram → multiplicity) moves
+    * 8-byte keys at token grain — the same hashed-set-equality trade
+    * minhash and decontaminate document (64-bit collisions negligible;
+    * a collision can only MERGE two gram classes, inflating a count).
+    * The gram table is materialized once and read by both the count and
+    * the position side; the per-document interval merge is a single
+    * codegen'd `aggregate` fold over that document's sorted positions
+    * (bounded by document length), so no window function and no
+    * driver-side work anywhere.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, minCount: Long = 2L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = df.select(col(idCol).as("__id"),
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>")).as("__gs"))
+      .select(col("__id"), posexplode(col("__gs")).as(Seq("__pos", "__g")))
+      .transform(graft.core.Materialize(_))
+    val dup = grams.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("__g")
+    val emptySpans =
+      filter(array(struct(lit(0L).as("s"), lit(0L).as("e"))),
+        _ => lit(false))
+    val merge = (acc: Column, p: Column) => {
+      val last = element_at(acc, -1)
+      when(size(acc) > 0 && p <= last("e") + 1,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last("s").as("s"),
+            greatest(last("e"), p + k - 1).as("e")))))
+        .otherwise(concat(acc,
+          array(struct(p.as("s"), (p + k - 1).as("e")))))
+    }
+    grams.join(dup, "__g")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__pos").cast("long"))).as("__ps"))
+      .select(col("__id"),
+        explode(aggregate(col("__ps"), emptySpans, merge)).as("__sp"))
+      .select(col("__id").as(idCol),
+        col("__sp")("s").as("span_start"),
+        col("__sp")("e").as("span_end"))
+  }
 }

@@ -342,4 +342,61 @@ class PipelineSpec extends SparkSpec {
     // two sessions closed by gaps; the t=60 session remains open in state
     assert(sessions === Set((0L, 1L, 2), (30L, 31L, 2)))
   }
+
+  test("duplicated-substring spans: detect, merge, and bound") {
+    import spark.implicits._
+    // k=3 grams; docs 0 and 1 share "a b c d" (grams "a b c" and
+    // "b c d" -> one merged span) plus a separated shared run "x y z"
+    val d = Seq(
+      (0L, "a b c d q q1 q2 x y z"),
+      (1L, "p p1 a b c d p2 p3 x y z"),
+      (2L, "totally unrelated words here seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+    // doc 0: "a b c d" at tokens 0-3, "x y z" at 7-9
+    // doc 1: "a b c d" at tokens 2-5, "x y z" at 8-10; doc 2: nothing
+    assert(spans === Set((0L, 0L, 3L), (0L, 7L, 9L),
+      (1L, 2L, 5L), (1L, 8L, 10L)))
+    // a doc shorter than k produces no grams and no spans
+    val short = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(short, "doc_id", "text", k = 3)
+      .count() === 0)
+    // adjacency merge: the whole doc collapses to ONE span when every
+    // gram is duplicated
+    val full = Seq((0L, "m n o p q"), (1L, "m n o p q"))
+      .toDF("doc_id", "text")
+    val fs = Dedup.duplicatedSpans(full, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
+    assert(fs === Set((0L, 0L, 4L), (1L, 0L, 4L)))
+  }
+
+  test("shuffle shards: deterministic xxhash64 permutation") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("doc_id")
+    val out = graft.pipeline.Curation.shuffleShards(ids, "doc_id", 16)
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("shard"), r.getAs[Long]("sort_key"),
+      r.getAs[Long]("pos")))
+    // permutation: every id exactly once; shard = pmod(hash, 16)
+    assert(rows.map(_._1).sorted.toSeq === (0L until 200L))
+    rows.foreach { case (_, shard, key, _) =>
+      assert(shard === ((key % 16) + 16) % 16)
+    }
+    // positions are dense 0..n-1 within each shard, ordered by sort_key
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (0L until g.length))
+      assert(g.sortBy(_._4).map(_._3).toSeq === g.map(_._3).sorted.toSeq)
+    }
+    // stable under input partitioning
+    val again = graft.pipeline.Curation
+      .shuffleShards(ids.repartition(7), "doc_id", 16)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("shard"), r.getAs[Long]("sort_key"),
+        r.getAs[Long]("pos"))).toSet
+    assert(again === rows.toSet)
+  }
 }
