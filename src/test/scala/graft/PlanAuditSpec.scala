@@ -296,4 +296,30 @@ class PlanAuditSpec extends SparkSpec {
         s"head-version predicate not pushed into the version scan:\n$head")
     } finally r.close()
   }
+
+  test("duplicated-substring spans shuffle hashes, merge without windows") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val df = graft.pipeline.Dedup.duplicatedSpans(
+      store.nodes("documents"), "id", "text", k = 8)
+    val plan = physical(df)
+    // the gram-multiplicity count must combine map-side (partial +
+    // final HashAggregate), and the interval merge is an aggregate
+    // fold, not a window — a global window would serialize the corpus
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"gram count lacks partial aggregation:\n$plan")
+    assert(!plan.contains("Window"),
+      s"interval merge regressed to a window:\n$plan")
+  }
+
+  test("shuffle shards: one exchange on shard, nothing global") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val df = graft.pipeline.Curation.shuffleShards(
+      store.nodes("documents"), "id", nShards = 16)
+    val plan = physical(df)
+    // per-shard row_number partitions by the shard column (each shard
+    // is 1/nShards of the corpus); an empty partition spec would pull
+    // the whole corpus through one task
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"row_number not partitioned by shard:\n$plan")
+  }
 }
