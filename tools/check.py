@@ -52,15 +52,19 @@ def main(sf_dir, out_dir, subset=None):
     n_pass = n_fail = n_skip = 0
     book = {}
     for name, sql in sorted(oracle.items()):
+        # The subset RESTRICTS the check itself (not just missing-dump
+        # classification): one-query-per-process retry loops depend on a
+        # subset invocation touching nothing else — a DuckDB OOM on one
+        # heavy oracle poisons the process for every later query.
+        if subset is not None and name not in subset:
+            n_skip += 1
+            continue
         # A missing dump is only benign when the Verify run was explicitly
         # filtered (pass the same comma-separated subset as 3rd arg);
         # otherwise it means the query crashed before dumping → FAIL.
         if not os.path.isdir(f"{out_dir}/{name}"):
-            if subset is not None and name not in subset:
-                n_skip += 1
-            else:
-                print(f"FAIL {name}: no dump (crashed before write?)")
-                n_fail += 1
+            print(f"FAIL {name}: no dump (crashed before write?)")
+            n_fail += 1
             continue
         try:
             eng = con.execute(
