@@ -729,6 +729,16 @@ object SparkEntry {
         "id", "text", k = 8)
         .select(col("id").as("doc_id"), col("span_start"),
           col("span_end"))),
+    // Duplicated-substring span REMOVAL (p62 — the surgery half of the
+    // Lee et al. family): cut p60's spans out of the token stream, drop
+    // docs with an empty remnant. The oracle replays it as DuckDB
+    // string surgery over the gaps-and-islands spans (grams grouped as
+    // strings; the engine shuffles xxhash64 longs — independent).
+    "p62_remove_spans" -> ((s, dir) =>
+      Dedup.removeSpans(TpchGraph.store(s, dir).nodes("documents"),
+        "id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_kept"), col("n_removed"))),
     // Deterministic training-shard shuffle: xxhash64-permutation shard
     // + within-shard position; hard-gated against the DuckDB XXH64
     // mirror's hashLong chain.
@@ -964,6 +974,62 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "SELECT doc_id, shard, sort_key, row_number() OVER " +
       "(PARTITION BY shard ORDER BY sort_key, doc_id) - 1 AS pos FROM x"
   }
+
+  /** p60 oracle, parameterized by corpus relation and gram width `k` —
+    * independent replay of [[Dedup.duplicatedSpans]](k, minCount=2):
+    * grams grouped as STRINGS (the engine shuffles xxhash64 longs, so a
+    * 64-bit gram-hash collision would surface as a hash mismatch here),
+    * merge via gaps-and-islands instead of the engine's aggregate fold.
+    * `k` is interpolated from ONE parameter everywhere (r11 advice: the
+    * former literal-8 copies could silently desync). */
+  private def spansOracle(docs: String, k: Int): String =
+    s"WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+      s"FROM $docs), " +
+      "g AS (SELECT doc_id, pos, " +
+      s"array_to_string(w[pos+1:pos+$k], ' ') AS gram " +
+      s"FROM (SELECT doc_id, w, unnest(range(0, len(w)-${k - 1})) AS pos " +
+      s"FROM t WHERE len(w) >= $k)), " +
+      "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
+      "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
+      "i AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
+      s"(PARTITION BY doc_id ORDER BY pos) + $k THEN 1 ELSE 0 END " +
+      "AS brk FROM h), " +
+      "s AS (SELECT doc_id, pos, sum(brk) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) AS isl FROM i) " +
+      s"SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} " +
+      "AS span_end FROM s GROUP BY doc_id, isl"
+
+  /** p62 oracle: string-surgery replay of [[Dedup.removeSpans]](k,
+    * minCount=2, minKeptTokens=1) built on [[spansOracle]]'s CTEs —
+    * duplicated-gram positions expand to covered token positions, the
+    * ORIGINAL-case token stream is anti-joined against the covered set,
+    * and survivors re-join with single spaces. Documents whose every
+    * token is covered drop out (the engine's remnant floor of 1). */
+  private def removeSpansOracle(docs: String, k: Int): String =
+    s"WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS wo " +
+      s"FROM $docs), " +
+      "g AS (SELECT doc_id, pos, " +
+      s"array_to_string(w[pos+1:pos+$k], ' ') AS gram " +
+      s"FROM (SELECT doc_id, w, unnest(range(0, len(w)-${k - 1})) AS pos " +
+      s"FROM t WHERE len(w) >= $k)), " +
+      "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
+      "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
+      "cov AS (SELECT DISTINCT h.doc_id, h.pos + j.j AS cp FROM h " +
+      s"CROSS JOIN (SELECT unnest(range($k)) AS j) j), " +
+      "tok AS (SELECT doc_id, p, wo[p+1] AS tk FROM " +
+      "(SELECT doc_id, wo, unnest(range(0, len(wo))) AS p FROM t)), " +
+      "kept AS (SELECT tok.doc_id, tok.p, tok.tk FROM tok " +
+      "LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.cp = tok.p " +
+      "WHERE cov.cp IS NULL) " +
+      "SELECT k2.doc_id, " +
+      "array_to_string(list(k2.tk ORDER BY k2.p), ' ') AS clean_text, " +
+      "count(*) AS n_kept, " +
+      "any_value(len(t.wo)) - count(*) AS n_removed " +
+      "FROM kept k2 JOIN t ON t.doc_id = k2.doc_id " +
+      "GROUP BY k2.doc_id"
 
   private def p37Oracle: String = {
     val dims = "(SELECT len(embedding) FROM embeddings LIMIT 1)"
@@ -1360,26 +1426,8 @@ WHERE rank <= 10"""
         "CAST((doc_id * 53 + frame_idx * 29) % 256 AS INT) AS mean_g, " +
         "CAST((doc_id * 89 + frame_idx * 31) % 256 AS INT) AS mean_b " +
         "FROM f"),
-    // independent replay of Dedup.duplicatedSpans(k=8, minCount=2) —
-    // grams as STRINGS (the engine shuffles xxhash64 longs), merge via
-    // gaps-and-islands instead of the engine's aggregate fold
-    "p60_substring_spans" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
-        "FROM documents), " +
-        "g AS (SELECT doc_id, pos, " +
-        "array_to_string(w[pos+1:pos+8], ' ') AS gram " +
-        "FROM (SELECT doc_id, w, unnest(range(0, len(w)-7)) AS pos " +
-        "FROM t WHERE len(w) >= 8)), " +
-        "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
-        "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
-        "i AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
-        "(PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END " +
-        "AS brk FROM h), " +
-        "s AS (SELECT doc_id, pos, sum(brk) OVER " +
-        "(PARTITION BY doc_id ORDER BY pos) AS isl FROM i) " +
-        "SELECT doc_id, min(pos) AS span_start, max(pos) + 7 " +
-        "AS span_end FROM s GROUP BY doc_id, isl"),
+    "p60_substring_spans" -> spansOracle("documents", 8),
+    "p62_remove_spans" -> removeSpansOracle("documents", 8),
     "p61_shuffle_shards" -> p61Oracle,
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +

@@ -459,7 +459,12 @@ object Dedup {
     * the position side; the per-document interval merge is a single
     * codegen'd `aggregate` fold over that document's sorted positions
     * (bounded by document length), so no window function and no
-    * driver-side work anywhere.
+    * driver-side work anywhere. The fold accumulator is a struct of
+    * (closed spans, current span start/end): the span array is appended
+    * to only when a gap CLOSES the current span, so the fold is
+    * O(positions) array work — never rebuilt per position (r11 advice;
+    * the former last-element-rewrite paid O(positions × spans) copying
+    * on heavily-duplicated long documents).
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int, minCount: Long = 2L): DataFrame = {
@@ -474,25 +479,78 @@ object Dedup {
       .transform(graft.core.Materialize(_))
     val dup = grams.groupBy("__g").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount).select("__g")
-    val emptySpans =
-      filter(array(struct(lit(0L).as("s"), lit(0L).as("e"))),
-        _ => lit(false))
-    val merge = (acc: Column, p: Column) => {
-      val last = element_at(acc, -1)
-      when(size(acc) > 0 && p <= last("e") + 1,
-        concat(slice(acc, lit(1), size(acc) - 1),
-          array(struct(last("s").as("s"),
-            greatest(last("e"), p + k - 1).as("e")))))
-        .otherwise(concat(acc,
-          array(struct(p.as("s"), (p + k - 1).as("e")))))
-    }
+    // cs = -1 marks "no open span" (real positions are >= 0)
+    val zero = struct(emptySpans.as("closed"),
+      lit(-1L).as("cs"), lit(-1L).as("ce"))
+    val close = (acc: Column) =>
+      concat(acc("closed"),
+        array(struct(acc("cs").as("s"), acc("ce").as("e"))))
+    val merge = (acc: Column, p: Column) =>
+      when(acc("cs") < 0,
+        struct(acc("closed").as("closed"),
+          p.as("cs"), (p + k - 1).as("ce")))
+        .when(p <= acc("ce") + 1,
+          struct(acc("closed").as("closed"), acc("cs").as("cs"),
+            greatest(acc("ce"), p + k - 1).as("ce")))
+        .otherwise(struct(close(acc).as("closed"),
+          p.as("cs"), (p + k - 1).as("ce")))
+    val fin = (acc: Column) =>
+      when(acc("cs") < 0, acc("closed")).otherwise(close(acc))
     grams.join(dup, "__g")
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__pos").cast("long"))).as("__ps"))
       .select(col("__id"),
-        explode(aggregate(col("__ps"), emptySpans, merge)).as("__sp"))
+        explode(aggregate(col("__ps"), zero, merge, fin)).as("__sp"))
       .select(col("__id").as(idCol),
         col("__sp")("s").as("span_start"),
         col("__sp")("e").as("span_end"))
+  }
+
+  /** Typed empty `array<struct<s,e>>` literal (a bare `array()` is
+    * `array<null>`; the filter trick pins the element type). */
+  private def emptySpans: Column =
+    filter(array(struct(lit(0L).as("s"), lit(0L).as("e"))),
+      _ => lit(false))
+
+  /** Duplicated-substring span REMOVAL — the surgery step completing the
+    * Lee et al. 2021 substring-dedup family ([[duplicatedSpans]] is the
+    * detection half): cut every token position covered by a duplicated
+    * span out of the document and re-emit the cleaned text, dropping
+    * documents whose remnant falls below `minKeptTokens` tokens (a
+    * near-total duplicate is not worth keeping as a fragment; pass 0 to
+    * keep every row). Output per surviving document: `clean_text`
+    * (whitespace-normalized — surviving tokens re-joined with single
+    * spaces), `n_kept`, `n_removed`.
+    *
+    * Span positions are computed on the LOWERCASED token stream (like
+    * [[duplicatedSpans]]) but removal operates on the ORIGINAL trimmed
+    * tokens — lowercasing never changes whitespace, so the two position
+    * spaces coincide and surviving text keeps its original case.
+    *
+    * 100 TB shape: everything [[duplicatedSpans]] does, plus one hash
+    * join of the corpus against the per-document span table — which
+    * carries only documents containing at least one duplicated gram
+    * (≪ corpus on a healthy one) — and a codegen'd per-token coverage
+    * filter bounded by the merged (disjoint) span count per document.
+    * No window, no driver-side work.
+    */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, minCount: Long = 2L,
+                  minKeptTokens: Long = 1L): DataFrame = {
+    val perDoc = duplicatedSpans(df, idCol, textCol, k, minCount)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), size(col("__toks")).cast("long").as("__n"),
+        filter(col("__toks"), (_, i) =>
+          !exists(coalesce(col("__spans"), emptySpans), sp =>
+            i.cast("long") >= sp("s") && i.cast("long") <= sp("e")))
+          .as("__kept"))
+      .select(col(idCol), concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
+      .filter(col("n_kept") >= minKeptTokens)
   }
 }

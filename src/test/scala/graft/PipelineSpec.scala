@@ -374,6 +374,32 @@ class PipelineSpec extends SparkSpec {
     assert(fs === Set((0L, 0L, 4L), (1L, 0L, 4L)))
   }
 
+  test("remove spans: token surgery, case kept, remnant floor") {
+    import spark.implicits._
+    // doc 0/1 share "a b c d" and "x y z"; doc 2 is clean; docs 3/4 are
+    // full duplicates (empty remnant -> dropped); case survives removal
+    val d = Seq(
+      (0L, "a b c d E f g x y z"),
+      (1L, "q r a b c d s t x y z"),
+      (2L, "u v w"),
+      (3L, "m n o p q"),
+      (4L, "m n o p q")).toDF("doc_id", "text")
+    val out = Dedup.removeSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_removed"))).toSet
+    assert(out === Set(
+      (0L, "E f g", 3L, 7L),
+      (1L, "q r s t", 4L, 7L),
+      (2L, "u v w", 3L, 0L)))
+    // minKeptTokens = 0 keeps the fully-covered docs as empty remnants
+    val all = Dedup.removeSpans(d, "doc_id", "text", k = 3,
+      minKeptTokens = 0L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"))).toSet
+    assert(all.contains((3L, "", 0L)) && all.contains((4L, "", 0L)))
+  }
+
   test("shuffle shards: deterministic xxhash64 permutation") {
     import spark.implicits._
     val ids = (0L until 200L).toDF("doc_id")
