@@ -439,21 +439,57 @@ object Curation {
     * the corpus grows, so newly ingested docs interleave into existing
     * shards without reshuffling old ones.
     *
-    * 100 TB shape: the projection is zero-shuffle; the per-shard
-    * `row_number` is one hash-partition-by-shard exchange followed by a
-    * within-shard sort — exactly the work a shard writer must do anyway
-    * (`repartition(shard) + sortWithinPartitions(sort_key)`), with each
-    * shard 1/nShards of the corpus. Downstream writers that only need
-    * the ORDER (not the dense index) can drop `pos` and keep the plan
-    * sort-only.
+    * `idCol` must be an integral column (byte/short/int/long — checked
+    * at plan time): the hash input is the id's 64-bit value, and a
+    * string id would either throw at runtime under ANSI casting or
+    * collapse every unparsable id into one hash without it (r11
+    * advice). Hash a string key into a long (`xxhash64`) before calling
+    * if needed.
+    *
+    * 100 TB shape: the projection is zero-shuffle, and the dense
+    * within-shard index is a TWO-JOB prefix sum, never a
+    * one-task-per-shard sort (r11 verdict: at small `nShards` a global
+    * per-shard window funnels ~corpus/nShards rows through one task —
+    * ~6 TB at 16 shards on 100 TB). Each shard subdivides into 256
+    * contiguous sort_key ranges (the hash's top byte — arithmetic
+    * shift, so bucket order IS signed sort_key order); per-(shard,
+    * bucket) counts come to the driver (bounded: ≤ nShards·256 rows of
+    * three longs — the `packSequences` prefix-sum discipline), prefix
+    * offsets broadcast back, and `row_number` runs per (shard, bucket)
+    * — ≥ 256 parallel tasks per shard. Downstream writers that only
+    * need the ORDER (not the dense index) can drop `pos` and keep the
+    * plan `repartition(shard) + sortWithinPartitions(sort_key)`-shaped.
     */
   def shuffleShards(df: DataFrame, idCol: String,
                     nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"shuffleShards needs an integral id column; $idCol is $idType — " +
+        "hash non-numeric keys to a long (e.g. xxhash64) first")
+    val spark = df.sparkSession
     val h = xxhash64(col(idCol).cast("long"))
-    val w = Window.partitionBy("shard").orderBy("sort_key", idCol)
-    df.select(col(idCol), pmod(h, lit(nShards.toLong)).as("shard"),
-        h.as("sort_key"))
-      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+    val keyed = df.select(col(idCol),
+        pmod(h, lit(nShards.toLong)).as("shard"), h.as("sort_key"))
+      .withColumn("__b", shiftright(col("sort_key"), 56))
+    val counts = keyed.groupBy("shard", "__b")
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case ((sh, b, _), off) => (sh, b, off) }
+    }
+    import spark.implicits._
+    val w = Window.partitionBy("shard", "__b").orderBy("sort_key", idCol)
+    keyed
+      .join(broadcast(offsets.toDF("shard", "__b", "__off")),
+        Seq("shard", "__b"))
+      .withColumn("pos",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__b", "__off")
   }
 }

@@ -311,15 +311,33 @@ class PlanAuditSpec extends SparkSpec {
       s"interval merge regressed to a window:\n$plan")
   }
 
-  test("shuffle shards: one exchange on shard, nothing global") {
+  test("shuffle shards: sub-bucketed prefix-sum index, no per-shard " +
+      "funnel") {
     val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    // pinned at a realistic training-shard count (r11 verdict #4): the
+    // dense index must come from the (shard, __b) sub-bucket window +
+    // broadcast offsets, NEVER a shard-only window — at small nShards a
+    // shard-only partition spec funnels ~corpus/nShards rows through
+    // one task (~6 TB per task at 16 shards on 100 TB)
     val df = graft.pipeline.Curation.shuffleShards(
-      store.nodes("documents"), "id", nShards = 16)
+      store.nodes("documents"), "id", nShards = 1024)
     val plan = physical(df)
-    // per-shard row_number partitions by the shard column (each shard
-    // is 1/nShards of the corpus); an empty partition spec would pull
-    // the whole corpus through one task
     assert(plan.contains("windowspecdefinition(shard"),
       s"row_number not partitioned by shard:\n$plan")
+    assert("windowspecdefinition\\(shard[^)]*__b".r
+        .findFirstIn(plan).isDefined,
+      s"row_number window lost its sub-bucket column (per-shard " +
+        s"funnel):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"prefix-sum offsets not broadcast:\n$plan")
+    // strings must be rejected at plan time, not hashed through an
+    // ANSI cast at runtime (r11 advice)
+    import org.apache.spark.sql.functions.col
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.Curation.shuffleShards(
+        store.nodes("documents")
+          .withColumn("sid", col("id").cast("string")), "sid", 16)
+    }
+    assert(err.getMessage.contains("integral id column"))
   }
 }
