@@ -79,9 +79,6 @@ object DuckOracleSql {
     (steps.map { case (n, e) => s"$e AS $n" }.mkString(", "), s"${pfx}h")
   }
 
-  /** UTF-8 byte list of a VARCHAR column (codepoint -> byte arithmetic;
-    * `string_split(s, '')` yields grapheme clusters — multi-codepoint
-    * clusters would mis-expand, none exist in the ASCII corpora). */
   /** Spark XXH64.hashLong(value, seed) as a lateral-alias column chain:
     * acc = seed + P5 + 8; acc ^= rotl31(value*P2)*P1;
     * acc = rotl27(acc)*P1 + P4; then the standard avalanche — the
@@ -104,10 +101,23 @@ object DuckOracleSql {
     (steps.map { case (n, e) => s"$e AS $n" }.mkString(", "), s"${pfx}h")
   }
 
+  /** UTF-8 byte list of a VARCHAR column (codepoint → byte arithmetic).
+    * DuckDB v1.0.0's `string_split(s, '')` splits per CODEPOINT (an NFD
+    * combining sequence, a ZWJ emoji family and a Devanagari conjunct
+    * all come back one codepoint per element — validated against
+    * Spark's own `xxhash64` in `tools/duck_xxh64_proto.py`), so the
+    * expansion is correct for ALL of Unicode, multi-codepoint grapheme
+    * clusters included. The `length(c) != 1` guard costs nothing under
+    * that behavior and fails LOUDLY (DuckDB `error()`) if a future
+    * DuckDB ever switches the empty-delimiter split to grapheme
+    * clusters, instead of silently mis-hashing. */
   private def utf8Bytes(col: String) =
     s"flatten(list_transform(list_filter(string_split($col, ''), " +
       "c -> c <> ''), c -> " +
-      "CASE WHEN unicode(c) < 128 THEN [unicode(c)] " +
+      "CASE WHEN length(c) != 1 THEN [CAST(error(" +
+      "'xxh64 mirror: multi-codepoint split element; per-codepoint " +
+      "string_split assumption violated') AS BIGINT)] " +
+      "WHEN unicode(c) < 128 THEN [unicode(c)] " +
       "WHEN unicode(c) < 2048 THEN " +
       "[192 + unicode(c) // 64, 128 + unicode(c) % 64] " +
       "WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, " +

@@ -739,6 +739,27 @@ object SparkEntry {
         "id", "text", k = 8)
         .select(col("id").as("doc_id"), col("clean_text"),
           col("n_kept"), col("n_removed"))),
+    // ---- p63-p65: the hash-replay oracle family on a NON-ASCII corpus
+    // (r11 verdict #2) — same operators as p33/p40/p60, run over the
+    // deterministic multi-byte twin [[nonAsciiDocs]]; the DuckDB side
+    // rebuilds the identical corpus and replays the XXH64 string
+    // mirror / codepoint fingerprint / gram grouping over 2-, 3- and
+    // 4-byte UTF-8. (p61's hash input is the integer id — text encoding
+    // cannot reach it, so it has no non-ASCII twin.)
+    "p63_simhash_nonascii" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        nonAsciiDocs(TpchGraph.store(s, dir).nodes("documents")),
+        "id", "text", maxHamming = 10)),
+    "p64_fingerprint_nonascii" -> ((s, dir) =>
+      nonAsciiDocs(TpchGraph.store(s, dir).nodes("documents"))
+        .select(col("id").as("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "p65_spans_nonascii" -> ((s, dir) =>
+      Dedup.duplicatedSpans(
+        nonAsciiDocs(TpchGraph.store(s, dir).nodes("documents")),
+        "id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_end"))),
     // Deterministic training-shard shuffle: xxhash64-permutation shard
     // + within-shard position; hard-gated against the DuckDB XXH64
     // mirror's hashLong chain.
@@ -864,14 +885,38 @@ object SparkEntry {
       "p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*" +
       "(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))), (x,y) -> x+y)"
 
+  /** Deterministic non-ASCII twin of the `documents` corpus, used by the
+    * p63–p65 gates to prove the hash-replay oracles on multi-byte UTF-8
+    * (r11 verdict #2 — the XXH64 string mirror was only ever exercised
+    * on ASCII fixtures): every document gains a fixed 8-token lowercase
+    * prefix spanning 2-, 3- and 4-byte encodings (shared corpus-wide, so
+    * the substring-span operators see a duplicated gram in EVERY doc)
+    * plus one of five per-id suffixes. Both engines build the corpus
+    * from the same arithmetic, so the construction itself is also gated.
+    * Multi-codepoint grapheme clusters are deliberately absent here —
+    * they are covered by `tools/duck_xxh64_proto.py`'s canaries and the
+    * mirror's loud `error()` guard ([[DuckOracleSql]]). */
+  private val NonAsciiPrefix = "héllo wörld naïve café 日本語 тест мир 🚀 "
+  private val NonAsciiVariants = Seq("δοκιμή αβγ", "überprüfung ß",
+    "проверка текста", "テスト 完了", "🎯 emoji 🚀")
+  private def nonAsciiDocs(docs: DataFrame): DataFrame =
+    docs.select(col("id"), concat(lit(NonAsciiPrefix), col("text"),
+      lit(" "), element_at(array(NonAsciiVariants.map(lit): _*),
+        (pmod(col("id"), lit(5)) + 1).cast("int"))).as("text"))
+  private val nonAsciiDocsSql: String =
+    s"(SELECT doc_id, '$NonAsciiPrefix' || text || ' ' || ([" +
+      NonAsciiVariants.map(v => s"'$v'").mkString(", ") +
+      "])[CAST(doc_id % 5 + 1 AS INT)] AS text FROM documents)"
+
   /** p33 oracle: an independent DuckDB replay of
     * [[Dedup.simhashPairs]](maxHamming=10, maxBucket=4096) — tokenize,
     * hash every distinct token with the [[DuckOracleSql]] XXH64 mirror,
     * rebuild the 64 signed bit-counters per document from (token, count)
     * multiplicities, bucket distinct signatures by 16-bit chunk
     * (truncated at maxBucket like the engine), and emit cross- plus
-    * within-signature pairs. */
-  private def p33Oracle: String = {
+    * within-signature pairs. Parameterized by the corpus relation so the
+    * non-ASCII twin (p63) replays the same machinery. */
+  private def p33Oracle(docs: String = "documents"): String = {
     // 64 per-bit counter SUM COLUMNS over the (doc, token, count) join —
     // not a docs×vocab×64 row explosion (which hits ~2B intermediate
     // rows at the 100× ladder scale); DuckDB vectorizes the wide
@@ -886,7 +931,7 @@ object SparkEntry {
     }.mkString(" + ")
     s"""WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-  FROM documents),
+  FROM $docs),
 tc AS (SELECT doc_id, tok, count(*) AS ct FROM tok GROUP BY 1, 2),
 voc AS (SELECT DISTINCT tok FROM tc),
 ${DuckOracleSql.xxh64StrCtes("voc", "tok", "vh").trim},
@@ -974,6 +1019,17 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "SELECT doc_id, shard, sort_key, row_number() OVER " +
       "(PARTITION BY shard ORDER BY sort_key, doc_id) - 1 AS pos FROM x"
   }
+
+  /** p40 oracle, parameterized by corpus relation: DuckDB's `ascii(c)`
+    * returns the code POINT of a per-codepoint split element, so the
+    * rolling hash agrees with the engine's codepoint iteration
+    * ([[graft.functions.PolyHash]]) across all of Unicode — exercised
+    * beyond ASCII by the p64 non-ASCII twin. */
+  private def fingerprintOracle(docs: String): String =
+    "SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      "list_transform(string_split(lower(text), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM $docs"
 
   /** p60 oracle, parameterized by corpus relation and gram width `k` —
     * independent replay of [[Dedup.duplicatedSpans]](k, minCount=2):
@@ -1169,7 +1225,10 @@ WHERE rank <= 10"""
         "FROM sz a JOIN sz b ON a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
         "(a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.6"),
-    "p33_simhash_pairs" -> p33Oracle,
+    "p33_simhash_pairs" -> p33Oracle(),
+    "p63_simhash_nonascii" -> p33Oracle(nonAsciiDocsSql),
+    "p64_fingerprint_nonascii" -> fingerprintOracle(nonAsciiDocsSql),
+    "p65_spans_nonascii" -> spansOracle(nonAsciiDocsSql, 8),
     "p35_cosine_lsh" -> p35Oracle,
     "p37_ann_ivf" -> p37Oracle,
     "p34_cosine_pairs" ->
@@ -1232,11 +1291,7 @@ WHERE rank <= 10"""
         "(CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) + " +
         "(CASE WHEN np * 1.0 / greatest(nc * 1.0, 1.0) < 0.1 " +
         "THEN 0.2 ELSE 0.0 END) >= 0.5 GROUP BY text"),
-    "p40_fingerprint" ->
-      ("SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT), " +
-        "list_transform(string_split(lower(text), ''), " +
-        "c -> CAST(ascii(c) AS BIGINT))), " +
-        "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents"),
+    "p40_fingerprint" -> fingerprintOracle("documents"),
     "p41_multimodal_decode" ->
       ("SELECT doc_id, 'fake/raw' AS format, " +
         "CAST(octet_length(CAST(text AS BLOB)) % 1024 + 1 AS INT) " +

@@ -109,12 +109,18 @@ def xxh64_long(value, seed):
 
 def utf8_bytes(col):
     """UTF-8 byte list of a VARCHAR (codepoint -> bytes arithmetic).
-    Limitation: string_split('',...) yields grapheme clusters; multi-
-    codepoint clusters would mis-expand (none exist in ASCII corpora)."""
+    DuckDB v1.0.0's string_split(s, '') splits per CODEPOINT (validated
+    below on NFD / ZWJ / conjunct canaries), so the expansion is correct
+    for all of Unicode, multi-codepoint grapheme clusters included; the
+    length(c) != 1 guard errors loudly if a future DuckDB switches the
+    empty-delimiter split to grapheme clusters."""
     return (
         "flatten(list_transform(list_filter(string_split(" + col +
         ", ''), c -> c <> ''), c -> "
-        "CASE WHEN unicode(c) < 128 THEN [unicode(c)] "
+        "CASE WHEN length(c) != 1 THEN [CAST(error("
+        "'xxh64 mirror: multi-codepoint split element; per-codepoint "
+        "string_split assumption violated') AS BIGINT)] "
+        "WHEN unicode(c) < 128 THEN [unicode(c)] "
         "WHEN unicode(c) < 2048 THEN "
         "[192 + unicode(c) // 64, 128 + unicode(c) % 64] "
         "WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, "
@@ -207,6 +213,12 @@ if __name__ == "__main__":
     words = ["".join(rng.choices(string.ascii_lowercase + "0123456789",
                                  k=rng.randint(0, 100))) for _ in range(300)]
     words += ["héllo", "naïve", "日本語テスト", "emoji🚀mix", "αβγδε" * 9, ""]
+    # multi-codepoint grapheme-cluster canaries: NFD e+U+0301, a ZWJ
+    # emoji family, a Devanagari conjunct, halfwidth-kana + voicing mark
+    # — under per-codepoint splitting these hash correctly; under
+    # grapheme-cluster splitting the utf8_bytes guard errors loudly
+    words += ["é", "café late", "\U0001F468‍\U0001F469‍\U0001F467",
+              "क्ष", "áb̂c̃", "ｱﾞ"]
     con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
                 ",".join(f"('{w}')" for w in words) + ") v(tok)")
     sql = ("WITH" + xxh64_str_ctes("t", "tok") +
@@ -240,3 +252,14 @@ if __name__ == "__main__":
     got = con.sql(f"SELECT {expr} FROM tl").fetchall()
     bad = sum(1 for (g,), (v, s) in zip(got, cases) if int(g) != pl(v, s))
     print(f"long path: {len(cases)} cases, {bad} mismatches")
+
+    # guard path: a forced multi-codepoint element must error loudly
+    # (this is the assertion that a DuckDB behavior change to
+    # grapheme-cluster splitting cannot silently mis-hash)
+    try:
+        con.sql("SELECT list_transform(['xy'], c -> CASE WHEN "
+                "length(c) != 1 THEN [CAST(error('guard') AS BIGINT)] "
+                "ELSE [1::BIGINT] END)").fetchall()
+        print("guard path: FAILED — error() did not fire")
+    except Exception:
+        print("guard path: error() fires on multi-codepoint elements")
