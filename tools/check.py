@@ -9,6 +9,7 @@ rendered as strings), and diffs.
 import json
 import os
 import sys
+import time
 
 import duckdb
 
@@ -50,6 +51,12 @@ def main(sf_dir, out_dir, subset=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # Every book entry (including skips) is stamped with a run id so
+    # books merged across one-per-process subset invocations can prove
+    # each entry came from the current binary — a stale pass:true from
+    # an earlier build is distinguishable by its stamp (r11 advice).
+    run_id = os.environ.get("GRAFT_CHECK_RUN") or \
+        "%d-%d" % (int(time.time()), os.getpid())
     book = {}
     for name, sql in sorted(oracle.items()):
         # The subset RESTRICTS the check itself (not just missing-dump
@@ -58,12 +65,15 @@ def main(sf_dir, out_dir, subset=None):
         # heavy oracle poisons the process for every later query.
         if subset is not None and name not in subset:
             n_skip += 1
+            book[name] = {"skipped": True, "run": run_id}
             continue
         # A missing dump is only benign when the Verify run was explicitly
         # filtered (pass the same comma-separated subset as 3rd arg);
         # otherwise it means the query crashed before dumping → FAIL.
         if not os.path.isdir(f"{out_dir}/{name}"):
             print(f"FAIL {name}: no dump (crashed before write?)")
+            book[name] = {"pass": False, "rows": None, "oracle": "duckdb",
+                          "err": "no dump", "run": run_id}
             n_fail += 1
             continue
         try:
@@ -79,7 +89,7 @@ def main(sf_dir, out_dir, subset=None):
             if ec != oc:
                 print(f"FAIL {name}: columns {ec} vs {oc}")
                 book[name] = {"pass": False, "rows": len(er),
-                              "oracle": "duckdb"}
+                              "oracle": "duckdb", "run": run_id}
                 n_fail += 1
             elif er != orr:
                 diff = [(a, b) for a, b in zip(er, orr) if a != b][:3]
@@ -89,17 +99,17 @@ def main(sf_dir, out_dir, subset=None):
                       f"first diffs {diff} | only-engine {only_e} | "
                       f"only-oracle {only_o}")
                 book[name] = {"pass": False, "rows": len(er),
-                              "oracle": "duckdb"}
+                              "oracle": "duckdb", "run": run_id}
                 n_fail += 1
             else:
                 print(f"PASS {name} ({len(er)} rows)")
                 book[name] = {"pass": True, "rows": len(er),
-                              "oracle": "duckdb"}
+                              "oracle": "duckdb", "run": run_id}
                 n_pass += 1
         except Exception as e:
             print(f"ERROR {name}: {e}")
             book[name] = {"pass": False, "rows": None, "oracle": "duckdb",
-                          "err": str(e)[:200]}
+                          "err": str(e)[:200], "run": run_id}
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skipped (filtered)")
     if os.environ.get("GRAFT_CHECK_BOOK"):
