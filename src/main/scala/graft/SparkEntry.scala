@@ -739,6 +739,29 @@ object SparkEntry {
         "id", "text", k = 8)
         .select(col("id").as("doc_id"), col("clean_text"),
           col("n_kept"), col("n_removed"))),
+    // ---- p66-p69: one oracle-gated QL round-trip per PIPELINE family
+    // (r11 verdict #7 — the pipeline operators are now reachable from
+    // the REPL like everything else); each statement must reproduce its
+    // Scala-API twin's oracle bit for bit
+    "p66_ql_dedup" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE DEDUP EXACT ON documents;").get
+        .select(col("id").as("doc_id"), col("cnt"))),
+    "p67_ql_spans" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE SPANS ON documents WITH (k = 8);").get
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_end"))),
+    "p68_ql_shards" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE SHARDS ON documents WITH (n = 16);").get
+        .select(col("id").as("doc_id"), col("shard"), col("sort_key"),
+          col("pos"))),
+    "p69_ql_ann" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE ANN ON embeddings QUERY IDS (0, 1, 2, 3, 4);")
+        .get.select(col("q_id"), col("nn_id"), col("rank"),
+          col("cosine"))),
     // ---- p63-p65: the hash-replay oracle family on a NON-ASCII corpus
     // (r11 verdict #2) — same operators as p33/p40/p60, run over the
     // deterministic multi-byte twin [[nonAsciiDocs]]; the DuckDB side
@@ -1020,6 +1043,20 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "(PARTITION BY shard ORDER BY sort_key, doc_id) - 1 AS pos FROM x"
   }
 
+  private val p30OracleSql: String =
+    "SELECT min(doc_id) AS doc_id, count(*) AS cnt FROM documents " +
+      "GROUP BY text"
+
+  private def p36OracleSql: String =
+    "SELECT q.vec_id AS q_id, v.vec_id AS nn_id, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      s"${duckCos("q.embedding", "v.embedding")} DESC, v.vec_id) " +
+      "AS INT) AS rank, " +
+      s"${duckCos("q.embedding", "v.embedding")} AS cosine " +
+      "FROM embeddings q JOIN embeddings v ON q.vec_id < 5 " +
+      "AND v.vec_id <> q.vec_id " +
+      "QUALIFY rank <= 10"
+
   /** p40 oracle, parameterized by corpus relation: DuckDB's `ascii(c)`
     * returns the code POINT of a per-codepoint split element, so the
     * rolling hash agrees with the engine's codepoint iteration
@@ -1193,9 +1230,14 @@ WHERE rank <= 10"""
         "SELECT user_id AS userid, min(epoch_ns(ts)) AS sess_start, " +
         "max(epoch_ns(ts)) AS sess_end, count(*) AS n_events " +
         "FROM s GROUP BY user_id, sess"),
-    "p30_dedup_exact" ->
-      ("SELECT min(doc_id) AS doc_id, count(*) AS cnt FROM documents " +
-        "GROUP BY text"),
+    "p30_dedup_exact" -> p30OracleSql,
+    // p66-p69: the QL PIPELINE statement family must be bit-identical
+    // to the Scala API (the statement is pure argument binding), so
+    // each round-trip reuses the corresponding API gate's oracle
+    "p66_ql_dedup" -> p30OracleSql,
+    "p67_ql_spans" -> spansOracle("documents", 8),
+    "p68_ql_shards" -> p61Oracle,
+    "p69_ql_ann" -> p36OracleSql,
     "p32_jaccard_block" ->
       ("WITH t AS (SELECT doc_id, source, " +
         "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
@@ -1238,15 +1280,7 @@ WHERE rank <= 10"""
         s"${duckCos("a.embedding", "b.embedding")} AS cosine " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
         s"WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.4"),
-    "p36_ann_topk" ->
-      ("SELECT q.vec_id AS q_id, v.vec_id AS nn_id, " +
-        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-        s"${duckCos("q.embedding", "v.embedding")} DESC, v.vec_id) " +
-        "AS INT) AS rank, " +
-        s"${duckCos("q.embedding", "v.embedding")} AS cosine " +
-        "FROM embeddings q JOIN embeddings v ON q.vec_id < 5 " +
-        "AND v.vec_id <> q.vec_id " +
-        "QUALIFY rank <= 10"),
+    "p36_ann_topk" -> p36OracleSql,
     "p38_text_quality" ->
       ("WITH t AS (SELECT doc_id, text, " +
         "regexp_split_to_array(trim(text), '\\s+') AS w, " +

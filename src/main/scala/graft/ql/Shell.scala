@@ -251,6 +251,55 @@ final class Shell(store: GraphStore,
         throw new IllegalStateException("no snapshot path configured")))
       None
 
+    case PipelineStmt(family, variant, label, opts, qids) =>
+      // pipeline operators from the shell (SURVEY §2.10 north star):
+      // the statement is a thin argument-binding layer — semantics and
+      // scale shape live entirely in the graft.pipeline operators the
+      // Scala API exposes, so QL results are bit-identical to API calls
+      val df = store.nodes(label)
+      def str(k: String, d: String) =
+        opts.get(k).map(_.toString).getOrElse(d)
+      def int(k: String, d: Int) =
+        opts.get(k).map(_.toString.toInt).getOrElse(d)
+      def lng(k: String, d: Long) =
+        opts.get(k).map(_.toString.toLong).getOrElse(d)
+      def dbl(k: String, d: Double) =
+        opts.get(k).map(_.toString.toDouble).getOrElse(d)
+      val id = str("id", "id")
+      Some((family, variant) match {
+        case ("DEDUP", Some("EXACT") | None) =>
+          graft.pipeline.Dedup.exact(df, id,
+            str("keys", "text").split(',').map(_.trim).toSeq)
+        case ("DEDUP", Some("MINHASH")) =>
+          graft.pipeline.Dedup.minhashLsh(df, id, str("text", "text"),
+            numHashes = int("num_hashes", 64), bands = int("bands", 16),
+            shingleK = int("shingle_k", 3),
+            threshold = dbl("threshold", 0.7))
+        case ("DEDUP", Some("SIMHASH")) =>
+          graft.pipeline.Dedup.simhashPairs(df, id, str("text", "text"),
+            maxHamming = int("max_hamming", 3))
+        case ("SPANS", None) =>
+          graft.pipeline.Dedup.duplicatedSpans(df, id,
+            str("text", "text"), k = int("k", 8),
+            minCount = lng("min_count", 2L))
+        case ("SPANS", Some("REMOVE")) =>
+          graft.pipeline.Dedup.removeSpans(df, id, str("text", "text"),
+            k = int("k", 8), minCount = lng("min_count", 2L),
+            minKeptTokens = lng("min_kept", 1L))
+        case ("SHARDS", None) =>
+          graft.pipeline.Curation.shuffleShards(df, id, int("n", 16))
+        case ("ANN", None) =>
+          require(qids.nonEmpty,
+            "PIPELINE ANN needs a QUERY IDS (…) list")
+          graft.pipeline.Similarity.bruteForceTopK(df,
+            df.filter(col(id).isin(qids: _*)), k = int("k", 10),
+            idCol = id, vecCol = str("vec", "embedding"))
+        case (f, v) => throw new IllegalArgumentException(
+          s"unknown PIPELINE statement: $f ${v.getOrElse("")} — " +
+            "families: DEDUP (EXACT|MINHASH|SIMHASH), SPANS ([REMOVE]), " +
+            "SHARDS, ANN")
+      })
+
     case ShowEdgesStmt(etype) => Some(store.edgesNamed(etype))
 
     case ShowEdgeTypesStmt =>

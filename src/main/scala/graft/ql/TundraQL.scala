@@ -60,6 +60,17 @@ object TundraQL {
   /** `EXPLAIN MATCH ...` — beyond-reference; returns the optimized +
     * physical Spark plan as a one-column frame. */
   final case class ExplainStmt(m: MatchStmt) extends Statement
+  /** `PIPELINE <FAMILY> [<VARIANT>] ON <label> [QUERY IDS (…)]
+    * [WITH (opt = value, …)]` — beyond-reference QL surface exposing the
+    * training-data pipeline operators (SURVEY §2.10 north star) from the
+    * shell, so dedup/spans/shards/ANN are reachable like every other
+    * operator instead of Scala-API-only. Families: DEDUP
+    * (EXACT|MINHASH|SIMHASH), SPANS ([REMOVE]), SHARDS, ANN. Options
+    * mirror the Scala parameter names in snake_case; QUERY IDS is the
+    * bounded literal query set for ANN. */
+  final case class PipelineStmt(family: String, variant: Option[String],
+      label: String, options: Map[String, Any],
+      queryIds: Seq[Long] = Nil) extends Statement
   /** `MATCH … UNION [ALL] | INTERSECT | EXCEPT MATCH …` — user-level set
     * operations between MATCH results (beyond-reference: the reference has
     * id-set algebra only inside join strategies, SURVEY §2.3). Chains are
@@ -184,6 +195,7 @@ object TundraQL {
         case Id("UPDATE")  => updateStatement()
         case Id("COMMIT")  => next(); CommitStmt
         case Id("SHOW")    => showStatement()
+        case Id("PIPELINE") => pipelineStatement()
         case other         => fail(s"unexpected $other")
       }
       // set-operation chain between MATCH statements, left-associative
@@ -501,6 +513,37 @@ object TundraQL {
         out(path.mkString(".")) = value()
       } while (eatSym(","))
       out.toMap
+    }
+
+    /** `PIPELINE FAMILY [VARIANT] ON label [QUERY IDS (…)] [WITH (…)]`.
+      * Family/variant are uppercase keywords (QL convention); options
+      * reuse the property-list syntax. */
+    private def pipelineStatement(): Statement = {
+      expectKw("PIPELINE")
+      val family = ident()
+      val variant = peek match {
+        case Id(v) if v != "ON" => next(); Some(v)
+        case _                  => None
+      }
+      expectKw("ON")
+      val label = ident()
+      val qids =
+        if (eatKw("QUERY")) {
+          expectKw("IDS")
+          expectSym("(")
+          val ids = mutable.ListBuffer(longLit())
+          while (eatSym(",")) ids += longLit()
+          expectSym(")")
+          ids.toSeq
+        } else Nil
+      val opts =
+        if (eatKw("WITH")) {
+          expectSym("(")
+          val p = propertyList()
+          expectSym(")")
+          p
+        } else Map.empty[String, Any]
+      PipelineStmt(family, variant, label, opts, qids)
     }
 
     private def showStatement(): Statement = {

@@ -423,4 +423,53 @@ class ShellSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("FIXED_STRING(16)"), e2.getMessage)
   }
+
+  test("PIPELINE statements: every family parses and matches its " +
+      "Scala-API twin") {
+    import org.apache.spark.sql.functions.col
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA Doc (text: STRING);
+      CREATE NODE Doc (text = "a b c d e f g h i");
+      CREATE NODE Doc (text = "a b c d e f g h j");
+      CREATE NODE Doc (text = "a b c d e f g h i");
+      CREATE NODE Doc (text = "totally different text here now ok yes no");
+    """)
+    // DEDUP EXACT (default variant): 3 distinct texts
+    val dedup = sh.execute("PIPELINE DEDUP ON Doc;").get
+    assert(dedup.count() === 3)
+    assert(dedup.filter(col("cnt") === 2).count() === 1)
+    // DEDUP MINHASH / SIMHASH: the exact-dup pair must surface
+    val mh = sh.execute("PIPELINE DEDUP MINHASH ON Doc WITH " +
+      "(shingle_k = 2, threshold = 0.5, bands = 32);").get
+    assert(mh.filter(col("id_a") === 0 && col("id_b") === 2).count() === 1)
+    val simh = sh.execute(
+      "PIPELINE DEDUP SIMHASH ON Doc WITH (max_hamming = 0);").get
+    assert(simh.filter(col("id_a") === 0 && col("id_b") === 2)
+      .count() === 1)
+    // SPANS + SPANS REMOVE: docs 0/2 fully covered at k=9; doc 1 shares
+    // only the 8-token prefix (no 9-gram), so k=8 covers 0..7 there
+    val spans = sh.execute("PIPELINE SPANS ON Doc WITH (k = 8);").get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(spans === Set((0L, 0L, 8L), (2L, 0L, 8L), (1L, 0L, 7L)))
+    val removed = sh.execute(
+      "PIPELINE SPANS REMOVE ON Doc WITH (k = 8);").get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(removed === Set((1L, "j"), (3L,
+      "totally different text here now ok yes no")))
+    // SHARDS: QL result == API result
+    val qlShards = sh.execute("PIPELINE SHARDS ON Doc WITH (n = 4);").get
+      .select("id", "shard", "sort_key", "pos").collect().toSet
+    val apiShards = graft.pipeline.Curation.shuffleShards(
+      sh.execute("MATCH (d:Doc) SELECT d.id AS id, d.text AS text;")
+        .get.select(col("id").cast("long").as("id")), "id", 4)
+      .select("id", "shard", "sort_key", "pos").collect().toSet
+    assert(qlShards === apiShards)
+    // unknown family fails loudly
+    val err = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE FROBNICATE ON Doc;")
+    }
+    assert(err.getMessage.contains("unknown PIPELINE statement"))
+  }
 }
