@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Ast._
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.planner.Planner
 import graft.streaming.EventStreams
 import graft.tpch.TpchGraph
@@ -231,7 +231,23 @@ object Bench {
       // shape): reps time the version-visibility read, not the fixture
       "temporal_asof" -> (() => new Planner(versionedStore).plan(
         Q.from("c:customer").asOfValidTime(2500L)
-          .select("c.id", "c.acctbal").build))
+          .select("c.id", "c.acctbal").build)),
+      // ---- round-12 additions: perf accountability for the operators
+      // gated as p59/p60/p61 (r11 verdict #3) ----
+      // real ISO-BMFF box walk + k-frame sampling over per-row
+      // synthesized MP4 containers (p59 shape; synthesis + walk both
+      // run in the mapPartitions codec host, so this measures the
+      // container machinery end to end)
+      "mp4_frames" -> (() => Multimodal.sampleVideoFrames(
+        Multimodal.synthesizeMp4(store.nodes("documents"), "id"), k = 3)),
+      // corpus-wide duplicated 8-gram spans: hash-grain shuffle +
+      // windowless fold merge (p60 shape)
+      "substring_spans" -> (() => Dedup.duplicatedSpans(
+        store.nodes("documents"), "id", "text", k = 8)),
+      // deterministic shard shuffle + sub-bucketed prefix-sum dense
+      // index (p61 shape)
+      "shuffle_shards" -> (() => graft.pipeline.Curation.shuffleShards(
+        store.nodes("documents"), "id", nShards = 16))
     )
 
     def timeOnce(f: () => DataFrame): Double = {
