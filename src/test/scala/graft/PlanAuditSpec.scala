@@ -311,6 +311,24 @@ class PlanAuditSpec extends SparkSpec {
       s"interval merge regressed to a window:\n$plan")
   }
 
+  test("span removal joins the span table, merges without windows") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val df = graft.pipeline.Dedup.removeSpans(
+      store.nodes("documents"), "id", "text", k = 8)
+    val plan = physical(df)
+    // the surgery inherits p60's discipline: no window anywhere (the
+    // interval merge is an aggregate fold, the coverage check a
+    // per-token HOF filter), and the span side joins back by hash —
+    // never a nested loop over spans
+    assert(!plan.contains("Window"),
+      s"span removal regressed to a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span join fell back to a nested loop:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"gram count lacks partial aggregation:\n$plan")
+  }
+
   test("shuffle shards: sub-bucketed prefix-sum index, no per-shard " +
       "funnel") {
     val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
