@@ -771,7 +771,8 @@ object SparkEntry {
     // cannot reach it, so it has no non-ASCII twin.)
     "p63_simhash_nonascii" -> ((s, dir) =>
       Dedup.simhashPairs(
-        nonAsciiDocs(TpchGraph.store(s, dir).nodes("documents")),
+        nonAsciiDocs(TpchGraph.store(s, dir).nodes("documents"),
+          prefix = false),
         "id", "text", maxHamming = 10)),
     "p64_fingerprint_nonascii" -> ((s, dir) =>
       nonAsciiDocs(TpchGraph.store(s, dir).nodes("documents"))
@@ -922,12 +923,23 @@ object SparkEntry {
   private val NonAsciiPrefix = "héllo wörld naïve café 日本語 тест мир 🚀 "
   private val NonAsciiVariants = Seq("δοκιμή αβγ", "überprüfung ß",
     "проверка текста", "テスト 完了", "🎯 emoji 🚀")
-  private def nonAsciiDocs(docs: DataFrame): DataFrame =
-    docs.select(col("id"), concat(lit(NonAsciiPrefix), col("text"),
+  /** `prefix` controls the corpus-wide shared 8-token prefix: the spans
+    * twin (p65) needs it (a duplicated gram in every doc), but for the
+    * SIMHASH twin (p63) a corpus-wide shared prefix is exactly the
+    * pathological low-entropy shape the operator's bucket cap documents
+    * — it drags every signature within a few hamming bits of its
+    * neighbors (measured: 28.5 M emitted pairs at 30×, and the oracle's
+    * candidate replay exceeds DuckDB's memory). The per-id multi-byte
+    * SUFFIXES alone give p63 its 2-, 3- and 4-byte UTF-8 coverage. */
+  private def nonAsciiDocs(docs: DataFrame,
+                           prefix: Boolean = true): DataFrame =
+    docs.select(col("id"), concat(
+      lit(if (prefix) NonAsciiPrefix else ""), col("text"),
       lit(" "), element_at(array(NonAsciiVariants.map(lit): _*),
         (pmod(col("id"), lit(5)) + 1).cast("int"))).as("text"))
-  private val nonAsciiDocsSql: String =
-    s"(SELECT doc_id, '$NonAsciiPrefix' || text || ' ' || ([" +
+  private def nonAsciiDocsSql(prefix: Boolean = true): String =
+    s"(SELECT doc_id, '${if (prefix) NonAsciiPrefix else ""}' || text " +
+      "|| ' ' || ([" +
       NonAsciiVariants.map(v => s"'$v'").mkString(", ") +
       "])[CAST(doc_id % 5 + 1 AS INT)] AS text FROM documents)"
 
@@ -1268,9 +1280,9 @@ WHERE rank <= 10"""
         "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
         "(a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.6"),
     "p33_simhash_pairs" -> p33Oracle(),
-    "p63_simhash_nonascii" -> p33Oracle(nonAsciiDocsSql),
-    "p64_fingerprint_nonascii" -> fingerprintOracle(nonAsciiDocsSql),
-    "p65_spans_nonascii" -> spansOracle(nonAsciiDocsSql, 8),
+    "p63_simhash_nonascii" -> p33Oracle(nonAsciiDocsSql(prefix = false)),
+    "p64_fingerprint_nonascii" -> fingerprintOracle(nonAsciiDocsSql()),
+    "p65_spans_nonascii" -> spansOracle(nonAsciiDocsSql(), 8),
     "p35_cosine_lsh" -> p35Oracle,
     "p37_ann_ivf" -> p37Oracle,
     "p34_cosine_pairs" ->
