@@ -950,7 +950,12 @@ object SparkEntry {
     * multiplicities, bucket distinct signatures by 16-bit chunk
     * (truncated at maxBucket like the engine), and emit cross- plus
     * within-signature pairs. Parameterized by the corpus relation so the
-    * non-ASCII twin (p63) replays the same machinery. */
+    * non-ASCII twin (p63) replays the same machinery. The pipeline CTEs
+    * are `AS MATERIALIZED` — DuckDB inlines plain CTEs by substitution
+    * (the [[DuckOracleSql]] lesson), and `sig`, whose projection carries
+    * the 64-term HUGEINT counter sum, is referenced three times: the
+    * inlined bind tree OOM'd DuckDB at 80 GB on a 25 k-doc corpus while
+    * the materialized form computes the same result in 13 s on 40 GB. */
   private def p33Oracle(docs: String = "documents"): String = {
     // 64 per-bit counter SUM COLUMNS over the (doc, token, count) join —
     // not a docs×vocab×64 row explosion (which hits ~2B intermediate
@@ -970,21 +975,21 @@ object SparkEntry {
 tc AS (SELECT doc_id, tok, count(*) AS ct FROM tok GROUP BY 1, 2),
 voc AS (SELECT DISTINCT tok FROM tc),
 ${DuckOracleSql.xxh64StrCtes("voc", "tok", "vh").trim},
-csum AS (SELECT tc.doc_id, $sums
+csum AS MATERIALIZED (SELECT tc.doc_id, $sums
   FROM tc JOIN vh ON tc.tok = vh.tok GROUP BY tc.doc_id),
-sig AS (SELECT doc_id, ${DuckOracleSql.toSigned(s"($sigSum)")} AS sig
+sig AS MATERIALIZED (SELECT doc_id, ${DuckOracleSql.toSigned(s"($sigSum)")} AS sig
   FROM csum),
-dsig AS (SELECT DISTINCT sig FROM sig),
-chunked AS (
+dsig AS MATERIALIZED (SELECT DISTINCT sig FROM sig),
+chunked AS MATERIALIZED (
   SELECT sig, c, (sig >> (c * 16)) & 65535 AS chunk,
          row_number() OVER (PARTITION BY c, (sig >> (c * 16)) & 65535 ORDER BY sig) AS rn
   FROM dsig CROSS JOIN (SELECT unnest(range(4)) AS c) cc
   QUALIFY rn <= 4096),
-sigpairs AS (
+sigpairs AS MATERIALIZED (
   SELECT DISTINCT a.sig AS sig_a, b.sig AS sig_b
   FROM chunked a JOIN chunked b ON a.c = b.c AND a.chunk = b.chunk
    AND a.sig < b.sig),
-hp AS (
+hp AS MATERIALIZED (
   SELECT sig_a, sig_b, bit_count(xor(sig_a, sig_b)) AS hamming
   FROM sigpairs WHERE bit_count(xor(sig_a, sig_b)) <= 10),
 cross_pairs AS (
