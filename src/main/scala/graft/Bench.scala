@@ -247,7 +247,10 @@ object Bench {
       // deterministic shard shuffle + sub-bucketed prefix-sum dense
       // index (p61 shape)
       "shuffle_shards" -> (() => graft.pipeline.Curation.shuffleShards(
-        store.nodes("documents"), "id", nShards = 16))
+        store.nodes("documents"), "id", nShards = 16)),
+      // span surgery end to end: detection + removal (p62 shape)
+      "remove_spans" -> (() => Dedup.removeSpans(
+        store.nodes("documents"), "id", "text", k = 8))
     )
 
     def timeOnce(f: () => DataFrame): Double = {
