@@ -762,6 +762,34 @@ object SparkEntry {
         .execute("PIPELINE ANN ON embeddings QUERY IDS (0, 1, 2, 3, 4);")
         .get.select(col("q_id"), col("nn_id"), col("rank"),
           col("cosine"))),
+    // ---- p70-p73: QL round-trips for the remaining curation families
+    // (decontaminate / pack / sample / clusters), completing the REPL
+    // surface over SURVEY §2.10 — each reuses (or mirrors) its
+    // Scala-API twin's oracle
+    "p70_ql_decontaminate" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("benchmark",
+        st.nodes("documents").filter(col("id") % 97 === 0), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE DECONTAMINATE ON documents AGAINST " +
+          "benchmark WITH (k = 3);").get
+        .select(col("id").as("doc_id"), col("overlap_cnt"),
+          col("overlap_ratio"), col("contaminated"))
+    }),
+    "p71_ql_pack" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE PACK ON documents WITH (budget = 512);").get
+        .select(col("id").as("doc_id"), col("n_tokens"), col("bin"))),
+    "p72_ql_sample" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE SAMPLE ON documents WITH (by = \"source\", " +
+          "pct = \"src1:60,src3:25\", default_pct = 10);").get
+        .select(col("id").as("doc_id"), col("source"))),
+    "p73_ql_clusters" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE CLUSTERS ON documents WITH " +
+          "(block = \"source\", k = 3, threshold = 0.01);").get
+        .select(col("id").as("doc_id"), col("cluster"))),
     // ---- p63-p65: the hash-replay oracle family on a NON-ASCII corpus
     // (r11 verdict #2) — same operators as p33/p40/p60, run over the
     // deterministic multi-byte twin [[nonAsciiDocs]]; the DuckDB side
@@ -1074,6 +1102,51 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "AND v.vec_id <> q.vec_id " +
       "QUALIFY rank <= 10"
 
+  private def p46OracleSql: String =
+    "WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+      "FROM documents), " +
+      s"g AS (SELECT doc_id, $duckShingles AS sh FROM t), " +
+      "bg AS (SELECT DISTINCT unnest(sh) AS gram FROM g " +
+      "WHERE doc_id % 97 = 0), " +
+      "x AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS gram " +
+      "FROM g), " +
+      "o AS (SELECT x.doc_id, max(x.total) AS total, " +
+      "count(bg.gram) AS overlap_cnt " +
+      "FROM x LEFT JOIN bg ON x.gram = bg.gram GROUP BY x.doc_id) " +
+      "SELECT doc_id, overlap_cnt, " +
+      "overlap_cnt * 1.0 / greatest(total * 1.0, 1.0) AS overlap_ratio, " +
+      "overlap_cnt * 1.0 / greatest(total * 1.0, 1.0) >= 0.5 " +
+      "AS contaminated FROM o"
+
+  private def p47OracleSql: String =
+    "WITH t AS (SELECT doc_id, " +
+      "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+      "AS n_tokens FROM documents), " +
+      "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER " +
+      "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "1 PRECEDING) AS bef FROM t) " +
+      "SELECT doc_id, n_tokens, " +
+      "CAST(coalesce(bef, 0) // 512 AS BIGINT) AS bin FROM c"
+
+  // min-label propagation to a fixpoint = connected components; the
+  // lbl < e.b prune is safe because a node's own id always propagates
+  private def p49OracleSql: String =
+    "WITH RECURSIVE t AS (SELECT doc_id, source, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+      "FROM documents), " +
+      s"sh AS (SELECT doc_id, source, $duckShingles AS sh FROM t), " +
+      "pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a " +
+      "JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / " +
+      "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.01), " +
+      "e AS (SELECT ia AS a, ib AS b FROM pr " +
+      "UNION ALL SELECT ib, ia FROM pr), " +
+      "cc AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
+      "UNION SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.id " +
+      "WHERE cc.lbl < e.b) " +
+      "SELECT id AS doc_id, min(lbl) AS cluster FROM cc GROUP BY id"
+
   /** p40 oracle, parameterized by corpus relation: DuckDB's `ascii(c)`
     * returns the code POINT of a per-codepoint split element, so the
     * rolling hash agrees with the engine's codepoint iteration
@@ -1368,31 +1441,19 @@ WHERE rank <= 10"""
         "'\\s+'))) * 1.0 / " +
         "greatest(len(regexp_split_to_array(trim(text), '\\s+')) * 1.0, " +
         "1.0) AS rep_ratio FROM documents"),
-    "p46_decontaminate" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
-        "FROM documents), " +
-        s"g AS (SELECT doc_id, $duckShingles AS sh FROM t), " +
-        "bg AS (SELECT DISTINCT unnest(sh) AS gram FROM g " +
-        "WHERE doc_id % 97 = 0), " +
-        "x AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS gram " +
-        "FROM g), " +
-        "o AS (SELECT x.doc_id, max(x.total) AS total, " +
-        "count(bg.gram) AS overlap_cnt " +
-        "FROM x LEFT JOIN bg ON x.gram = bg.gram GROUP BY x.doc_id) " +
-        "SELECT doc_id, overlap_cnt, " +
-        "overlap_cnt * 1.0 / greatest(total * 1.0, 1.0) AS overlap_ratio, " +
-        "overlap_cnt * 1.0 / greatest(total * 1.0, 1.0) >= 0.5 " +
-        "AS contaminated FROM o"),
-    "p47_pack_sequences" ->
-      ("WITH t AS (SELECT doc_id, " +
-        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
-        "AS n_tokens FROM documents), " +
-        "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER " +
-        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "1 PRECEDING) AS bef FROM t) " +
-        "SELECT doc_id, n_tokens, " +
-        "CAST(coalesce(bef, 0) // 512 AS BIGINT) AS bin FROM c"),
+    "p46_decontaminate" -> p46OracleSql,
+    "p47_pack_sequences" -> p47OracleSql,
+    // p70-p73: the QL curation families must be bit-identical to their
+    // Scala-API twins — same oracle per family (p72's stratum map is a
+    // QL-side fixture, so its oracle is its own CASE expression)
+    "p70_ql_decontaminate" -> p46OracleSql,
+    "p71_ql_pack" -> p47OracleSql,
+    "p72_ql_sample" ->
+      ("SELECT doc_id, source FROM documents WHERE " +
+        "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, " +
+        "15)) AS BIGINT) % 100 < CASE source WHEN 'src1' THEN 60 " +
+        "WHEN 'src3' THEN 25 ELSE 10 END"),
+    "p73_ql_clusters" -> p49OracleSql,
     "p48_stratified_sample" ->
       ("WITH l AS (SELECT doc_id, CASE WHEN " +
         "len(list_filter(regexp_split_to_array(trim(lower(text)), " +
@@ -1405,23 +1466,7 @@ WHERE rank <= 10"""
         "15)) AS BIGINT) % 100 < " +
         "CASE lang_pred WHEN 'en' THEN 60 WHEN 'und' THEN 10 " +
         "ELSE 0 END"),
-    // min-label propagation to a fixpoint = connected components; the
-    // lbl < e.b prune is safe because a node's own id always propagates
-    "p49_dup_clusters" ->
-      ("WITH RECURSIVE t AS (SELECT doc_id, source, " +
-        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
-        "FROM documents), " +
-        s"sh AS (SELECT doc_id, source, $duckShingles AS sh FROM t), " +
-        "pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a " +
-        "JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id " +
-        "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / " +
-        "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.01), " +
-        "e AS (SELECT ia AS a, ib AS b FROM pr " +
-        "UNION ALL SELECT ib, ia FROM pr), " +
-        "cc AS (SELECT doc_id AS id, doc_id AS lbl FROM documents " +
-        "UNION SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.id " +
-        "WHERE cc.lbl < e.b) " +
-        "SELECT id AS doc_id, min(lbl) AS cluster FROM cc GROUP BY id"),
+    "p49_dup_clusters" -> p49OracleSql,
     "p50_quantize_int8" ->
       ("WITH e AS (SELECT vec_id, embedding, " +
         "list_max(list_transform(embedding, " +

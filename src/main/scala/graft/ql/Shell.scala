@@ -251,7 +251,7 @@ final class Shell(store: GraphStore,
         throw new IllegalStateException("no snapshot path configured")))
       None
 
-    case PipelineStmt(family, variant, label, opts, qids) =>
+    case PipelineStmt(family, variant, label, opts, qids, against) =>
       // pipeline operators from the shell (SURVEY §2.10 north star):
       // the statement is a thin argument-binding layer — semantics and
       // scale shape live entirely in the graft.pipeline operators the
@@ -294,10 +294,42 @@ final class Shell(store: GraphStore,
           graft.pipeline.Similarity.bruteForceTopK(df,
             df.filter(col(id).isin(qids: _*)), k = int("k", 10),
             idCol = id, vecCol = str("vec", "embedding"))
+        case ("DECONTAMINATE", None) =>
+          val bench = store.nodes(against.getOrElse(
+            throw new IllegalArgumentException(
+              "PIPELINE DECONTAMINATE needs AGAINST <benchmark-label>")))
+          graft.pipeline.Curation.decontaminate(df, bench, id,
+            str("text", "text"), k = int("k", 3),
+            ratioThreshold = dbl("ratio", 0.5))
+        case ("PACK", None) =>
+          graft.pipeline.Curation.packSequences(df, id,
+            str("text", "text"), budgetTokens = lng("budget", 512L),
+            chunks = int("chunks", 0))
+        case ("SAMPLE", None) =>
+          // pct = "value:percent,value:percent"; rows of strata absent
+          // from the map keep default_pct
+          val pcts = str("pct", "").split(',').filter(_.nonEmpty)
+            .map { kv =>
+              val Array(s, p) = kv.split(':')
+              s.trim -> p.trim.toInt
+            }.toMap
+          graft.pipeline.Curation.stratifiedSample(df, id,
+            col(str("by", "source")), pcts,
+            defaultPct = int("default_pct", 0))
+        case ("CLUSTERS", None) =>
+          val text = str("text", "text")
+          val block = str("block", "source")
+          graft.pipeline.Curation.dupClustersCollapsed(df, id,
+            exactKeyCols = str("keys", s"$block,$text")
+              .split(',').map(_.trim).toSeq,
+            pairGen = d => graft.pipeline.Dedup.ngramJaccardPairs(
+              d, id, text, blockCol = block, k = int("k", 3),
+              threshold = dbl("threshold", 0.1)),
+            collapsible = col(text).isNotNull)
         case (f, v) => throw new IllegalArgumentException(
           s"unknown PIPELINE statement: $f ${v.getOrElse("")} — " +
             "families: DEDUP (EXACT|MINHASH|SIMHASH), SPANS ([REMOVE]), " +
-            "SHARDS, ANN")
+            "SHARDS, ANN, DECONTAMINATE, PACK, SAMPLE, CLUSTERS")
       })
 
     case ShowEdgesStmt(etype) => Some(store.edgesNamed(etype))

@@ -60,17 +60,19 @@ object TundraQL {
   /** `EXPLAIN MATCH ...` — beyond-reference; returns the optimized +
     * physical Spark plan as a one-column frame. */
   final case class ExplainStmt(m: MatchStmt) extends Statement
-  /** `PIPELINE <FAMILY> [<VARIANT>] ON <label> [QUERY IDS (…)]
-    * [WITH (opt = value, …)]` — beyond-reference QL surface exposing the
-    * training-data pipeline operators (SURVEY §2.10 north star) from the
-    * shell, so dedup/spans/shards/ANN are reachable like every other
-    * operator instead of Scala-API-only. Families: DEDUP
-    * (EXACT|MINHASH|SIMHASH), SPANS ([REMOVE]), SHARDS, ANN. Options
-    * mirror the Scala parameter names in snake_case; QUERY IDS is the
-    * bounded literal query set for ANN. */
+  /** `PIPELINE <FAMILY> [<VARIANT>] ON <label> [AGAINST <label>]
+    * [QUERY IDS (…)] [WITH (opt = value, …)]` — beyond-reference QL
+    * surface exposing the training-data pipeline operators (SURVEY
+    * §2.10 north star) from the shell, so the whole curation family is
+    * reachable like every other operator instead of Scala-API-only.
+    * Families: DEDUP (EXACT|MINHASH|SIMHASH), SPANS ([REMOVE]), SHARDS,
+    * ANN, DECONTAMINATE (AGAINST names the benchmark label), PACK,
+    * SAMPLE, CLUSTERS. Options mirror the Scala parameter names in
+    * snake_case; QUERY IDS is the bounded literal query set for ANN. */
   final case class PipelineStmt(family: String, variant: Option[String],
       label: String, options: Map[String, Any],
-      queryIds: Seq[Long] = Nil) extends Statement
+      queryIds: Seq[Long] = Nil,
+      against: Option[String] = None) extends Statement
   /** `MATCH … UNION [ALL] | INTERSECT | EXCEPT MATCH …` — user-level set
     * operations between MATCH results (beyond-reference: the reference has
     * id-set algebra only inside join strategies, SURVEY §2.3). Chains are
@@ -527,6 +529,7 @@ object TundraQL {
       }
       expectKw("ON")
       val label = ident()
+      val against = if (eatKw("AGAINST")) Some(ident()) else None
       val qids =
         if (eatKw("QUERY")) {
           expectKw("IDS")
@@ -543,7 +546,7 @@ object TundraQL {
           expectSym(")")
           p
         } else Map.empty[String, Any]
-      PipelineStmt(family, variant, label, opts, qids)
+      PipelineStmt(family, variant, label, opts, qids, against)
     }
 
     private def showStatement(): Statement = {

@@ -466,6 +466,31 @@ class ShellSpec extends SparkSpec {
         .get.select(col("id").cast("long").as("id")), "id", 4)
       .select("id", "shard", "sort_key", "pos").collect().toSet
     assert(qlShards === apiShards)
+    // DECONTAMINATE against a second label: docs 0/2 share every
+    // 3-gram with the benchmark copy of doc 0
+    sh.execute("""
+      CREATE SCHEMA Bench (text: STRING);
+      CREATE NODE Bench (text = "a b c d e f g h i");
+    """)
+    val dec = sh.execute("PIPELINE DECONTAMINATE ON Doc AGAINST Bench " +
+      "WITH (k = 3);").get
+    assert(dec.filter(col("contaminated")).count() === 3) // docs 0,1,2
+    assert(dec.filter(col("id") === 3 && col("overlap_cnt") === 0)
+      .count() === 1)
+    // PACK: 9+9+9+8 tokens into 16-token bins by exclusive prefix sum
+    val pack = sh.execute("PIPELINE PACK ON Doc WITH (budget = 16);").get
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(pack === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // SAMPLE: pct=100 keeps the whole stratum, default 0 drops the rest
+    val samp = sh.execute("PIPELINE SAMPLE ON Doc WITH (by = \"text\", " +
+      "pct = \"totally different text here now ok yes no:100\", " +
+      "default_pct = 0);").get
+    assert(samp.collect().map(_.getAs[Long]("id")).toSet === Set(3L))
+    // CLUSTERS: blocked on a constant column -> docs 0/1/2 cluster to 0
+    val clus = sh.execute("PIPELINE CLUSTERS ON Doc WITH " +
+      "(block = \"text\", keys = \"text\", k = 3, threshold = 0.9);").get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clus(0L) === 0L && clus(2L) === 0L && clus(3L) === 3L)
     // unknown family fails loudly
     val err = intercept[IllegalArgumentException] {
       sh.execute("PIPELINE FROBNICATE ON Doc;")
