@@ -790,6 +790,20 @@ object SparkEntry {
         .execute("PIPELINE CLUSTERS ON documents WITH " +
           "(block = \"source\", k = 3, threshold = 0.01);").get
         .select(col("id").as("doc_id"), col("cluster"))),
+    // p74/p75: the ANN scale path (train-on-the-fly IVF probe) and the
+    // hyperplane-LSH embedding dedup from the REPL — gated against the
+    // p37 / p35 full-replay oracles
+    "p74_ql_ann_ivf" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE ANN IVF ON embeddings " +
+          "QUERY IDS (0, 1, 2, 3, 4) WITH (clusters = 16, iters = 2, " +
+          "probe = 4, k = 10);").get
+        .select(col("q_id"), col("nn_id"), col("rank"), col("cosine"))),
+    "p75_ql_cosine_lsh" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE DEDUP COSINE_LSH ON embeddings WITH " +
+          "(threshold = 0.4, planes = 8);").get
+        .select(col("id_a"), col("id_b"), col("cosine"))),
     // ---- p63-p65: the hash-replay oracle family on a NON-ASCII corpus
     // (r11 verdict #2) — same operators as p33/p40/p60, run over the
     // deterministic multi-byte twin [[nonAsciiDocs]]; the DuckDB side
@@ -1358,6 +1372,8 @@ WHERE rank <= 10"""
         "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
         "(a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.6"),
     "p33_simhash_pairs" -> p33Oracle(),
+    "p74_ql_ann_ivf" -> p37Oracle,
+    "p75_ql_cosine_lsh" -> p35Oracle,
     "p63_simhash_nonascii" -> p33Oracle(nonAsciiDocsSql(prefix = false)),
     "p64_fingerprint_nonascii" -> fingerprintOracle(nonAsciiDocsSql()),
     "p65_spans_nonascii" -> spansOracle(nonAsciiDocsSql(), 8),

@@ -278,6 +278,13 @@ final class Shell(store: GraphStore,
         case ("DEDUP", Some("SIMHASH")) =>
           graft.pipeline.Dedup.simhashPairs(df, id, str("text", "text"),
             maxHamming = int("max_hamming", 3))
+        case ("DEDUP", Some("COSINE")) =>
+          graft.pipeline.Dedup.cosinePairs(df, id,
+            str("vec", "embedding"), threshold = dbl("threshold", 0.9))
+        case ("DEDUP", Some("COSINE_LSH")) =>
+          graft.pipeline.Dedup.cosinePairsLsh(df, id,
+            str("vec", "embedding"), threshold = dbl("threshold", 0.9),
+            planes = int("planes", 12), tables = int("tables", 1))
         case ("SPANS", None) =>
           graft.pipeline.Dedup.duplicatedSpans(df, id,
             str("text", "text"), k = int("k", 8),
@@ -294,6 +301,20 @@ final class Shell(store: GraphStore,
           graft.pipeline.Similarity.bruteForceTopK(df,
             df.filter(col(id).isin(qids: _*)), k = int("k", 10),
             idCol = id, vecCol = str("vec", "embedding"))
+        case ("ANN", Some("IVF")) =>
+          // the scale path: train-on-the-fly IVF probe (interactive
+          // shape; production persists the index via the Scala API)
+          require(qids.nonEmpty,
+            "PIPELINE ANN IVF needs a QUERY IDS (…) list")
+          val vec = str("vec", "embedding")
+          val centroids = graft.pipeline.Similarity.ivfTrain(df,
+            k = int("clusters", 16), iters = int("iters", 2),
+            idCol = id, vecCol = vec)
+          val assigned = graft.pipeline.Similarity.ivfAssign(df,
+            centroids, idCol = id, vecCol = vec)
+          graft.pipeline.Similarity.ivfTopK(assigned, centroids,
+            df.filter(col(id).isin(qids: _*)), k = int("k", 10),
+            nProbe = int("probe", 4), idCol = id, vecCol = vec)
         case ("DECONTAMINATE", None) =>
           val bench = store.nodes(against.getOrElse(
             throw new IllegalArgumentException(

@@ -497,4 +497,43 @@ class ShellSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("unknown PIPELINE statement"))
   }
+
+  test("PIPELINE embedding families: COSINE / COSINE_LSH / ANN IVF " +
+      "match their Scala-API twins") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val st = new GraphStore(spark)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.2f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "embedding")
+    st.attachNodes("vecs", vecs, "id")
+    val sh = new Shell(st)
+    val cos = sh.execute("PIPELINE DEDUP COSINE ON vecs WITH " +
+      "(threshold = 0.9);").get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cos === Set((0L, 1L), (2L, 3L)))
+    val lsh = sh.execute("PIPELINE DEDUP COSINE_LSH ON vecs WITH " +
+      "(threshold = 0.9, planes = 4, tables = 2);").get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val api = graft.pipeline.Dedup.cosinePairsLsh(st.nodes("vecs"),
+      "id", "embedding", threshold = 0.9, planes = 4, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === api) // QL binding == API (LSH recall < 1 by design)
+    val ivf = sh.execute("PIPELINE ANN IVF ON vecs QUERY IDS (0) WITH " +
+      "(clusters = 2, iters = 1, probe = 2, k = 3);").get
+    val ivfApi = {
+      val c = graft.pipeline.Similarity.ivfTrain(st.nodes("vecs"),
+        k = 2, iters = 1, idCol = "id", vecCol = "embedding")
+      graft.pipeline.Similarity.ivfTopK(
+        graft.pipeline.Similarity.ivfAssign(st.nodes("vecs"), c,
+          idCol = "id", vecCol = "embedding"), c,
+        st.nodes("vecs").filter(col("id") === 0), k = 3, nProbe = 2,
+        idCol = "id", vecCol = "embedding")
+    }
+    assert(ivf.select("q_id", "nn_id", "rank").collect().toSet ===
+      ivfApi.select("q_id", "nn_id", "rank").collect().toSet)
+  }
 }
