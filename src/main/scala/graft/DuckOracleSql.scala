@@ -16,6 +16,18 @@ package graft
   * long, chained and array paths — including multi-byte UTF-8 and
   * >= 32-byte stripe inputs).
   *
+  * Known mirror boundary — LOWERCASING, not hashing: oracles that
+  * tokenize via `lower()` (the simhash/fingerprint replays) rely on the
+  * two engines lowercasing identically. Measured divergences (r12):
+  * Spark/Java lowercases contextually — `İ` → `i` + U+0307 combining
+  * dot, word-final `Σ` → `ς` — while DuckDB's `lower()` applies simple
+  * mappings (`İ` → `i`, `Σ` → `σ` everywhere). The non-ASCII gate
+  * fixtures therefore use pre-lowercased text (covering 2-, 3- and
+  * 4-byte UTF-8, where both engines agree and the byte-level XXH64
+  * mirror is exact); mixed-case Turkish/Greek corpora would need the
+  * oracle side ported to an ICU-contextual lower. The ENGINE is
+  * unaffected — its semantics are Java/ICU-consistent.
+  *
   * Two structural lessons the prototypes hit, baked in here:
   *  - nesting the closed forms explodes (each avalanche step duplicates
   *    its input 2-3x; two chained hashes reached 24 MB of SQL) — fixed-
