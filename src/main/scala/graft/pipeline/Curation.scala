@@ -89,9 +89,15 @@ object Curation {
     val spark = docs.sparkSession
     val nChunks = math.max(1,
       if (chunks > 0) chunks else spark.sparkContext.defaultParallelism)
+    // Materialized: the driver-side prefix offsets are computed once,
+    // so the window pass must read the exact rows the per-chunk sums
+    // saw (same re-evaluation pin as shuffleShards — a nondeterministic
+    // input lineage would otherwise silently break bin assignment).
+    // Rows are (long, long) — tiny.
     val toks = docs.select(col(idCol).cast("long").as("__id"),
       graft.pipeline.TextAnalysis.tokenCountWs(col(textCol))
         .cast("long").as("n_tokens"))
+      .transform(graft.core.Materialize(_))
     val maxId = toks.agg(max("__id")).head().get(0)
       .asInstanceOf[java.lang.Long]
     if (maxId == null) {
@@ -472,9 +478,20 @@ object Curation {
         "hash non-numeric keys to a long (e.g. xxhash64) first")
     val spark = df.sparkSession
     val h = xxhash64(col(idCol).cast("long"))
+    // Materialized BEFORE the counts collect: the prefix-sum offsets
+    // are computed once on the driver, so the final plan MUST read the
+    // exact rows the counts job saw — with a nondeterministic input
+    // lineage (unseeded sample, a source gaining files between jobs) an
+    // un-pinned re-evaluation could silently break pos density. The
+    // checkpoint is (id, shard, sort_key, bucket) — ids + three longs,
+    // far smaller than the corpus. Note the counts collect makes this
+    // operator EAGER at call time (the packSequences precedent): it
+    // runs one projection+count job when constructed, not at first
+    // action.
     val keyed = df.select(col(idCol),
         pmod(h, lit(nShards.toLong)).as("shard"), h.as("sort_key"))
       .withColumn("__b", shiftright(col("sort_key"), 56))
+      .transform(graft.core.Materialize(_))
     val counts = keyed.groupBy("shard", "__b")
       .agg(count(lit(1)).as("__c")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

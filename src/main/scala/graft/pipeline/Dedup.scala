@@ -559,7 +559,13 @@ object Dedup {
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__spans"))
-    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+    // null text behaves as EMPTY text (one "" token, kept, clean_text
+    // ""): without the coalesce the null would propagate through
+    // split→filter→size into a null n_kept, and the floor comparison
+    // would silently DROP the row even at minKeptTokens = 0 —
+    // contradicting the "pass 0 to keep every row" contract
+    df.select(col(idCol),
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), size(col("__toks")).cast("long").as("__n"),
         filter(col("__toks"), (_, i) =>

@@ -257,6 +257,37 @@ final class Shell(store: GraphStore,
       // scale shape live entirely in the graft.pipeline operators the
       // Scala API exposes, so QL results are bit-identical to API calls
       val df = store.nodes(label)
+      // an unknown (or misspelled) option key must fail loudly, never
+      // silently run with a default — the review-r12 rule: a user who
+      // writes ratio_threshold where the statement takes `ratio` gets
+      // an error naming the accepted keys, not a wrong threshold
+      val accepted: Set[String] = ((family, variant) match {
+        case ("DEDUP", Some("EXACT") | None)  => Set("keys")
+        case ("DEDUP", Some("MINHASH"))       =>
+          Set("text", "num_hashes", "bands", "shingle_k", "threshold")
+        case ("DEDUP", Some("SIMHASH"))       => Set("text", "max_hamming")
+        case ("DEDUP", Some("COSINE"))        => Set("vec", "threshold")
+        case ("DEDUP", Some("COSINE_LSH"))    =>
+          Set("vec", "threshold", "planes", "tables")
+        case ("SPANS", None)                  => Set("text", "k", "min_count")
+        case ("SPANS", Some("REMOVE"))        =>
+          Set("text", "k", "min_count", "min_kept")
+        case ("SHARDS", None)                 => Set("n")
+        case ("ANN", None)                    => Set("vec", "k")
+        case ("ANN", Some("IVF"))             =>
+          Set("vec", "k", "clusters", "iters", "probe")
+        case ("DECONTAMINATE", None)          => Set("text", "k", "ratio")
+        case ("PACK", None)                   => Set("text", "budget", "chunks")
+        case ("SAMPLE", None)                 => Set("by", "pct", "default_pct")
+        case ("CLUSTERS", None)               =>
+          Set("text", "block", "keys", "k", "threshold")
+        case _                                => Set.empty[String]
+      }) ++ Set("id")
+      val unknown = opts.keySet.diff(accepted)
+      require(unknown.isEmpty,
+        s"unknown PIPELINE option(s) ${unknown.mkString(", ")} for " +
+          s"$family ${variant.getOrElse("")} — accepted: " +
+          accepted.toSeq.sorted.mkString(", "))
       def str(k: String, d: String) =
         opts.get(k).map(_.toString).getOrElse(d)
       def int(k: String, d: Int) =
@@ -327,12 +358,17 @@ final class Shell(store: GraphStore,
             str("text", "text"), budgetTokens = lng("budget", 512L),
             chunks = int("chunks", 0))
         case ("SAMPLE", None) =>
-          // pct = "value:percent,value:percent"; rows of strata absent
-          // from the map keep default_pct
+          // pct = "value:percent,value:percent" — the percent binds to
+          // everything after the LAST ':', so stratum values may contain
+          // ':' (URLs, namespaced sources); values containing ',' cannot
+          // be expressed in this syntax (use the Scala API for those).
+          // Rows of strata absent from the map keep default_pct.
           val pcts = str("pct", "").split(',').filter(_.nonEmpty)
             .map { kv =>
-              val Array(s, p) = kv.split(':')
-              s.trim -> p.trim.toInt
+              val i = kv.lastIndexOf(':')
+              require(i > 0 && i < kv.length - 1,
+                s"malformed pct entry '$kv' — expected value:percent")
+              kv.substring(0, i).trim -> kv.substring(i + 1).trim.toInt
             }.toMap
           graft.pipeline.Curation.stratifiedSample(df, id,
             col(str("by", "source")), pcts,

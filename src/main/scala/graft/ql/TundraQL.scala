@@ -65,10 +65,13 @@ object TundraQL {
     * surface exposing the training-data pipeline operators (SURVEY
     * §2.10 north star) from the shell, so the whole curation family is
     * reachable like every other operator instead of Scala-API-only.
-    * Families: DEDUP (EXACT|MINHASH|SIMHASH), SPANS ([REMOVE]), SHARDS,
-    * ANN, DECONTAMINATE (AGAINST names the benchmark label), PACK,
-    * SAMPLE, CLUSTERS. Options mirror the Scala parameter names in
-    * snake_case; QUERY IDS is the bounded literal query set for ANN. */
+    * Families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH), SPANS
+    * ([REMOVE]), SHARDS, ANN ([IVF]), DECONTAMINATE (AGAINST names the
+    * benchmark label), PACK, SAMPLE, CLUSTERS. Each family validates
+    * its option keys at execution — an unknown or misspelled key is an
+    * error naming the accepted set, never a silent default (the
+    * executor in [[graft.ql.Shell]] is the authoritative key list).
+    * QUERY IDS is the bounded literal query set for the ANN family. */
   final case class PipelineStmt(family: String, variant: Option[String],
       label: String, options: Map[String, Any],
       queryIds: Seq[Long] = Nil,

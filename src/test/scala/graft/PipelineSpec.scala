@@ -398,6 +398,15 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"),
         r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"))).toSet
     assert(all.contains((3L, "", 0L)) && all.contains((4L, "", 0L)))
+    // null text behaves as empty text — the row survives (review r12:
+    // a null would otherwise null-propagate into n_kept and silently
+    // drop the row even at floor 0)
+    val withNull = Seq((0L, "a b c"), (1L, null))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.removeSpans(withNull, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"))).toSet
+    assert(out2 === Set((0L, "a b c"), (1L, "")))
   }
 
   test("shuffle shards: deterministic xxhash64 permutation") {

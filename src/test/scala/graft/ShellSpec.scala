@@ -496,6 +496,23 @@ class ShellSpec extends SparkSpec {
       sh.execute("PIPELINE FROBNICATE ON Doc;")
     }
     assert(err.getMessage.contains("unknown PIPELINE statement"))
+    // a misspelled option key fails loudly naming the accepted set —
+    // never a silent default (review r12)
+    val optErr = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE SPANS ON Doc WITH (gram_width = 8);")
+    }
+    assert(optErr.getMessage.contains("unknown PIPELINE option") &&
+      optErr.getMessage.contains("min_count"), optErr.getMessage)
+    // a stratum value containing ':' binds the percent after the LAST
+    // ':' instead of crashing; malformed entries error with the syntax
+    val s2 = sh.execute("PIPELINE SAMPLE ON Doc WITH (by = \"text\", " +
+      "pct = \"http://x:100\", default_pct = 100);").get
+    assert(s2.count() === 4) // default 100 keeps all; entry parsed fine
+    val pctErr = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE SAMPLE ON Doc WITH (by = \"text\", " +
+        "pct = \"oops\");")
+    }
+    assert(pctErr.getMessage.contains("malformed pct entry"))
   }
 
   test("PIPELINE embedding families: COSINE / COSINE_LSH / ANN IVF " +

@@ -51,10 +51,14 @@ def main(sf_dir, out_dir, subset=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
-    # Every book entry (including skips) is stamped with a run id so
-    # books merged across one-per-process subset invocations can prove
-    # each entry came from the current binary — a stale pass:true from
-    # an earlier build is distinguishable by its stamp (r11 advice).
+    # Every book entry is stamped with a run id so books merged across
+    # one-per-process subset invocations can prove each entry came from
+    # the current binary — a stale pass:true from an earlier build is
+    # distinguishable by its stamp (r11 advice). Skipped queries are
+    # deliberately ABSENT from the book (not written as skip markers):
+    # a naive dict-merge of per-subset books would otherwise let a later
+    # invocation's skip entry clobber an earlier invocation's real
+    # pass/fail row.
     run_id = os.environ.get("GRAFT_CHECK_RUN") or \
         "%d-%d" % (int(time.time()), os.getpid())
     book = {}
@@ -65,7 +69,6 @@ def main(sf_dir, out_dir, subset=None):
         # heavy oracle poisons the process for every later query.
         if subset is not None and name not in subset:
             n_skip += 1
-            book[name] = {"skipped": True, "run": run_id}
             continue
         # A missing dump is only benign when the Verify run was explicitly
         # filtered (pass the same comma-separated subset as 3rd arg);
