@@ -1204,11 +1204,15 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
     * and survivors re-join with single spaces. Documents whose every
     * token is covered drop out (the engine's remnant floor of 1). */
   private def removeSpansOracle(docs: String, k: Int): String =
-    // coalesce mirrors the engine's null-text-as-empty contract (no
-    // gate corpus has null text; the mirror documents the semantics)
+    // coalesce + blank-guard mirror the engine's null/whitespace-only-
+    // text-as-ZERO-tokens contract (r12 advice: a blank doc must not
+    // survive the floor as a one-empty-token remnant); no gate corpus
+    // has null/blank text — the mirror documents the semantics
     s"WITH t AS (SELECT doc_id, " +
-      "regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS w, " +
-      "regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS wo " +
+      "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w, " +
+      "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE regexp_split_to_array(trim(text), '\\s+') END AS wo " +
       s"FROM $docs), " +
       "g AS (SELECT doc_id, pos, " +
       s"array_to_string(w[pos+1:pos+$k], ' ') AS gram " +

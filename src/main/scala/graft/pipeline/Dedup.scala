@@ -456,15 +456,13 @@ object Dedup {
     * minhash and decontaminate document (64-bit collisions negligible;
     * a collision can only MERGE two gram classes, inflating a count).
     * The gram table is materialized once and read by both the count and
-    * the position side; the per-document interval merge is a single
-    * codegen'd `aggregate` fold over that document's sorted positions
-    * (bounded by document length), so no window function and no
-    * driver-side work anywhere. The fold accumulator is a struct of
-    * (closed spans, current span start/end): the span array is appended
-    * to only when a gap CLOSES the current span, so the fold is
-    * O(positions) array work — never rebuilt per position (r11 advice;
-    * the former last-element-rewrite paid O(positions × spans) copying
-    * on heavily-duplicated long documents).
+    * the position side; the per-document interval merge is a flat
+    * O(positions) break-point pass over that document's sorted
+    * positions (span starts/ends are the gap-break positions, zipped) —
+    * no window function, no driver-side work, and no fold accumulator
+    * (the r11/r12 advice family: both earlier fold formulations paid
+    * super-linear array copying on heavily-duplicated long documents;
+    * the break-point zip copies nothing).
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int, minCount: Long = 2L): DataFrame = {
@@ -476,7 +474,15 @@ object Dedup {
     //    decontaminate discipline) instead of hashing a concat_ws
     //    STRING per position — slice-hash equality is gram-string
     //    equality modulo the usual negligible 64-bit collisions, and
-    //    the oracle groups gram STRINGS, so the swap is gate-checked;
+    //    the oracle groups gram STRINGS, so the swap is gate-checked.
+    //    The two-level chain widens the collision surface slightly: a
+    //    TOKEN-level collision (two distinct tokens sharing an xxhash64
+    //    value anywhere in the corpus) also merges every gram class the
+    //    colliding tokens participate in — a mode the former gram-string
+    //    hash did not have. Either level can only MERGE classes (inflate
+    //    a count, over-mark a span), never split one, and at 2^-64 per
+    //    token pair it stays in the same negligible class the corpus-
+    //    wide gram argument already accepts;
     //  - the (id, gram-hash array) frame is materialized BEFORE the
     //    posexplode (the minhashLsh lesson: an expression feeding a
     //    Generate collapses into it and runs on the interpreted path —
@@ -497,28 +503,31 @@ object Dedup {
       posexplode(col("__gs")).as(Seq("__pos", "__g")))
     val dup = grams.groupBy("__g").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount).select("__g")
-    // cs = -1 marks "no open span" (real positions are >= 0)
-    val zero = struct(emptySpans.as("closed"),
-      lit(-1L).as("cs"), lit(-1L).as("ce"))
-    val close = (acc: Column) =>
-      concat(acc("closed"),
-        array(struct(acc("cs").as("s"), acc("ce").as("e"))))
-    val merge = (acc: Column, p: Column) =>
-      when(acc("cs") < 0,
-        struct(acc("closed").as("closed"),
-          p.as("cs"), (p + k - 1).as("ce")))
-        .when(p <= acc("ce") + 1,
-          struct(acc("closed").as("closed"), acc("cs").as("cs"),
-            greatest(acc("ce"), p + k - 1).as("ce")))
-        .otherwise(struct(close(acc).as("closed"),
-          p.as("cs"), (p + k - 1).as("ce")))
-    val fin = (acc: Column) =>
-      when(acc("cs") < 0, acc("closed")).otherwise(close(acc))
+    // Interval merge over the sorted distinct gram positions, O(positions)
+    // flat: two consecutive positions p_prev < p belong to one merged
+    // span iff p <= (p_prev + k - 1) + 1, i.e. the break condition is
+    // p > p_prev + k. Span STARTS are the positions where a break (or
+    // the array edge) precedes them, span ENDS the positions where one
+    // follows — equal-length ordered lists, zipped into (s, e) structs
+    // with e = p_end + k - 1. This replaces the former aggregate fold,
+    // whose append-on-close concat copied the accumulated span array —
+    // O(spans²) per document on a pathological alternating-span doc
+    // (r12 advice family; measured on the ceiling-spec fixture). `__ps`
+    // is an aggregate output, so every per-element reference below is a
+    // plain attribute lookup — nothing for projection collapse to
+    // re-inline.
+    val ps = col("__ps")
+    val starts = filter(ps, (p, i) =>
+      when(i === 0, lit(true)).otherwise(p > element_at(ps, i) + k))
+    val ends = filter(ps, (p, i) =>
+      when(i === size(ps) - 1, lit(true))
+        .otherwise(element_at(ps, i + 2) > p + k))
     grams.join(dup, "__g")
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__pos").cast("long"))).as("__ps"))
       .select(col("__id"),
-        explode(aggregate(col("__ps"), zero, merge, fin)).as("__sp"))
+        explode(zip_with(starts, ends, (s, e) =>
+          struct(s.as("s"), (e + k - 1).as("e")))).as("__sp"))
       .select(col("__id").as(idCol),
         col("__sp")("s").as("span_start"),
         col("__sp")("e").as("span_end"))
@@ -548,30 +557,59 @@ object Dedup {
     * 100 TB shape: everything [[duplicatedSpans]] does, plus one hash
     * join of the corpus against the per-document span table — which
     * carries only documents containing at least one duplicated gram
-    * (≪ corpus on a healthy one) — and a codegen'd per-token coverage
-    * filter bounded by the merged (disjoint) span count per document.
-    * No window, no driver-side work.
+    * (≪ corpus on a healthy one) — and a codegen'd GAP-SLICE rebuild
+    * of the surviving tokens: the merged spans are sorted and the kept
+    * tokens are the concatenation of the s+1 inter-span gap slices, so
+    * the per-document work is O(tokens + spans). (The first version
+    * ran `exists(spans, …)` per token — O(tokens × spans), quadratic
+    * on a pathological alternating-span document; r12 advice.) No
+    * window, no driver-side work.
     */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
                   k: Int, minCount: Long = 2L,
                   minKeptTokens: Long = 1L): DataFrame = {
+    // the sort lives INSIDE the aggregate's result expression, so the
+    // span array reaches the gap lambda below as a plain attribute —
+    // a sort_array in a later projection gets inlined by projection
+    // collapse into EVERY per-element reference of the lambda
+    // (measured: the collapse re-sorted the span array ~3× per gap,
+    // O(spans² log spans) per document — the very quadratic shape this
+    // rewrite removes)
     val perDoc = duplicatedSpans(df, idCol, textCol, k, minCount)
       .groupBy(idCol)
-      .agg(collect_list(struct(col("span_start").as("s"),
-        col("span_end").as("e"))).as("__spans"))
-    // null text behaves as EMPTY text (one "" token, kept, clean_text
-    // ""): without the coalesce the null would propagate through
-    // split→filter→size into a null n_kept, and the floor comparison
-    // would silently DROP the row even at minKeptTokens = 0 —
-    // contradicting the "pass 0 to keep every row" contract
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e")))).as("__spans"))
+    // null and whitespace-only text both behave as ZERO tokens
+    // (n_kept = 0, clean_text ""): split("") yields one "" token, which
+    // previously let an empty document survive the minKeptTokens = 1
+    // floor that drops fully-deduplicated real documents — the two
+    // kinds of empty remnant now share one consistent floor semantics
+    // (r12 advice). The coalesce keeps nulls from propagating into a
+    // null n_kept, which would silently drop rows even at floor 0.
+    val trimmed = trim(coalesce(col(textCol), lit("")))
+    // spans are sorted by start (struct order), disjoint, with >= 1
+    // token between them (adjacency was merged), so the gaps below are
+    // well-formed and collectively exactly the kept set. `__sp` below
+    // stays a cheap null-guard over the aggregate's attribute —
+    // per-reference cost O(1), safe under projection collapse.
+    def sp = coalesce(col("__spans"), emptySpans)
     df.select(col(idCol),
-        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
+        when(length(trimmed) === 0, array().cast("array<string>"))
+          .otherwise(split(trimmed, "\\s+")).as("__toks"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), size(col("__toks")).cast("long").as("__n"),
-        filter(col("__toks"), (_, i) =>
-          !exists(coalesce(col("__spans"), emptySpans), sp =>
-            i.cast("long") >= sp("s") && i.cast("long") <= sp("e")))
-          .as("__kept"))
+        flatten(transform(sequence(lit(0), size(sp)), i => {
+          // gap i sits between span i-1 and span i (document edges at
+          // the ends); element_at is 1-based and lazily guarded by the
+          // conditionals, so the out-of-range ordinals never evaluate
+          val gapStart = when(i === 0, lit(0L))
+            .otherwise(element_at(sp, i)("e") + 1L)
+          val gapEnd = when(i === size(sp),
+            size(col("__toks")).cast("long") - 1L)
+            .otherwise(element_at(sp, i + 1)("s") - 1L)
+          slice(col("__toks"), (gapStart + 1L).cast("int"),
+            greatest(lit(0L), gapEnd - gapStart + 1L).cast("int"))
+        })).as("__kept"))
       .select(col(idCol), concat_ws(" ", col("__kept")).as("clean_text"),
         size(col("__kept")).cast("long").as("n_kept"),
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))

@@ -54,6 +54,45 @@ class BenchmarkCeilingSpec extends SparkSpec {
     assert(ms < 5000.0, f"medium-dataset join took $ms%.0f ms")
   }
 
+  test("span removal ceiling: alternating-span fixture stays " +
+      "O(tokens + spans)") {
+    assume(perfGates, "perf gate disabled (set SPARK_GRAFT_PERF_GATES=1)")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The pathological shape the r12 advice flagged: every document is
+    // S duplicated k-token runs separated by single globally-unique
+    // tokens, so span merge keeps all S spans separate — the former
+    // per-token `exists(spans, …)` coverage check paid
+    // O(tokens × spans) = O(S²k) per document here; the gap-slice
+    // rebuild pays O(tokens + spans). 64 docs × 1000 spans × (k=3):
+    // ~256k duplicated grams, 4000 tokens and 1000 disjoint spans per
+    // doc.
+    val k = 3; val s = 1000; val n = 64
+    val docs = (0 until n).map { d =>
+      (d.toLong, (0 until s).map { j =>
+        (0 until k).map(t => s"d${j}_$t").mkString(" ") + s" u${d}_$j"
+      }.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run() = graft.pipeline.Dedup.removeSpans(docs, "doc_id", "text",
+      k = k).agg(sum("n_kept"), sum("n_removed")).collect()(0)
+    run() // untimed warmup (JIT + codegen), like the join ceilings
+    val t0 = System.nanoTime()
+    val out = run()
+    val ms = (System.nanoTime() - t0) / 1e6
+    // every duplicated run removed, every unique separator kept
+    assert(out.getLong(0) === n.toLong * s, "kept-token total wrong")
+    assert(out.getLong(1) === n.toLong * s * k, "removed-token total wrong")
+    info(f"alternating-span fixture ($n docs x $s spans): $ms%.0f ms")
+    // flat shape measures ~1.5 s warm here (and DROPS as spans/doc
+    // grow at constant token count); the r12 tree's exists-coverage +
+    // append-on-close fold measured 12-13 s on this same fixture and
+    // grew super-linearly in spans/doc (booked in SCALE.md round 13) —
+    // the ceiling sits ~4x over the flat measurement for host-noise
+    // headroom while staying ~2x under the quadratic shape
+    assert(ms < 6000.0, f"span removal took $ms%.0f ms — quadratic " +
+      "span shape is back?")
+  }
+
   test("large join ceiling: avg < 10000 ms, bounded variance over " +
       "10 iters (benchmark_test.cpp:424-470)") {
     assume(perfGates, "perf gate disabled (set SPARK_GRAFT_PERF_GATES=1)")

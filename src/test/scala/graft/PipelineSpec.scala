@@ -398,15 +398,25 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"),
         r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"))).toSet
     assert(all.contains((3L, "", 0L)) && all.contains((4L, "", 0L)))
-    // null text behaves as empty text — the row survives (review r12:
-    // a null would otherwise null-propagate into n_kept and silently
-    // drop the row even at floor 0)
-    val withNull = Seq((0L, "a b c"), (1L, null))
+    // null and whitespace-only text count as ZERO tokens (r12 advice:
+    // previously the lone "" split token made n_kept = 1, so an empty
+    // doc survived the floor that drops fully-deduplicated real docs):
+    // both drop at the default floor of 1, both survive floor 0 with
+    // n_kept = 0 — consistent with the fully-covered-remnant case —
+    // and the null never null-propagates into n_kept
+    val withNull = Seq((0L, "a b c"), (1L, null), (2L, "   "))
       .toDF("doc_id", "text")
     val out2 = Dedup.removeSpans(withNull, "doc_id", "text", k = 3)
       .collect().map(r => (r.getAs[Long]("doc_id"),
         r.getAs[String]("clean_text"))).toSet
-    assert(out2 === Set((0L, "a b c"), (1L, "")))
+    assert(out2 === Set((0L, "a b c")))
+    val out3 = Dedup.removeSpans(withNull, "doc_id", "text", k = 3,
+      minKeptTokens = 0L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_removed"))).toSet
+    assert(out3 === Set((0L, "a b c", 3L, 0L), (1L, "", 0L, 0L),
+      (2L, "", 0L, 0L)))
   }
 
   test("shuffle shards: deterministic xxhash64 permutation") {

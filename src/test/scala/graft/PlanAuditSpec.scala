@@ -317,9 +317,10 @@ class PlanAuditSpec extends SparkSpec {
       store.nodes("documents"), "id", "text", k = 8)
     val plan = physical(df)
     // the surgery inherits p60's discipline: no window anywhere (the
-    // interval merge is an aggregate fold, the coverage check a
-    // per-token HOF filter), and the span side joins back by hash —
-    // never a nested loop over spans
+    // interval merge is an aggregate fold, the surviving tokens an
+    // O(tokens + spans) gap-slice rebuild over the sorted span array —
+    // r12 advice retired the per-token exists scan), and the span side
+    // joins back by hash — never a nested loop over spans
     assert(!plan.contains("Window"),
       s"span removal regressed to a window:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
