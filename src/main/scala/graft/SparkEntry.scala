@@ -826,6 +826,78 @@ object SparkEntry {
         "id", "text", k = 8)
         .select(col("id").as("doc_id"), col("span_start"),
           col("span_end"))),
+    // ---- p76: the QL INTO-chain (r12 verdict #2) — a real curation
+    // SCRIPT through the shell: span surgery persists INTO a label,
+    // the next statement exact-dedups the attached result; the gate
+    // replays the same composition in one DuckDB query
+    "p76_ql_chain" -> ((s, dir) => {
+      val sh = new graft.ql.Shell(TpchGraph.store(s, dir))
+      sh.execute(
+        "PIPELINE SPANS REMOVE ON documents WITH (k = 8) INTO cleaned;")
+      sh.execute(
+        "PIPELINE DEDUP EXACT ON cleaned WITH (keys = \"clean_text\");")
+        .get.select(col("id").as("doc_id"), col("clean_text"),
+          col("cnt"))
+    }),
+    // ---- p77-p83: QL round-trips for the text-analysis and media
+    // families (r12 verdict #7), each gated against its Scala twin's
+    // oracle bit-for-bit
+    "p77_ql_text_quality" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE TEXT QUALITY ON documents;").get
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_tokens_bpe"), col("stopword_ratio"),
+          col("avg_word_len"), col("quality"))),
+    "p78_ql_langid" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE TEXT LANGID ON documents;").get
+        .select(col("id").as("doc_id"), col("lang_pred"))),
+    "p79_ql_fingerprint" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE TEXT FINGERPRINT ON documents;").get
+        .select(col("id").as("doc_id"), col("fp"))),
+    // p80 mirrors p43's fixture: the deterministic fake PII is attached
+    // as its own label, then redacted through the QL statement
+    "p80_ql_pii" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("piidocs",
+        st.nodes("documents").select(col("id"),
+          concat(col("text"), lit(" contact: user"),
+            col("id").cast("string"), lit("@example.com ref "),
+            (col("id") * 7919).cast("string")).as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT PII ON piidocs;").get
+        .select(col("id").as("doc_id"), col("redacted"))
+    }),
+    "p81_ql_repetition" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE TEXT REPETITION ON documents;").get
+        .select(col("id").as("doc_id"), col("rep_ratio"))),
+    // p82/p83: the REAL codec paths (javax.imageio / javax.sound) from
+    // the REPL — the synthesized PNG/BMP and WAV labels are attached,
+    // then decoded through the MEDIA statements
+    "p82_ql_media_image" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("images", Multimodal.synthesizeImages(
+        st.nodes("documents"), "id"), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE MEDIA IMAGE ON images;").get
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("mean_r"), col("mean_g"), col("mean_b"),
+          array_position(col("histogram"),
+            col("width").cast("long") * col("height"))
+            .cast("int").as("hist_bucket"))
+    }),
+    "p83_ql_media_audio" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("sounds", Multimodal.synthesizeWav(
+        st.nodes("documents"), "id"), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE MEDIA AUDIO ON sounds;").get
+        .select(col("id").as("doc_id"), col("format"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          col("peak_amp"), col("rms_amp"))
+    }),
     // Deterministic training-shard shuffle: xxhash64-permutation shard
     // + within-shard position; hard-gated against the DuckDB XXH64
     // mirror's hashLong chain.
@@ -1278,7 +1350,8 @@ WHERE rank <= 10"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = referenceOracles ++ Map(
+  def oracleSql: Map[String, String] = {
+    val m = referenceOracles ++ Map(
     // String-mediated double→decimal cast: Spark's Decimal(BigDecimal
     // .valueOf(d)) rounds the double's shortest string repr HALF_UP;
     // DuckDB's direct double→decimal rounds the binary value. Casting via
@@ -1689,7 +1762,26 @@ WHERE rank <= 10"""
         "WHERE d.dist < 40) " +
         "SELECT id AS s_id, CAST(min(dist) AS INT) AS dist " +
         "FROM d GROUP BY id")
-  )
+    )
+    // p76-p83: the QL INTO-chain and the TEXT / MEDIA statement
+    // families must reproduce their Scala-API twins bit-for-bit, so
+    // each aliases its twin's oracle verbatim; p76 composes
+    // removeSpans's string-surgery replay with an exact-dedup tail
+    // over clean_text — the same composition the chained statements
+    // execute
+    m ++ Map(
+      "p76_ql_chain" ->
+        ("SELECT min(doc_id) AS doc_id, clean_text, count(*) AS cnt " +
+          s"FROM (${removeSpansOracle("documents", 8)}) " +
+          "GROUP BY clean_text"),
+      "p77_ql_text_quality" -> m("p38_text_quality"),
+      "p78_ql_langid" -> m("p39_langid"),
+      "p79_ql_fingerprint" -> m("p40_fingerprint"),
+      "p80_ql_pii" -> m("p43_pii_redact"),
+      "p81_ql_repetition" -> m("p44_repetition"),
+      "p82_ql_media_image" -> m("p55_image_decode"),
+      "p83_ql_media_audio" -> m("p56_audio_decode"))
+  }
 
   private def referenceOracles: Map[String, String] = Map(
     "q01_scan" ->

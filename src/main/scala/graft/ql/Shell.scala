@@ -251,16 +251,26 @@ final class Shell(store: GraphStore,
         throw new IllegalStateException("no snapshot path configured")))
       None
 
-    case PipelineStmt(family, variant, label, opts, qids, against) =>
+    case PipelineStmt(family, variant, label, opts, qids, against, into) =>
       // pipeline operators from the shell (SURVEY §2.10 north star):
       // the statement is a thin argument-binding layer — semantics and
       // scale shape live entirely in the graft.pipeline operators the
       // Scala API exposes, so QL results are bit-identical to API calls
       val df = store.nodes(label)
+      def unknownStmt(): Nothing = throw new IllegalArgumentException(
+        s"unknown PIPELINE statement: $family ${variant.getOrElse("")} — " +
+          "families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH), " +
+          "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), DECONTAMINATE, PACK, " +
+          "SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|FINGERPRINT|PII|" +
+          "REPETITION), MEDIA (IMAGE|AUDIO)")
       // an unknown (or misspelled) option key must fail loudly, never
       // silently run with a default — the review-r12 rule: a user who
       // writes ratio_threshold where the statement takes `ratio` gets
-      // an error naming the accepted keys, not a wrong threshold
+      // an error naming the accepted keys, not a wrong threshold. The
+      // (family, variant) pair is validated FIRST (advice r12): an
+      // unknown variant of a known family is an unknown STATEMENT, and
+      // must say so instead of rejecting its option keys against an
+      // empty accepted set.
       val accepted: Set[String] = ((family, variant) match {
         case ("DEDUP", Some("EXACT") | None)  => Set("keys")
         case ("DEDUP", Some("MINHASH"))       =>
@@ -281,7 +291,11 @@ final class Shell(store: GraphStore,
         case ("SAMPLE", None)                 => Set("by", "pct", "default_pct")
         case ("CLUSTERS", None)               =>
           Set("text", "block", "keys", "k", "threshold")
-        case _                                => Set.empty[String]
+        case ("TEXT", Some("QUALITY") | Some("LANGID") | Some("PII") |
+            Some("REPETITION") | Some("FINGERPRINT")) => Set("text",
+          "threshold")
+        case ("MEDIA", Some("IMAGE") | Some("AUDIO")) => Set("payload")
+        case _                                => unknownStmt()
       }) ++ Set("id")
       val unknown = opts.keySet.diff(accepted)
       require(unknown.isEmpty,
@@ -290,14 +304,23 @@ final class Shell(store: GraphStore,
           accepted.toSeq.sorted.mkString(", "))
       def str(k: String, d: String) =
         opts.get(k).map(_.toString).getOrElse(d)
-      def int(k: String, d: Int) =
-        opts.get(k).map(_.toString.toInt).getOrElse(d)
-      def lng(k: String, d: Long) =
-        opts.get(k).map(_.toString.toLong).getOrElse(d)
-      def dbl(k: String, d: Double) =
-        opts.get(k).map(_.toString.toDouble).getOrElse(d)
+      // coercion errors NAME the offending key and statement (advice
+      // r12): a malformed value must not surface as a bare
+      // NumberFormatException with no hint which option it came from
+      def num[T](k: String, d: T, kind: String)(f: String => T): T =
+        opts.get(k).map { v =>
+          try f(v.toString) catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"option '$k' of " +
+                s"PIPELINE $family ${variant.getOrElse("")} must be " +
+                s"""$kind, got "$v"""")
+          }
+        }.getOrElse(d)
+      def int(k: String, d: Int) = num(k, d, "an integer")(_.toInt)
+      def lng(k: String, d: Long) = num(k, d, "an integer")(_.toLong)
+      def dbl(k: String, d: Double) = num(k, d, "a number")(_.toDouble)
       val id = str("id", "id")
-      Some((family, variant) match {
+      val result: DataFrame = (family, variant) match {
         case ("DEDUP", Some("EXACT") | None) =>
           graft.pipeline.Dedup.exact(df, id,
             str("keys", "text").split(',').map(_.trim).toSeq)
@@ -383,11 +406,59 @@ final class Shell(store: GraphStore,
               d, id, text, blockCol = block, k = int("k", 3),
               threshold = dbl("threshold", 0.1)),
             collapsible = col(text).isNotNull)
-        case (f, v) => throw new IllegalArgumentException(
-          s"unknown PIPELINE statement: $f ${v.getOrElse("")} — " +
-            "families: DEDUP (EXACT|MINHASH|SIMHASH), SPANS ([REMOVE]), " +
-            "SHARDS, ANN, DECONTAMINATE, PACK, SAMPLE, CLUSTERS")
-      })
+        // ---- text-analysis family (r12 verdict #7): quality / langid /
+        // fingerprint / PII / repetition from the REPL, each a thin
+        // dispatch onto graft.pipeline.TextAnalysis
+        case ("TEXT", Some("QUALITY")) =>
+          graft.pipeline.TextAnalysis.annotate(df, str("text", "text"))
+            .select(col(id), col("n_tokens"), col("n_tokens_bpe"),
+              col("stopword_ratio"), col("avg_word_len"), col("quality"))
+        case ("TEXT", Some("LANGID")) =>
+          df.select(col(id), graft.pipeline.TextAnalysis.langId(
+            col(str("text", "text")), dbl("threshold", 0.05))
+            .as("lang_pred"))
+        case ("TEXT", Some("FINGERPRINT")) =>
+          df.select(col(id), graft.pipeline.TextAnalysis.fingerprint(
+            col(str("text", "text"))).as("fp"))
+        case ("TEXT", Some("PII")) =>
+          df.select(col(id), graft.pipeline.TextAnalysis.redactPii(
+            col(str("text", "text"))).as("redacted"))
+        case ("TEXT", Some("REPETITION")) =>
+          df.select(col(id), graft.pipeline.TextAnalysis.repetitionRatio(
+            col(str("text", "text"))).as("rep_ratio"))
+        // ---- media family: decode over a binary `media` column (the
+        // attachBinary/synthesize* shape); a label carrying only text
+        // wraps its `payload` column as an opaque binary payload first
+        case ("MEDIA", Some("IMAGE")) =>
+          graft.pipeline.Multimodal.decode(mediaFrame(df, id,
+            str("payload", "text")))
+        case ("MEDIA", Some("AUDIO")) =>
+          graft.pipeline.Multimodal.decodeAudio(mediaFrame(df, id,
+            str("payload", "text")))
+        case _ => unknownStmt()
+      }
+      // INTO: attach the result as a node label so curation stages
+      // CHAIN from the shell (r12 verdict #2). Document-grain outputs
+      // only — pair (DEDUP MINHASH/SIMHASH/COSINE*), span (SPANS), and
+      // rank (ANN) grains repeat or lack the id column and cannot be a
+      // node table; they refuse loudly instead of attaching garbage.
+      into.foreach { lbl =>
+        val docGrain = (family, variant) match {
+          case ("DEDUP", Some("EXACT") | None) | ("SPANS", Some("REMOVE")) |
+               ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
+               ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
+               ("MEDIA", _) => true
+          case _ => false
+        }
+        require(docGrain,
+          s"PIPELINE $family ${variant.getOrElse("")} INTO: output is " +
+            "not document-grain (no unique node id); INTO supports " +
+            "DEDUP EXACT, SPANS REMOVE, SHARDS, DECONTAMINATE, PACK, " +
+            "SAMPLE, CLUSTERS, TEXT *, MEDIA *")
+        store.attachNodes(lbl, result,
+          if (result.columns.contains(id)) id else "id")
+      }
+      Some(result)
 
     case ShowEdgesStmt(etype) => Some(store.edgesNamed(etype))
 
@@ -398,6 +469,16 @@ final class Shell(store: GraphStore,
           store.edges(i.name, i.srcLabel, i.dstLabel).count())
       }.toDF("edge_type", "src_label", "dst_label", "n"))
   }
+
+  /** PIPELINE MEDIA input shape: a label already carrying the binary
+    * `media` + `meta` columns (the attachBinary / synthesize* layout)
+    * passes through; a text-only label wraps its payload column as an
+    * opaque binary payload, exactly like the Scala-API caller would. */
+  private def mediaFrame(df: DataFrame, idCol: String,
+                         payloadCol: String): DataFrame =
+    if (df.columns.contains("media") && df.columns.contains("meta"))
+      df.select(col(idCol).cast("long").as("id"), col("media"), col("meta"))
+    else graft.pipeline.Multimodal.attachBinary(df, idCol, payloadCol)
 
   /** MATCH AST → engine query (direction reversal normalized here, like
     * the reference shell — apps/tundra_shell.cpp:568-579). */

@@ -61,21 +61,28 @@ object TundraQL {
     * physical Spark plan as a one-column frame. */
   final case class ExplainStmt(m: MatchStmt) extends Statement
   /** `PIPELINE <FAMILY> [<VARIANT>] ON <label> [AGAINST <label>]
-    * [QUERY IDS (…)] [WITH (opt = value, …)]` — beyond-reference QL
-    * surface exposing the training-data pipeline operators (SURVEY
-    * §2.10 north star) from the shell, so the whole curation family is
-    * reachable like every other operator instead of Scala-API-only.
-    * Families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH), SPANS
-    * ([REMOVE]), SHARDS, ANN ([IVF]), DECONTAMINATE (AGAINST names the
-    * benchmark label), PACK, SAMPLE, CLUSTERS. Each family validates
-    * its option keys at execution — an unknown or misspelled key is an
-    * error naming the accepted set, never a silent default (the
-    * executor in [[graft.ql.Shell]] is the authoritative key list).
-    * QUERY IDS is the bounded literal query set for the ANN family. */
+    * [QUERY IDS (…)] [WITH (opt = value, …)] [INTO <label>]` —
+    * beyond-reference QL surface exposing the training-data pipeline
+    * operators (SURVEY §2.10 north star) from the shell, so the whole
+    * curation family is reachable like every other operator instead of
+    * Scala-API-only. Families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|
+    * COSINE_LSH), SPANS ([REMOVE]), SHARDS, ANN ([IVF]), DECONTAMINATE
+    * (AGAINST names the benchmark label), PACK, SAMPLE, CLUSTERS,
+    * TEXT (QUALITY|LANGID|FINGERPRINT|PII|REPETITION), MEDIA
+    * (IMAGE|AUDIO). Each family validates its option keys at
+    * execution — an unknown or misspelled key is an error naming the
+    * accepted set, never a silent default (the executor in
+    * [[graft.ql.Shell]] is the authoritative key list). QUERY IDS is
+    * the bounded literal query set for the ANN family. `INTO` attaches
+    * the result as a node label so curation stages CHAIN from the
+    * shell (spans→remove→dedup→pack); document-grain families only —
+    * pair/span/rank-grain outputs have no unique node id and refuse
+    * loudly. */
   final case class PipelineStmt(family: String, variant: Option[String],
       label: String, options: Map[String, Any],
       queryIds: Seq[Long] = Nil,
-      against: Option[String] = None) extends Statement
+      against: Option[String] = None,
+      into: Option[String] = None) extends Statement
   /** `MATCH … UNION [ALL] | INTERSECT | EXCEPT MATCH …` — user-level set
     * operations between MATCH results (beyond-reference: the reference has
     * id-set algebra only inside join strategies, SURVEY §2.3). Chains are
@@ -549,7 +556,8 @@ object TundraQL {
           expectSym(")")
           p
         } else Map.empty[String, Any]
-      PipelineStmt(family, variant, label, opts, qids, against)
+      val into = if (eatKw("INTO")) Some(ident()) else None
+      PipelineStmt(family, variant, label, opts, qids, against, into)
     }
 
     private def showStatement(): Statement = {

@@ -515,6 +515,152 @@ class ShellSpec extends SparkSpec {
     assert(pctErr.getMessage.contains("malformed pct entry"))
   }
 
+  test("PIPELINE diagnostics: unknown variants and malformed option " +
+      "values name the statement and key") {
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA Doc (text: STRING);
+      CREATE NODE Doc (text = "a b c");
+    """)
+    // an unknown VARIANT of a known family is an unknown STATEMENT —
+    // even with options present it must not reject the option keys
+    // against an empty accepted set (advice r12)
+    val v1 = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE SPANS FOO ON Doc WITH (k = 8);")
+    }
+    assert(v1.getMessage.contains("unknown PIPELINE statement") &&
+      v1.getMessage.contains("SPANS FOO"), v1.getMessage)
+    val v2 = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE DEDUP FUZZY ON Doc;")
+    }
+    assert(v2.getMessage.contains("unknown PIPELINE statement"),
+      v2.getMessage)
+    // malformed numeric option values name the offending key and the
+    // statement, per coercion type (advice r12: a bare
+    // NumberFormatException gave no hint which option was malformed)
+    val i1 = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE SPANS ON Doc WITH (k = \"abc\");")
+    }
+    assert(i1.getMessage.contains("option 'k' of PIPELINE SPANS") &&
+      i1.getMessage.contains("must be an integer") &&
+      i1.getMessage.contains("\"abc\""), i1.getMessage)
+    val i2 = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE SPANS ON Doc WITH (min_count = \"lots\");")
+    }
+    assert(i2.getMessage.contains("option 'min_count'") &&
+      i2.getMessage.contains("must be an integer"), i2.getMessage)
+    val i3 = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE DEDUP MINHASH ON Doc WITH " +
+        "(threshold = \"high\");")
+    }
+    assert(i3.getMessage.contains("option 'threshold'") &&
+      i3.getMessage.contains("must be a number"), i3.getMessage)
+  }
+
+  test("PIPELINE ... INTO: document-grain results attach and chain; " +
+      "pair-grain refuses") {
+    import org.apache.spark.sql.functions.col
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA Doc (text: STRING);
+      CREATE NODE Doc (text = "a b c d e f g h i unique1 tail tail2");
+      CREATE NODE Doc (text = "a b c d e f g h i unique2 tip tip2");
+      CREATE NODE Doc (text = "clean words only here");
+      CREATE NODE Doc (text = "clean words only here");
+    """)
+    // chain: remove duplicated spans INTO cleaned, then exact-dedup the
+    // cleaned texts — must reproduce the composed Scala-API result
+    sh.execute(
+      "PIPELINE SPANS REMOVE ON Doc WITH (k = 9) INTO cleaned;")
+    val chained = sh.execute(
+      "PIPELINE DEDUP EXACT ON cleaned WITH (keys = \"clean_text\");")
+      .get.select("id", "clean_text", "cnt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val store2 = new GraphStore(spark)
+    import spark.implicits._
+    store2.attachNodes("Doc", Seq(
+      (0L, "a b c d e f g h i unique1 tail tail2"),
+      (1L, "a b c d e f g h i unique2 tip tip2"),
+      (2L, "clean words only here"),
+      (3L, "clean words only here")).toDF("id", "text"), "id")
+    val api = graft.pipeline.Dedup.exact(
+      graft.pipeline.Dedup.removeSpans(store2.nodes("Doc"), "id", "text",
+        k = 9),
+      "id", Seq("clean_text")).select("id", "clean_text", "cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(chained === api && chained.nonEmpty)
+    // the attached label is a real node table: MATCH sees it
+    assert(sh.execute("MATCH (c:cleaned) SELECT c.n_kept;").get
+      .count() === 4)
+    // pair-grain output refuses INTO loudly
+    val e = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE DEDUP SIMHASH ON Doc INTO pairs;")
+    }
+    assert(e.getMessage.contains("not document-grain"), e.getMessage)
+  }
+
+  test("PIPELINE TEXT / MEDIA families match their Scala-API twins") {
+    import org.apache.spark.sql.functions.col
+    val sh = shell()
+    sh.execute("""
+      CREATE SCHEMA Doc (text: STRING);
+      CREATE NODE Doc (text = "The quick brown fox and the lazy dog");
+      CREATE NODE Doc (text = "word word word word word");
+      CREATE NODE Doc (text = "contact user1@example.com ref 7919");
+    """)
+    val store = new GraphStore(spark)
+    import spark.implicits._
+    store.attachNodes("Doc", Seq(
+      (0L, "The quick brown fox and the lazy dog"),
+      (1L, "word word word word word"),
+      (2L, "contact user1@example.com ref 7919")).toDF("id", "text"),
+      "id")
+    val docs = store.nodes("Doc")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(rows(sh.execute("PIPELINE TEXT QUALITY ON Doc;").get) ===
+      rows(graft.pipeline.TextAnalysis.annotate(docs, "text")
+        .select(col("id"), col("n_tokens"), col("n_tokens_bpe"),
+          col("stopword_ratio"), col("avg_word_len"), col("quality"))))
+    assert(rows(sh.execute("PIPELINE TEXT LANGID ON Doc;").get) ===
+      rows(docs.select(col("id"),
+        graft.pipeline.TextAnalysis.langId(col("text"))
+          .as("lang_pred"))))
+    assert(rows(sh.execute("PIPELINE TEXT FINGERPRINT ON Doc;").get) ===
+      rows(docs.select(col("id"),
+        graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))))
+    assert(rows(sh.execute("PIPELINE TEXT PII ON Doc;").get) ===
+      rows(docs.select(col("id"),
+        graft.pipeline.TextAnalysis.redactPii(col("text"))
+          .as("redacted"))))
+    // the PII statement actually masks
+    assert(sh.execute("PIPELINE TEXT PII ON Doc;").get
+      .filter(col("redacted").contains("example.com")).count() === 0)
+    assert(rows(sh.execute("PIPELINE TEXT REPETITION ON Doc;").get) ===
+      rows(docs.select(col("id"),
+        graft.pipeline.TextAnalysis.repetitionRatio(col("text"))
+          .as("rep_ratio"))))
+    // MEDIA over a real synthesized-codec label (PNG/BMP images, WAV
+    // audio) and over a bare text label (opaque-payload wrap)
+    val st2 = new GraphStore(spark)
+    st2.attachNodes("images",
+      graft.pipeline.Multimodal.synthesizeImages(docs, "id"), "id")
+    st2.attachNodes("sounds",
+      graft.pipeline.Multimodal.synthesizeWav(docs, "id"), "id")
+    st2.attachNodes("Doc", docs, "id")
+    val sh2 = new Shell(st2)
+    assert(rows(sh2.execute("PIPELINE MEDIA IMAGE ON images;").get) ===
+      rows(graft.pipeline.Multimodal.decode(
+        graft.pipeline.Multimodal.synthesizeImages(docs, "id"))))
+    assert(rows(sh2.execute("PIPELINE MEDIA AUDIO ON sounds;").get) ===
+      rows(graft.pipeline.Multimodal.decodeAudio(
+        graft.pipeline.Multimodal.synthesizeWav(docs, "id"))))
+    assert(rows(sh2.execute("PIPELINE MEDIA IMAGE ON Doc;").get) ===
+      rows(graft.pipeline.Multimodal.decode(
+        graft.pipeline.Multimodal.attachBinary(docs, "id", "text"))))
+  }
+
   test("PIPELINE embedding families: COSINE / COSINE_LSH / ANN IVF " +
       "match their Scala-API twins") {
     import org.apache.spark.sql.functions.col
