@@ -826,6 +826,22 @@ object SparkEntry {
         "id", "text", k = 8)
         .select(col("id").as("doc_id"), col("span_start"),
           col("span_end"))),
+    // ---- p84: incremental span dedup (r12 verdict #5) — the fresh
+    // batch (id % 3 == 0) is span-deduped against the accumulated
+    // corpus's (id % 3 != 0) persisted gram-count table: a gram is
+    // duplicated when batch + corpus occurrences reach 2. The oracle
+    // replays both relations with STRING grams (engine shuffles
+    // xxhash64 longs — independent) and the same gaps-and-islands
+    // merge as p60.
+    "p84_spans_against" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+      Dedup.spansAgainst(docs.filter(col("id") % 3 === 0),
+        Dedup.spanGramCounts(docs.filter(col("id") % 3 =!= 0),
+          "id", "text", 8),
+        "id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_end"))
+    }),
     // ---- p76: the QL INTO-chain (r12 verdict #2) — a real curation
     // SCRIPT through the shell: span surgery persists INTO a label,
     // the next statement exact-dedups the attached result; the gate
@@ -1269,6 +1285,39 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       s"SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} " +
       "AS span_end FROM s GROUP BY doc_id, isl"
 
+  /** p84 oracle — independent replay of [[Dedup.spansAgainst]](k,
+    * minCount=2): batch grams grouped as STRINGS, corpus counts from a
+    * separate relation, a gram duplicated when batch + corpus
+    * occurrences reach 2, then [[spansOracle]]'s gaps-and-islands
+    * merge over the qualifying batch positions. */
+  private def spansAgainstOracle(batch: String, corpus: String,
+                                 k: Int): String = {
+    def grams(rel: String, out: String, withPos: Boolean) = {
+      val posCol = if (withPos) "pos, " else ""
+      s"$out AS (SELECT doc_id, $posCol" +
+        s"array_to_string(w[pos+1:pos+$k], ' ') AS gram FROM " +
+        "(SELECT doc_id, w, " +
+        s"unnest(range(0, len(w)-${k - 1})) AS pos FROM " +
+        "(SELECT doc_id, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+        s"FROM $rel) WHERE len(w) >= $k))"
+    }
+    s"WITH ${grams(batch, "gb", withPos = true)}, " +
+      s"${grams(corpus, "gc", withPos = false)}, " +
+      "cg AS (SELECT gram, count(*) AS cn FROM gc GROUP BY gram), " +
+      "bc AS (SELECT gram, count(*) AS bn FROM gb GROUP BY gram), " +
+      "d AS (SELECT bc.gram FROM bc LEFT JOIN cg USING (gram) " +
+      "WHERE bc.bn + coalesce(cg.cn, 0) >= 2), " +
+      "h AS (SELECT gb.doc_id, gb.pos FROM gb JOIN d USING (gram)), " +
+      "i AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
+      s"(PARTITION BY doc_id ORDER BY pos) + $k THEN 1 ELSE 0 END " +
+      "AS brk FROM h), " +
+      "s AS (SELECT doc_id, pos, sum(brk) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) AS isl FROM i) " +
+      s"SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} " +
+      "AS span_end FROM s GROUP BY doc_id, isl"
+  }
+
   /** p62 oracle: string-surgery replay of [[Dedup.removeSpans]](k,
     * minCount=2, minKeptTokens=1) built on [[spansOracle]]'s CTEs —
     * duplicated-gram positions expand to covered token positions, the
@@ -1674,6 +1723,9 @@ WHERE rank <= 10"""
         "FROM f"),
     "p60_substring_spans" -> spansOracle("documents", 8),
     "p62_remove_spans" -> removeSpansOracle("documents", 8),
+    "p84_spans_against" -> spansAgainstOracle(
+      "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+      "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", 8),
     "p61_shuffle_shards" -> p61Oracle,
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +

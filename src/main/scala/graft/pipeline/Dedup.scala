@@ -467,31 +467,40 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int, minCount: Long = 2L): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    // Two r12 fixes, measured together 9.4 s → 0.8 s at sf0.1 (the
-    // round's bench flagged spans as the suite's most expensive entry):
-    //  - tokens hashed ONCE per row, gram hash = xxhash64 over the
-    //    k-slice of the token-hash array (the hashedShingles /
-    //    decontaminate discipline) instead of hashing a concat_ws
-    //    STRING per position — slice-hash equality is gram-string
-    //    equality modulo the usual negligible 64-bit collisions, and
-    //    the oracle groups gram STRINGS, so the swap is gate-checked.
-    //    The two-level chain widens the collision surface slightly: a
-    //    TOKEN-level collision (two distinct tokens sharing an xxhash64
-    //    value anywhere in the corpus) also merges every gram class the
-    //    colliding tokens participate in — a mode the former gram-string
-    //    hash did not have. Either level can only MERGE classes (inflate
-    //    a count, over-mark a span), never split one, and at 2^-64 per
-    //    token pair it stays in the same negligible class the corpus-
-    //    wide gram argument already accepts;
-    //  - the (id, gram-hash array) frame is materialized BEFORE the
-    //    posexplode (the minhashLsh lesson: an expression feeding a
-    //    Generate collapses into it and runs on the interpreted path —
-    //    the first version checkpointed AFTER the explode and paid
-    //    exactly that). Both gram consumers (multiplicity count +
-    //    position join) re-derive the cheap explode from the
-    //    checkpointed arrays.
+    val grams = hashedGrams(df, idCol, textCol, k)
+    val dup = grams.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("__g")
+    mergeSpans(grams.join(dup, "__g"), idCol, k)
+  }
+
+  /** The (id, position, gram-hash) table both span operators shuffle —
+    * two r12 fixes, measured together 9.4 s → 0.8 s at sf0.1 (the
+    * round's bench flagged spans as the suite's most expensive entry):
+    *  - tokens hashed ONCE per row, gram hash = xxhash64 over the
+    *    k-slice of the token-hash array (the hashedShingles /
+    *    decontaminate discipline) instead of hashing a concat_ws
+    *    STRING per position — slice-hash equality is gram-string
+    *    equality modulo the usual negligible 64-bit collisions, and
+    *    the oracle groups gram STRINGS, so the swap is gate-checked.
+    *    The two-level chain widens the collision surface slightly: a
+    *    TOKEN-level collision (two distinct tokens sharing an xxhash64
+    *    value anywhere in the corpus) also merges every gram class the
+    *    colliding tokens participate in — a mode the former gram-string
+    *    hash did not have. Either level can only MERGE classes (inflate
+    *    a count, over-mark a span), never split one, and at 2^-64 per
+    *    token pair it stays in the same negligible class the corpus-
+    *    wide gram argument already accepts;
+    *  - the (id, gram-hash array) frame is materialized BEFORE the
+    *    posexplode (the minhashLsh lesson: an expression feeding a
+    *    Generate collapses into it and runs on the interpreted path —
+    *    the first version checkpointed AFTER the explode and paid
+    *    exactly that). Every gram consumer (multiplicity count +
+    *    position join) re-derives the cheap explode from the
+    *    checkpointed arrays. */
+  private def hashedGrams(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    val base = df.select(col(idCol).as("__id"),
+    df.select(col(idCol).as("__id"),
         transform(toks, t => xxhash64(t)).as("__th"))
       .select(col("__id"),
         when(size(col("__th")) >= k,
@@ -499,30 +508,34 @@ object Dedup {
             i => xxhash64(slice(col("__th"), i + 1, lit(k)))))
           .otherwise(array().cast("array<bigint>")).as("__gs"))
       .transform(graft.core.Materialize(_))
-    val grams = base.select(col("__id"),
-      posexplode(col("__gs")).as(Seq("__pos", "__g")))
-    val dup = grams.groupBy("__g").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minCount).select("__g")
-    // Interval merge over the sorted distinct gram positions, O(positions)
-    // flat: two consecutive positions p_prev < p belong to one merged
-    // span iff p <= (p_prev + k - 1) + 1, i.e. the break condition is
-    // p > p_prev + k. Span STARTS are the positions where a break (or
-    // the array edge) precedes them, span ENDS the positions where one
-    // follows — equal-length ordered lists, zipped into (s, e) structs
-    // with e = p_end + k - 1. This replaces the former aggregate fold,
-    // whose append-on-close concat copied the accumulated span array —
-    // O(spans²) per document on a pathological alternating-span doc
-    // (r12 advice family; measured on the ceiling-spec fixture). `__ps`
-    // is an aggregate output, so every per-element reference below is a
-    // plain attribute lookup — nothing for projection collapse to
-    // re-inline.
+      .select(col("__id"), posexplode(col("__gs")).as(Seq("__pos", "__g")))
+  }
+
+  /** (__id, __pos) rows of duplicated-gram positions → merged maximal
+    * (idCol, span_start, span_end) token ranges.
+    *
+    * Interval merge over the sorted distinct gram positions, O(positions)
+    * flat: two consecutive positions p_prev < p belong to one merged
+    * span iff p <= (p_prev + k - 1) + 1, i.e. the break condition is
+    * p > p_prev + k. Span STARTS are the positions where a break (or
+    * the array edge) precedes them, span ENDS the positions where one
+    * follows — equal-length ordered lists, zipped into (s, e) structs
+    * with e = p_end + k - 1. This replaces the former aggregate fold,
+    * whose append-on-close concat copied the accumulated span array —
+    * O(spans²) per document on a pathological alternating-span doc
+    * (r12 advice family; measured on the ceiling-spec fixture). `__ps`
+    * is an aggregate output, so every per-element reference below is a
+    * plain attribute lookup — nothing for projection collapse to
+    * re-inline. */
+  private def mergeSpans(dupPositions: DataFrame, idCol: String,
+                         k: Int): DataFrame = {
     val ps = col("__ps")
     val starts = filter(ps, (p, i) =>
       when(i === 0, lit(true)).otherwise(p > element_at(ps, i) + k))
     val ends = filter(ps, (p, i) =>
       when(i === size(ps) - 1, lit(true))
         .otherwise(element_at(ps, i + 2) > p + k))
-    grams.join(dup, "__g")
+    dupPositions
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__pos").cast("long"))).as("__ps"))
       .select(col("__id"),
@@ -531,6 +544,57 @@ object Dedup {
       .select(col("__id").as(idCol),
         col("__sp")("s").as("span_start"),
         col("__sp")("e").as("span_end"))
+  }
+
+  /** Corpus-side gram-count table for [[spansAgainst]]: one map-side-
+    * combined aggregation of the corpus's hashed k-gram table —
+    * (gram, cnt), gram-grain, ≪ corpus. This is the artifact a growing
+    * corpus PERSISTS at ingest time (and updates additively: gram
+    * counts of the accepted batch sum into it), so daily incremental
+    * span dedup never re-shuffles the accumulated corpus. */
+  def spanGramCounts(corpus: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame =
+    hashedGrams(corpus, idCol, textCol, k)
+      .groupBy(col("__g").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Incremental duplicated-substring span detection (the
+    * [[exactAgainst]] shape for the substring family, SURVEY §2.10
+    * ingestion north star): find the spans of a NEW batch whose k-grams
+    * are duplicated across batch ∪ corpus — i.e. batch occurrences plus
+    * the corpus's persisted [[spanGramCounts]] reach `minCount` — and
+    * merge them per batch document, without touching corpus text.
+    * Output rows cover batch documents only, same schema as
+    * [[duplicatedSpans]]; run on batch = corpus it degenerates to
+    * exactly [[duplicatedSpans]].
+    *
+    * 100 TB shape: the batch grams shuffle once (batch-sized); the
+    * corpus side is the pre-aggregated gram-count table probed by ONE
+    * inner hash join whose other side is the batch's DISTINCT
+    * below-threshold grams — batch-sized, so AQE broadcasts it and the
+    * corpus table is scanned once, never shuffled. Grams already
+    * duplicated within the batch skip the corpus probe entirely.
+    */
+  def spansAgainst(newBatch: DataFrame, corpusGrams: DataFrame,
+                   idCol: String, textCol: String,
+                   k: Int, minCount: Long = 2L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val grams = hashedGrams(newBatch, idCol, textCol, k)
+    val batchCounts = grams.groupBy("__g").agg(count(lit(1)).as("__bn"))
+    val cg = corpusGrams.select(col("gram").as("__g"),
+      col("cnt").cast("long").as("__cn"))
+    // duplicated within the batch alone — no corpus probe needed
+    val within = batchCounts.filter(col("__bn") >= minCount).select("__g")
+    // otherwise the corpus counts must make up the difference; the
+    // inner join keeps the batch side broadcastable (a left-outer of
+    // batch against the corpus table would force the big side to
+    // build or shuffle)
+    val assisted = batchCounts.filter(col("__bn") < minCount)
+      .join(cg, "__g")
+      .filter(col("__bn") + col("__cn") >= minCount)
+      .select("__g")
+    mergeSpans(grams.join(within.unionByName(assisted), "__g"),
+      idCol, k)
   }
 
   /** Typed empty `array<struct<s,e>>` literal (a bare `array()` is

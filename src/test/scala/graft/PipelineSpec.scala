@@ -419,6 +419,36 @@ class PipelineSpec extends SparkSpec {
       (2L, "", 0L, 0L)))
   }
 
+  test("spans against: batch spans from batch+corpus gram counts") {
+    import spark.implicits._
+    // corpus holds "a b c d" once; batch doc 10 repeats it (batch 1 +
+    // corpus 1 = 2 -> duplicated), batch docs 11/12 share "x y z w"
+    // within the batch alone, doc 13 is clean
+    val corpus = Seq(
+      (0L, "a b c d and some corpus padding here"),
+      (1L, "other corpus text entirely different")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "intro a b c d outro"),
+      (11L, "x y z w eleven"),
+      (12L, "pre x y z w"),
+      (13L, "nothing shared at all")).toDF("doc_id", "text")
+    val cg = Dedup.spanGramCounts(corpus, "doc_id", "text", k = 4)
+    val out = Dedup.spansAgainst(batch, cg, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
+    assert(out === Set((10L, 1L, 4L), (11L, 0L, 3L), (12L, 1L, 4L)))
+    // batch re-ingested against its own counts double-counts every
+    // gram: with minCount = 2 every gram qualifies and each doc is one
+    // full-cover span (doc 0: 9 tokens, doc 1: 5 tokens, k = 4) — the
+    // re-ingestion-of-an-already-ingested-batch shape
+    val self = Dedup.spansAgainst(corpus,
+      Dedup.spanGramCounts(corpus, "doc_id", "text", k = 4),
+      "doc_id", "text", k = 4, minCount = 2L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
+    assert(self === Set((0L, 0L, 8L), (1L, 0L, 4L)))
+  }
+
   test("shuffle shards: deterministic xxhash64 permutation") {
     import spark.implicits._
     val ids = (0L until 200L).toDF("doc_id")

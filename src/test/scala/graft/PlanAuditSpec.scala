@@ -330,6 +330,27 @@ class PlanAuditSpec extends SparkSpec {
       s"gram count lacks partial aggregation:\n$plan")
   }
 
+  test("incremental spans-against: corpus gram table never shuffled, " +
+      "merge without windows") {
+    import org.apache.spark.sql.functions.col
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val docs = store.nodes("documents")
+    val df = graft.pipeline.Dedup.spansAgainst(
+      docs.filter(col("id") % 3 === 0),
+      graft.pipeline.Dedup.spanGramCounts(
+        docs.filter(col("id") % 3 =!= 0), "id", "text", 8),
+      "id", "text", k = 8)
+    val plan = physical(df)
+    assert(!plan.contains("Window"),
+      s"interval merge regressed to a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram probe fell back to a nested loop:\n$plan")
+    // gram counts (batch + corpus) must combine map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"gram count lacks partial aggregation:\n$plan")
+  }
+
   test("shuffle shards: sub-bucketed prefix-sum index, no per-shard " +
       "funnel") {
     val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
