@@ -113,6 +113,38 @@ object DuckOracleSql {
     (steps.map { case (n, e) => s"$e AS $n" }.mkString(", "), s"${pfx}h")
   }
 
+  /** Fixture-side guard for the lowercasing boundary documented above
+    * (r12 verdict #6 — the boundary was measured and documented, but
+    * nothing STOPPED a future mixed-case Turkish/Greek fixture from
+    * walking into it): Java/Spark lowercases contextually (`İ` →
+    * `i` + U+0307, word-final `Σ` → `ς`) while DuckDB's `lower()`
+    * applies simple per-codepoint mappings — any text whose two
+    * lowerings differ CANNOT be hash-replayed through the mirror's
+    * `lower()`-tokenizing oracles. Fixture builders call this on every
+    * literal pool they inject, so a boundary-crossing fixture refuses
+    * LOUDLY at plan-build time (the same discipline as the mirror's
+    * in-SQL `error()` codepoint-split guard) instead of surfacing as a
+    * confusing downstream hash mismatch. Simple mapping here =
+    * `Character.toLowerCase` per codepoint, which is exactly the
+    * 1:1-mapping subset utf8proc (DuckDB) applies. */
+  def assertLowerMirrorSafe(label: String, text: String): Unit = {
+    val simple = {
+      val sb = new java.lang.StringBuilder(text.length)
+      text.codePoints().forEach { cp =>
+        sb.appendCodePoint(Character.toLowerCase(cp)); ()
+      }
+      sb.toString
+    }
+    val contextual = text.toLowerCase(java.util.Locale.ROOT)
+    require(contextual == simple,
+      s"$label: text crosses the Java-vs-DuckDB lowercasing boundary " +
+        s"""(contextual "$contextual" != simple "$simple" — e.g. """ +
+        "Turkish İ or Greek word-final Σ). The XXH64 mirror's " +
+        "lower()-tokenizing oracles cannot replay it: pre-lowercase " +
+        "the fixture text, or port the oracle side to an " +
+        "ICU-contextual lower (DuckOracleSql boundary note)")
+  }
+
   /** UTF-8 byte list of a VARCHAR column (codepoint → byte arithmetic).
     * DuckDB v1.0.0's `string_split(s, '')` splits per CODEPOINT (an NFD
     * combining sequence, a ZWJ emoji family and a Devanagari conjunct

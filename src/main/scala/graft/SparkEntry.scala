@@ -1062,11 +1062,18 @@ object SparkEntry {
     * candidate replay exceeds DuckDB's memory). The per-id multi-byte
     * SUFFIXES alone give p63 its 2-, 3- and 4-byte UTF-8 coverage. */
   private def nonAsciiDocs(docs: DataFrame,
-                           prefix: Boolean = true): DataFrame =
+                           prefix: Boolean = true): DataFrame = {
+    // every literal pool injected into a hash-replay fixture must stay
+    // on the safe side of the Java-vs-DuckDB lowercasing boundary —
+    // refuse loudly at plan-build time (r12 verdict #6), never as a
+    // downstream hash mismatch
+    (NonAsciiPrefix +: NonAsciiVariants).foreach(
+      DuckOracleSql.assertLowerMirrorSafe("nonAsciiDocs fixture", _))
     docs.select(col("id"), concat(
       lit(if (prefix) NonAsciiPrefix else ""), col("text"),
       lit(" "), element_at(array(NonAsciiVariants.map(lit): _*),
         (pmod(col("id"), lit(5)) + 1).cast("int"))).as("text"))
+  }
   private def nonAsciiDocsSql(prefix: Boolean = true): String =
     s"(SELECT doc_id, '${if (prefix) NonAsciiPrefix else ""}' || text " +
       "|| ' ' || ([" +
