@@ -250,7 +250,19 @@ object Bench {
         store.nodes("documents"), "id", nShards = 16)),
       // span surgery end to end: detection + removal (p62 shape)
       "remove_spans" -> (() => Dedup.removeSpans(
-        store.nodes("documents"), "id", "text", k = 8))
+        store.nodes("documents"), "id", "text", k = 8)),
+      // ---- round-13 addition: incremental span dedup (p84 shape) —
+      // batch (id%3==0) grams against the corpus-side gram-count
+      // table; the count table build is INSIDE the timing because the
+      // daily-shape cost split (persisted table vs fresh batch) is
+      // exactly what the ladder should expose if it regresses
+      "spans_against" -> (() => {
+        val docs = store.nodes("documents")
+        Dedup.spansAgainst(docs.filter(col("id") % 3 === 0),
+          Dedup.spanGramCounts(docs.filter(col("id") % 3 =!= 0),
+            "id", "text", 8),
+          "id", "text", k = 8)
+      })
     )
 
     def timeOnce(f: () => DataFrame): Double = {
