@@ -1267,24 +1267,32 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM $docs"
 
-  /** p60 oracle, parameterized by corpus relation and gram width `k` —
-    * independent replay of [[Dedup.duplicatedSpans]](k, minCount=2):
-    * grams grouped as STRINGS (the engine shuffles xxhash64 longs, so a
-    * 64-bit gram-hash collision would surface as a hash mismatch here),
-    * merge via gaps-and-islands instead of the engine's aggregate fold.
-    * `k` is interpolated from ONE parameter everywhere (r11 advice: the
-    * former literal-8 copies could silently desync). */
-  private def spansOracle(docs: String, k: Int): String =
-    s"WITH t AS (SELECT doc_id, " +
+  /** Shared span-oracle SQL fragments (review r13: the gram-window
+    * subquery and the gaps-and-islands tail existed in three
+    * near-identical copies — a fix applied to one could silently
+    * desync the others; `k` is interpolated from ONE parameter
+    * everywhere, the r11 advice).
+    *
+    * [[spanGramCte]]: CTE `out(doc_id[, pos], gram)` — lowercased
+    * whitespace tokens of `rel`, k-gram STRINGS per position (the
+    * engine shuffles xxhash64 longs, so a 64-bit gram-hash collision
+    * would surface as a hash mismatch in any gate using this).
+    * [[spanIslandsSql]]: the gaps-and-islands merge over a CTE
+    * `h(doc_id, pos)` of duplicated positions, closing the WITH-chain
+    * with the final (doc_id, span_start, span_end) SELECT. */
+  private def spanGramCte(rel: String, out: String, k: Int,
+                          withPos: Boolean = true): String = {
+    val posCol = if (withPos) "pos, " else ""
+    s"$out AS (SELECT doc_id, $posCol" +
+      s"array_to_string(w[pos+1:pos+$k], ' ') AS gram FROM " +
+      "(SELECT doc_id, w, " +
+      s"unnest(range(0, len(w)-${k - 1})) AS pos FROM " +
+      "(SELECT doc_id, " +
       "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
-      s"FROM $docs), " +
-      "g AS (SELECT doc_id, pos, " +
-      s"array_to_string(w[pos+1:pos+$k], ' ') AS gram " +
-      s"FROM (SELECT doc_id, w, unnest(range(0, len(w)-${k - 1})) AS pos " +
-      s"FROM t WHERE len(w) >= $k)), " +
-      "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
-      "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
-      "i AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
+      s"FROM $rel) WHERE len(w) >= $k))"
+  }
+  private def spanIslandsSql(k: Int): String =
+    "i AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
       s"(PARTITION BY doc_id ORDER BY pos) + $k THEN 1 ELSE 0 END " +
       "AS brk FROM h), " +
       "s AS (SELECT doc_id, pos, sum(brk) OVER " +
@@ -1292,38 +1300,31 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       s"SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} " +
       "AS span_end FROM s GROUP BY doc_id, isl"
 
+  /** p60 oracle, parameterized by corpus relation and gram width `k` —
+    * independent replay of [[Dedup.duplicatedSpans]](k, minCount=2):
+    * grams grouped as STRINGS, merge via gaps-and-islands instead of
+    * the engine's break-point zip. */
+  private def spansOracle(docs: String, k: Int): String =
+    s"WITH ${spanGramCte(docs, "g", k)}, " +
+      "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
+      "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
+      spanIslandsSql(k)
+
   /** p84 oracle — independent replay of [[Dedup.spansAgainst]](k,
     * minCount=2): batch grams grouped as STRINGS, corpus counts from a
     * separate relation, a gram duplicated when batch + corpus
     * occurrences reach 2, then [[spansOracle]]'s gaps-and-islands
     * merge over the qualifying batch positions. */
   private def spansAgainstOracle(batch: String, corpus: String,
-                                 k: Int): String = {
-    def grams(rel: String, out: String, withPos: Boolean) = {
-      val posCol = if (withPos) "pos, " else ""
-      s"$out AS (SELECT doc_id, $posCol" +
-        s"array_to_string(w[pos+1:pos+$k], ' ') AS gram FROM " +
-        "(SELECT doc_id, w, " +
-        s"unnest(range(0, len(w)-${k - 1})) AS pos FROM " +
-        "(SELECT doc_id, " +
-        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
-        s"FROM $rel) WHERE len(w) >= $k))"
-    }
-    s"WITH ${grams(batch, "gb", withPos = true)}, " +
-      s"${grams(corpus, "gc", withPos = false)}, " +
+                                 k: Int): String =
+    s"WITH ${spanGramCte(batch, "gb", k)}, " +
+      s"${spanGramCte(corpus, "gc", k, withPos = false)}, " +
       "cg AS (SELECT gram, count(*) AS cn FROM gc GROUP BY gram), " +
       "bc AS (SELECT gram, count(*) AS bn FROM gb GROUP BY gram), " +
       "d AS (SELECT bc.gram FROM bc LEFT JOIN cg USING (gram) " +
       "WHERE bc.bn + coalesce(cg.cn, 0) >= 2), " +
       "h AS (SELECT gb.doc_id, gb.pos FROM gb JOIN d USING (gram)), " +
-      "i AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
-      s"(PARTITION BY doc_id ORDER BY pos) + $k THEN 1 ELSE 0 END " +
-      "AS brk FROM h), " +
-      "s AS (SELECT doc_id, pos, sum(brk) OVER " +
-      "(PARTITION BY doc_id ORDER BY pos) AS isl FROM i) " +
-      s"SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} " +
-      "AS span_end FROM s GROUP BY doc_id, isl"
-  }
+      spanIslandsSql(k)
 
   /** p62 oracle: string-surgery replay of [[Dedup.removeSpans]](k,
     * minCount=2, minKeptTokens=1) built on [[spansOracle]]'s CTEs —
@@ -1335,17 +1336,15 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
     // coalesce + blank-guard mirror the engine's null/whitespace-only-
     // text-as-ZERO-tokens contract (r12 advice: a blank doc must not
     // survive the floor as a one-empty-token remnant); no gate corpus
-    // has null/blank text — the mirror documents the semantics
+    // has null/blank text — the mirror documents the semantics. The
+    // gram side reuses [[spanGramCte]] (blank docs have < k tokens, so
+    // they produce no grams there either way); `t` keeps only the
+    // ORIGINAL-case token array the surgery operates on.
     s"WITH t AS (SELECT doc_id, " +
-      "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) " +
-      "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w, " +
       "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) " +
       "ELSE regexp_split_to_array(trim(text), '\\s+') END AS wo " +
       s"FROM $docs), " +
-      "g AS (SELECT doc_id, pos, " +
-      s"array_to_string(w[pos+1:pos+$k], ' ') AS gram " +
-      s"FROM (SELECT doc_id, w, unnest(range(0, len(w)-${k - 1})) AS pos " +
-      s"FROM t WHERE len(w) >= $k)), " +
+      s"${spanGramCte(docs, "g", k)}, " +
       "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
       "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
       "cov AS (SELECT DISTINCT h.doc_id, h.pos + j.j AS cp FROM h " +

@@ -565,8 +565,16 @@ object Dedup {
     * the corpus's persisted [[spanGramCounts]] reach `minCount` — and
     * merge them per batch document, without touching corpus text.
     * Output rows cover batch documents only, same schema as
-    * [[duplicatedSpans]]; run on batch = corpus it degenerates to
-    * exactly [[duplicatedSpans]].
+    * [[duplicatedSpans]].
+    *
+    * The corpus table must NOT already include the batch being
+    * checked: re-running an already-accepted batch against counts that
+    * include it double-counts every gram (batch + corpus ≥ 2 for all
+    * of them), so every document comes back as one full-cover span —
+    * which is the correct answer for "is this batch already in the
+    * corpus?" re-ingestion detection, but not span dedup. To reproduce
+    * [[duplicatedSpans]] over a combined corpus, pass counts built
+    * from everything EXCEPT the batch.
     *
     * 100 TB shape: the batch grams shuffle once (batch-sized); the
     * corpus side is the pre-aggregated gram-count table probed by ONE

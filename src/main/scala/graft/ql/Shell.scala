@@ -291,9 +291,13 @@ final class Shell(store: GraphStore,
         case ("SAMPLE", None)                 => Set("by", "pct", "default_pct")
         case ("CLUSTERS", None)               =>
           Set("text", "block", "keys", "k", "threshold")
-        case ("TEXT", Some("QUALITY") | Some("LANGID") | Some("PII") |
-            Some("REPETITION") | Some("FINGERPRINT")) => Set("text",
-          "threshold")
+        // `threshold` is accepted ONLY where it is consumed (LANGID):
+        // accepting it for the other TEXT variants would silently
+        // ignore an explicit setting — the exact silent-default class
+        // this validation exists to kill
+        case ("TEXT", Some("LANGID"))         => Set("text", "threshold")
+        case ("TEXT", Some("QUALITY") | Some("PII") |
+            Some("REPETITION") | Some("FINGERPRINT")) => Set("text")
         case ("MEDIA", Some("IMAGE") | Some("AUDIO")) => Set("payload")
         case _                                => unknownStmt()
       }) ++ Set("id")
@@ -431,10 +435,10 @@ final class Shell(store: GraphStore,
         // wraps its `payload` column as an opaque binary payload first
         case ("MEDIA", Some("IMAGE")) =>
           graft.pipeline.Multimodal.decode(mediaFrame(df, id,
-            str("payload", "text")))
+            opts.get("payload").map(_.toString)))
         case ("MEDIA", Some("AUDIO")) =>
           graft.pipeline.Multimodal.decodeAudio(mediaFrame(df, id,
-            str("payload", "text")))
+            opts.get("payload").map(_.toString)))
         case _ => unknownStmt()
       }
       // INTO: attach the result as a node label so curation stages
@@ -470,15 +474,23 @@ final class Shell(store: GraphStore,
       }.toDF("edge_type", "src_label", "dst_label", "n"))
   }
 
-  /** PIPELINE MEDIA input shape: a label already carrying the binary
-    * `media` + `meta` columns (the attachBinary / synthesize* layout)
-    * passes through; a text-only label wraps its payload column as an
-    * opaque binary payload, exactly like the Scala-API caller would. */
+  /** PIPELINE MEDIA input shape: an EXPLICIT `payload` option always
+    * wraps that column as an opaque binary payload (even on a label
+    * that also carries `media` — the user named the column, so it must
+    * win, never be silently ignored); without one, a label already
+    * carrying the binary `media` + `meta` columns (the attachBinary /
+    * synthesize* layout) passes through, and a text-only label wraps
+    * its `text` column, exactly like the Scala-API caller would. */
   private def mediaFrame(df: DataFrame, idCol: String,
-                         payloadCol: String): DataFrame =
-    if (df.columns.contains("media") && df.columns.contains("meta"))
-      df.select(col(idCol).cast("long").as("id"), col("media"), col("meta"))
-    else graft.pipeline.Multimodal.attachBinary(df, idCol, payloadCol)
+                         payloadCol: Option[String]): DataFrame =
+    payloadCol match {
+      case Some(p) => graft.pipeline.Multimodal.attachBinary(df, idCol, p)
+      case None if df.columns.contains("media") &&
+          df.columns.contains("meta") =>
+        df.select(col(idCol).cast("long").as("id"), col("media"),
+          col("meta"))
+      case None => graft.pipeline.Multimodal.attachBinary(df, idCol, "text")
+    }
 
   /** MATCH AST → engine query (direction reversal normalized here, like
     * the reference shell — apps/tundra_shell.cpp:568-579). */

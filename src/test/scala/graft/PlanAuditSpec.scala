@@ -346,6 +346,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"gram probe fell back to a nested loop:\n$plan")
+    // the corpus-count probe is the design's load-bearing join: it
+    // must stay an INNER broadcast hash join (review r13 — the test
+    // originally asserted none of this). A left-outer here would force
+    // the corpus table to build/shuffle (the shape the operator's
+    // comment forbids); which side is broadcast is a size decision the
+    // toy corpus can't pin, but at scale AQE broadcasts the smaller
+    // (batch) side of the inner join — inner-ness is what makes that
+    // legal at all.
+    assert(!plan.contains("LeftOuter"),
+      s"corpus probe regressed to a left-outer join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus probe is not a broadcast hash join:\n$plan")
     // gram counts (batch + corpus) must combine map-side
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"gram count lacks partial aggregation:\n$plan")
