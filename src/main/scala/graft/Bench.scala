@@ -262,7 +262,13 @@ object Bench {
           Dedup.spanGramCounts(docs.filter(col("id") % 3 =!= 0),
             "id", "text", 8),
           "id", "text", k = 8)
-      })
+      }),
+      // Motion-JPEG AVI: synthesis (JPEG encode per frame) + container
+      // walk + per-frame javax.imageio JPEG DECODE (p85 shape) — the
+      // compressed-codec cost twin of mp4_frames' raw-sample walk
+      "mjpeg_frames" -> (() => Multimodal.sampleVideoFrames(
+        Multimodal.synthesizeMjpegAvi(store.nodes("documents"), "id"),
+        k = 3))
     )
 
     def timeOnce(f: () => DataFrame): Double = {

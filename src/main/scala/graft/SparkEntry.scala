@@ -826,6 +826,20 @@ object SparkEntry {
         "id", "text", k = 8)
         .select(col("id").as("doc_id"), col("span_start"),
           col("span_end"))),
+    // p85: REAL compressed-codec video decode — Motion-JPEG AVI: the
+    // container walk finds 00dc chunks, each frame is a standalone
+    // JPEG decoded through javax.imageio. Frames are solid GRAY at
+    // quality 1.0, where the JFIF YCbCr round trip is exact (luma
+    // weights sum to 1, Cb=Cr=128, DC-only quantization lossless —
+    // proven exhaustively in MultimodalCodecSpec), so the decoded
+    // means replay as pure id arithmetic in DuckDB even though the
+    // bytes cross a real lossy-codec bitstream.
+    "p85_mjpeg_frames" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(Multimodal.synthesizeMjpegAvi(
+        TpchGraph.store(s, dir).nodes("documents"), "id"), k = 3)
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
     // ---- p84: incremental span dedup (r12 verdict #5) — the fresh
     // batch (id % 3 == 0) is span-deduped against the accumulated
     // corpus's (id % 3 != 0) persisted gram-count table: a gram is
@@ -1714,6 +1728,22 @@ WHERE rank <= 10"""
         "CAST((doc_id * 31 + frame_idx * 17) % 256 AS INT) AS mean_r, " +
         "CAST((doc_id * 57 + frame_idx * 23) % 256 AS INT) AS mean_g, " +
         "CAST((doc_id * 91 + frame_idx * 29) % 256 AS INT) AS mean_b " +
+        "FROM f"),
+    // p85: same frame-pick/dim arithmetic as p58 (the MJPEG fixture
+    // reuses the DIB fixture's container geometry), means = the GRAY
+    // on all three channels — exact across the real JPEG bitstream
+    // (quality-1.0 solid gray is lossless; see the gate comment)
+    "p85_mjpeg_frames" ->
+      ("WITH j AS (SELECT doc_id, unnest(range(3)) AS jj " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, CAST(jj * (3 + doc_id % 5 - 1) // 2 " +
+        "AS INT) AS frame_idx FROM j) " +
+        "SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n_frames, " +
+        "frame_idx, CAST(16 + doc_id % 16 AS INT) AS width, " +
+        "CAST(8 + doc_id % 8 AS INT) AS height, " +
+        "CAST((doc_id * 31 + frame_idx * 17) % 256 AS INT) AS mean_r, " +
+        "CAST((doc_id * 31 + frame_idx * 17) % 256 AS INT) AS mean_g, " +
+        "CAST((doc_id * 31 + frame_idx * 17) % 256 AS INT) AS mean_b " +
         "FROM f"),
     "p59_mp4_frames" ->
       ("WITH j AS (SELECT doc_id, unnest(range(3)) AS jj " +

@@ -23,16 +23,19 @@ import org.apache.spark.sql.types._
   * Codec support is REAL for the formats the JDK ships decoders for —
   * PNG / BMP / GIF / JPEG via `javax.imageio`, WAV/PCM via
   * `javax.sound.sampled` — and for RIFF/AVI video containers with
-  * uncompressed DIB frames via the engine's own chunk walker
-  * ([[sampleVideoFrames]]). Formats are detected from magic bytes
-  * ([[sniffFormat]]); payloads in any other format (or undecodable
-  * bytes) take a deterministic byte-level pseudo-decode fallback so the
-  * pipeline stays total — the fallback is what the opaque
-  * text-as-payload fixtures exercise. Compressed codecs (H.264 inside
-  * AVI/MP4, EXR, FLAC, …) are where a production deploy would drop a
-  * JNI/external library into the same `mapPartitions` host — the
-  * plumbing (schema, binary transport, batch shape, container walk,
-  * partition-parallel execution) does not change.
+  * uncompressed DIB frames OR Motion-JPEG streams (each `00dc` chunk a
+  * standalone JPEG, decoded per frame through the same `javax.imageio`
+  * path — a genuinely COMPRESSED video codec end to end) via the
+  * engine's own chunk walker ([[sampleVideoFrames]]). Formats are
+  * detected from magic bytes ([[sniffFormat]]); payloads in any other
+  * format (or undecodable bytes) take a deterministic byte-level
+  * pseudo-decode fallback so the pipeline stays total — the fallback
+  * is what the opaque text-as-payload fixtures exercise. The remaining
+  * compressed codecs (H.264 inside AVI/MP4, EXR, FLAC, …) are where a
+  * production deploy would drop a JNI/external library into the same
+  * `mapPartitions` host — the plumbing (schema, binary transport,
+  * batch shape, container walk, partition-parallel execution) does not
+  * change, exactly as the MJPEG path demonstrates.
   */
 object Multimodal {
 
@@ -328,10 +331,17 @@ object Multimodal {
     * or None for anything that doesn't parse. Reference analog: the
     * reference has no media layer at all — this is the engine's own
     * answer to frame sampling without an external codec dependency. */
+  /** RIFF/AVI walk. The returned codec tag is `"dib"` (uncompressed
+    * RGB24 DIB frames, `biCompression == 0`) or `"mjpg"` (Motion JPEG —
+    * each frame chunk is a standalone JPEG image; `biCompression ==
+    * 'MJPG'`): MJPEG is the one COMPRESSED video codec the stock JDK
+    * can fully decode (each frame goes through the same `javax.imageio`
+    * JPEG path the image operators use), so the AVI family covers a
+    * real compressed-codec decode end to end without the JNI seam. */
   private def parseAvi(b: Array[Byte])
-      : Option[(Int, Int, IndexedSeq[(Int, Int)])] = {
+      : Option[(Int, Int, IndexedSeq[(Int, Int)], String)] = {
     if (sniffFormat(b) != "video/avi" || b.length < 24) return None
-    var w = -1; var h = -1; var depth = -1
+    var w = -1; var h = -1; var depth = -1; var comp = ""
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def walk(from: Int, to: Int): Unit = {
       var o = from
@@ -350,6 +360,8 @@ object Multimodal {
           w = le32(b, o + 8 + 4)
           h = le32(b, o + 8 + 8)
           depth = le16(b, o + 8 + 14)
+          comp = if (le32(b, o + 8 + 16) == 0) "dib"
+            else fourcc(b, o + 8 + 16)
         } else if (cc.length == 4 && cc.charAt(2) == 'd' &&
             (cc.charAt(3) == 'b' || cc.charAt(3) == 'c') &&
             cc.charAt(0).isDigit && cc.charAt(1).isDigit) {
@@ -360,8 +372,13 @@ object Multimodal {
     }
     if (fourcc(b, 8) != "AVI ") return None
     walk(12, math.min(b.length, 8 + le32(b, 4)))
-    if (w <= 0 || h <= 0 || depth != 24 || frames.isEmpty) None
-    else Some((w, h, frames.toIndexedSeq))
+    val codec = comp match {
+      case "dib" if depth == 24 => "dib"
+      case "MJPG"               => "mjpg"
+      case _                    => "" // unsupported codec → pseudo path
+    }
+    if (w <= 0 || h <= 0 || codec.isEmpty || frames.isEmpty) None
+    else Some((w, h, frames.toIndexedSeq, codec))
   }
 
   // ---- ISO-BMFF (MP4/QuickTime) container walk — the OTHER container
@@ -527,15 +544,32 @@ object Multimodal {
     Some(((sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
   }
 
+  /** Exact channel means of one Motion-JPEG frame: the chunk payload is
+    * a standalone JPEG image decoded through the SAME `javax.imageio`
+    * path the image operators use — a real compressed-codec decode.
+    * Dims are taken from the decoded image (per-frame ground truth);
+    * a frame that fails JPEG decode yields null stats, not a crash. */
+  private def mjpegMeans(b: Array[Byte], off: Int,
+                         size: Int): Option[(Int, Int, Int, Int, Int)] = {
+    if (off < 0 || size <= 0 || off.toLong + size > b.length) return None
+    decodeImage(java.util.Arrays.copyOfRange(b, off, off + size))
+      .map { img =>
+        val (_, mr, mg, mb) = imageStats(img)
+        (img.getWidth, img.getHeight, mr, mg, mb)
+      }
+  }
+
   /** REAL frame sampling: parse the container — RIFF/AVI ([[parseAvi]])
     * or ISO-BMFF MP4 ([[parseMp4]]) — pick `k` evenly-spaced frames
     * (`j * (n-1) / (k-1)`), and emit exact per-frame stats from the
-    * uncompressed pixels (DIB BGR bottom-up for AVI, packed RGB top-down
-    * for MP4 `raw ` samples). Payloads that parse as neither emit one
-    * null-stat row (same totality contract as [[decodeAudio]]).
-    * Compressed codecs (H.264 in either container) are where a
-    * production JNI codec plugs into this SAME partition host — the
-    * container walks and sampling do not change. */
+    * pixels: uncompressed DIB BGR bottom-up for AVI `dib`, packed RGB
+    * top-down for MP4 `raw ` samples, and a full `javax.imageio` JPEG
+    * decode per frame for AVI Motion-JPEG (`mjpg`) — the one compressed
+    * video codec the stock JDK decodes end to end. Payloads that parse
+    * as neither emit one null-stat row (same totality contract as
+    * [[decodeAudio]]). Other compressed codecs (H.264 in either
+    * container) are where a production JNI codec plugs into this SAME
+    * partition host — the container walks and sampling do not change. */
   def sampleVideoFrames(media: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     implicit val enc: Encoder[Row] =
@@ -545,24 +579,33 @@ object Multimodal {
         val id = r.getAs[Long]("id")
         val bytes = r.getAs[Array[Byte]]("media")
         val parsed = parseAvi(bytes)
-          .map { case (w, h, fr) => (w, h, fr, true) }
+          .map { case (w, h, fr, codec) => (w, h, fr, codec) }
           .orElse(parseMp4(bytes)
-            .map { case (w, h, fr) => (w, h, fr, false) })
+            .map { case (w, h, fr) => (w, h, fr, "raw") })
         parsed match {
-          case Some((w, h, frames, isDib)) =>
+          case Some((w, h, frames, codec)) =>
             val n = frames.length
             val picks =
               if (k == 1) Seq(0)
               else (0 until k).map(j => j * (n - 1) / (k - 1)).distinct
             picks.iterator.map { f =>
               val (off, size) = frames(f)
-              val means =
-                if (isDib) dibMeans(bytes, off, size, w, h)
-                else rgb24Means(bytes, off, size, w, h)
-              means match {
-                case Some((mr, mg, mb)) =>
-                  Row(id, n, f, w, h, mr, mg, mb)
-                case None => Row(id, n, f, w, h, null, null, null)
+              codec match {
+                case "mjpg" =>
+                  mjpegMeans(bytes, off, size) match {
+                    case Some((fw, fh, mr, mg, mb)) =>
+                      Row(id, n, f, fw, fh, mr, mg, mb)
+                    case None => Row(id, n, f, w, h, null, null, null)
+                  }
+                case _ =>
+                  val means =
+                    if (codec == "dib") dibMeans(bytes, off, size, w, h)
+                    else rgb24Means(bytes, off, size, w, h)
+                  means match {
+                    case Some((mr, mg, mb)) =>
+                      Row(id, n, f, w, h, mr, mg, mb)
+                    case None => Row(id, n, f, w, h, null, null, null)
+                  }
               }
             }
           case None =>
@@ -636,6 +679,98 @@ object Multimodal {
           var y = 0
           while (y < h) { out.write(row); y += 1 }
           f += 1
+        }
+        val bytes = out.toByteArray
+        Row(id, bytes, Row("video/avi", bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** JPEG-encode with an explicit quality (the plain `ImageIO.write`
+    * has no quality control; Motion-JPEG synthesis needs q = 1.0 so
+    * the DC-only quantization of solid frames stays exact). */
+  private def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  /** Per-id synthesized Motion-JPEG AVI (gate fixture): same container
+    * skeleton and dims/frame-count arithmetic as [[synthesizeAvi]], but
+    * the stream is `MJPG` (strh fourcc + strf biCompression) and each
+    * `00dc` chunk is a REAL standalone JPEG — encoded at quality 1.0 —
+    * of a solid GRAY frame, `gray = (id*31 + f*17) % 256` on all three
+    * channels. Gray is the load-bearing choice: for r = g = b the JFIF
+    * RGB→YCbCr transform gives Y = gray exactly (the luma weights sum
+    * to 1) and Cb = Cr = 128, chroma subsampling of a constant is that
+    * constant, and at quality 1.0 the DC-only quantization is exact —
+    * so the decode side recovers the EXACT gray (verified exhaustively
+    * over all 256 grays in MultimodalCodecSpec), which makes a real
+    * compressed-codec decode replayable by pure id arithmetic in
+    * DuckDB. Arbitrary colors round-trip only to ±1 (measured), which
+    * is why the fixture is gray, not the DIB fixture's RGB triple. */
+  def synthesizeMjpegAvi(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 16).toInt
+        val h = 8 + (id % 8).toInt
+        val n = 3 + (id % 5).toInt
+        val jpegs = (0 until n).map { f =>
+          val gray = ((id * 31 + f * 17) % 256).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+          val rgb = (gray << 16) | (gray << 8) | gray
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          encodeJpeg(img, 1.0f)
+        }
+        val out = new ByteArrayOutputStream()
+        def w32(v: Int): Unit = {
+          out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+          out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+        }
+        def w16(v: Int): Unit = {
+          out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+        }
+        def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+        def pad(sz: Int): Int = sz + (sz & 1) // RIFF even-padding
+        val maxFrame = jpegs.map(_.length).max
+        val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+        val moviSize = 4 + jpegs.map(j => 8 + pad(j.length)).sum
+        cc("RIFF"); w32(4 + (8 + hdrlSize) + (8 + moviSize)); cc("AVI ")
+        cc("LIST"); w32(hdrlSize); cc("hdrl")
+        cc("avih"); w32(56)
+        w32(40000); w32(0); w32(0); w32(0)
+        w32(n); w32(0); w32(1); w32(maxFrame)
+        w32(w); w32(h); w32(0); w32(0); w32(0); w32(0)
+        cc("LIST"); w32(4 + (8 + 56) + (8 + 40)); cc("strl")
+        cc("strh"); w32(56)
+        cc("vids"); cc("MJPG")
+        w32(0); w32(0); w32(0)
+        w32(1); w32(25); w32(0); w32(n)
+        w32(maxFrame); w32(-1); w32(0)
+        w16(0); w16(0); w16(w); w16(h)
+        cc("strf"); w32(40) // BITMAPINFOHEADER, biCompression = 'MJPG'
+        w32(40); w32(w); w32(h); w16(1); w16(24)
+        cc("MJPG"); w32(w * h * 3); w32(0); w32(0); w32(0); w32(0)
+        cc("LIST"); w32(moviSize); cc("movi")
+        jpegs.foreach { j =>
+          cc("00dc"); w32(j.length)
+          out.write(j)
+          if ((j.length & 1) == 1) out.write(0) // even-pad odd chunks
         }
         val bytes = out.toByteArray
         Row(id, bytes, Row("video/avi", bytes.length.toLong))

@@ -228,6 +228,57 @@ class MultimodalCodecSpec extends SparkSpec {
     fallback.foreach(r => assert(r.isNullAt(r.fieldIndex("n_frames"))))
   }
 
+  test("MJPEG AVI: real JPEG frames decode to exact gray means; " +
+      "gray round-trip is lossless for ALL 256 grays at q=1.0") {
+    // exhaustive proof of the gate's load-bearing claim: a solid GRAY
+    // frame survives the JFIF YCbCr + quality-1.0 JPEG pipeline
+    // bit-exactly (Y = gray since the luma weights sum to 1, Cb = Cr =
+    // 128, DC-only quantization lossless). Arbitrary COLORS only
+    // round-trip to ±1, which is why the fixture is gray.
+    import spark.implicits._
+    val grays = (0L until 256L).toDF("doc_id")
+    val rows = Multimodal.sampleVideoFrames(
+      Multimodal.synthesizeMjpegAvi(
+        grays.select((col("doc_id") * 33).as("doc_id")), "doc_id"),
+      k = 1).collect()
+    // id = 33*g makes frame 0's gray = (33*g*31) % 256 sweep all 256
+    // residues (33*31 = 1023 ≡ 255 ≡ -1 mod 256 — a unit)
+    assert(rows.length === 256)
+    assert(rows.map(r => r.getAs[Int]("mean_r")).toSet.size === 256)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val g = ((id * 31) % 256).toInt
+      assert(r.getAs[Int]("mean_r") === g, s"id=$id")
+      assert(r.getAs[Int]("mean_g") === g)
+      assert(r.getAs[Int]("mean_b") === g)
+    }
+    // full fixture shape: dims/count arithmetic + picks like the DIB
+    // twin, but through a genuinely compressed bitstream (each chunk
+    // must be a standalone JPEG ImageIO can read)
+    val media = Multimodal.synthesizeMjpegAvi(ids, "doc_id")
+    media.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("media")
+      assert(Multimodal.sniffFormat(b) === "video/avi")
+      // the first movi chunk payload carries JPEG magic (FFD8)
+      val idx = b.indexOfSlice("00dc".getBytes("US-ASCII"))
+      assert(idx > 0 && (b(idx + 8) & 0xFF) == 0xFF &&
+        (b(idx + 9) & 0xFF) == 0xD8, "frame chunk is not a JPEG")
+    }
+    val sampled = Multimodal.sampleVideoFrames(media, k = 3).collect()
+    assert(sampled.length === 7 * 3)
+    sampled.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val f = r.getAs[Int]("frame_idx")
+      val g = ((id * 31 + f * 17) % 256).toInt
+      assert(r.getAs[Int]("n_frames") === 3 + (id % 5).toInt)
+      assert(r.getAs[Int]("width") === 16 + (id % 16).toInt)
+      assert(r.getAs[Int]("height") === 8 + (id % 8).toInt)
+      assert(r.getAs[Int]("mean_r") === g, s"id=$id f=$f")
+      assert(r.getAs[Int]("mean_g") === g)
+      assert(r.getAs[Int]("mean_b") === g)
+    }
+  }
+
   test("MP4 round-trip: ISO-BMFF box walk + stsc chunk-run expansion, " +
       "sampled frame stats exact, torn/foreign payloads degrade to " +
       "null-stat rows") {
