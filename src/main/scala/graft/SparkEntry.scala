@@ -840,6 +840,31 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_frames"),
           col("frame_idx"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
+    // p86: video frame sampling from the REPL (MEDIA FRAMES) over the
+    // attached DIB-AVI label — must reproduce p58's oracle bit for bit
+    "p86_ql_media_frames" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("videos", Multimodal.synthesizeAvi(
+        st.nodes("documents"), "id"), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE MEDIA FRAMES ON videos WITH (k = 3);").get
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+    // p87: the incremental SURGERY — clean the fresh batch against the
+    // corpus gram-count table (the operator a daily ingest runs);
+    // oracle = spansAgainst's qualifying positions fed through the
+    // same DuckDB string surgery as p62
+    "p87_remove_spans_against" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+      Dedup.removeSpansAgainst(docs.filter(col("id") % 3 === 0),
+        Dedup.spanGramCounts(docs.filter(col("id") % 3 =!= 0),
+          "id", "text", 8),
+        "id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_kept"), col("n_removed"))
+    }),
     // ---- p84: incremental span dedup (r12 verdict #5) — the fresh
     // batch (id % 3 == 0) is span-deduped against the accumulated
     // corpus's (id % 3 != 0) persisted gram-count table: a gram is
@@ -1361,7 +1386,16 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       s"${spanGramCte(docs, "g", k)}, " +
       "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
       "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
-      "cov AS (SELECT DISTINCT h.doc_id, h.pos + j.j AS cp FROM h " +
+      spanSurgerySql(k)
+
+  /** Shared surgery tail (review r13 factoring): expands the
+    * duplicated positions of CTE `h(doc_id, pos)` to covered token
+    * positions, anti-joins CTE `t(doc_id, wo)`'s ORIGINAL-case token
+    * stream against them, and re-joins survivors with single spaces —
+    * closing the WITH-chain with the (doc_id, clean_text, n_kept,
+    * n_removed) SELECT at remnant floor 1. */
+  private def spanSurgerySql(k: Int): String =
+    "cov AS (SELECT DISTINCT h.doc_id, h.pos + j.j AS cp FROM h " +
       s"CROSS JOIN (SELECT unnest(range($k)) AS j) j), " +
       "tok AS (SELECT doc_id, p, wo[p+1] AS tk FROM " +
       "(SELECT doc_id, wo, unnest(range(0, len(wo))) AS p FROM t)), " +
@@ -1374,6 +1408,24 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "any_value(len(t.wo)) - count(*) AS n_removed " +
       "FROM kept k2 JOIN t ON t.doc_id = k2.doc_id " +
       "GROUP BY k2.doc_id"
+
+  /** p87 oracle: the incremental surgery — [[spansAgainstOracle]]'s
+    * qualifying batch positions fed through [[spanSurgerySql]]'s
+    * string surgery over the batch's original-case tokens. */
+  private def removeSpansAgainstOracle(batch: String, corpus: String,
+                                       k: Int): String =
+    s"WITH t AS (SELECT doc_id, " +
+      "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) " +
+      "ELSE regexp_split_to_array(trim(text), '\\s+') END AS wo " +
+      s"FROM $batch), " +
+      s"${spanGramCte(batch, "g", k)}, " +
+      s"${spanGramCte(corpus, "gc", k, withPos = false)}, " +
+      "cg AS (SELECT gram, count(*) AS cn FROM gc GROUP BY gram), " +
+      "bc AS (SELECT gram, count(*) AS bn FROM g GROUP BY gram), " +
+      "d AS (SELECT bc.gram FROM bc LEFT JOIN cg USING (gram) " +
+      "WHERE bc.bn + coalesce(cg.cn, 0) >= 2), " +
+      "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
+      spanSurgerySql(k)
 
   private def p37Oracle: String = {
     val dims = "(SELECT len(embedding) FROM embeddings LIMIT 1)"
@@ -1762,6 +1814,9 @@ WHERE rank <= 10"""
     "p84_spans_against" -> spansAgainstOracle(
       "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
       "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", 8),
+    "p87_remove_spans_against" -> removeSpansAgainstOracle(
+      "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+      "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", 8),
     "p61_shuffle_shards" -> p61Oracle,
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
@@ -1868,7 +1923,8 @@ WHERE rank <= 10"""
       "p80_ql_pii" -> m("p43_pii_redact"),
       "p81_ql_repetition" -> m("p44_repetition"),
       "p82_ql_media_image" -> m("p55_image_decode"),
-      "p83_ql_media_audio" -> m("p56_audio_decode"))
+      "p83_ql_media_audio" -> m("p56_audio_decode"),
+      "p86_ql_media_frames" -> m("p58_video_frames"))
   }
 
   private def referenceOracles: Map[String, String] = Map(

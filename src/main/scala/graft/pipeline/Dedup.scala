@@ -639,7 +639,33 @@ object Dedup {
     */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
                   k: Int, minCount: Long = 2L,
-                  minKeptTokens: Long = 1L): DataFrame = {
+                  minKeptTokens: Long = 1L): DataFrame =
+    applySpanSurgery(df, idCol, textCol,
+      duplicatedSpans(df, idCol, textCol, k, minCount), minKeptTokens)
+
+  /** Incremental span REMOVAL — the surgery twin of [[spansAgainst]]
+    * (as [[removeSpans]] is of [[duplicatedSpans]]): cut the spans a
+    * fresh batch duplicates against batch ∪ corpus (per the persisted
+    * [[spanGramCounts]] table) out of the batch's documents. Same
+    * output schema, floors, and case/whitespace contracts as
+    * [[removeSpans]]; same corpus-must-not-include-the-batch caveat as
+    * [[spansAgainst]]. This is the operator a daily ingest actually
+    * runs: detect against the accumulated counts, emit the CLEANED
+    * batch, then fold the accepted batch's gram counts into the table.
+    */
+  def removeSpansAgainst(newBatch: DataFrame, corpusGrams: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, minCount: Long = 2L,
+                         minKeptTokens: Long = 1L): DataFrame =
+    applySpanSurgery(newBatch, idCol, textCol,
+      spansAgainst(newBatch, corpusGrams, idCol, textCol, k, minCount),
+      minKeptTokens)
+
+  /** Shared surgery: cut `spans` (a (idCol, span_start, span_end)
+    * frame over `df`'s token positions) out of `df`'s documents. */
+  private def applySpanSurgery(df: DataFrame, idCol: String,
+                               textCol: String, spans: DataFrame,
+                               minKeptTokens: Long): DataFrame = {
     // the sort lives INSIDE the aggregate's result expression, so the
     // span array reaches the gap lambda below as a plain attribute —
     // a sort_array in a later projection gets inlined by projection
@@ -647,7 +673,7 @@ object Dedup {
     // (measured: the collapse re-sorted the span array ~3× per gap,
     // O(spans² log spans) per document — the very quadratic shape this
     // rewrite removes)
-    val perDoc = duplicatedSpans(df, idCol, textCol, k, minCount)
+    val perDoc = spans
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e")))).as("__spans"))

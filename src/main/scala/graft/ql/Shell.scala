@@ -262,7 +262,7 @@ final class Shell(store: GraphStore,
           "families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH), " +
           "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), DECONTAMINATE, PACK, " +
           "SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|FINGERPRINT|PII|" +
-          "REPETITION), MEDIA (IMAGE|AUDIO)")
+          "REPETITION), MEDIA (IMAGE|AUDIO|FRAMES)")
       // an unknown (or misspelled) option key must fail loudly, never
       // silently run with a default — the review-r12 rule: a user who
       // writes ratio_threshold where the statement takes `ratio` gets
@@ -299,6 +299,7 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("QUALITY") | Some("PII") |
             Some("REPETITION") | Some("FINGERPRINT")) => Set("text")
         case ("MEDIA", Some("IMAGE") | Some("AUDIO")) => Set("payload")
+        case ("MEDIA", Some("FRAMES"))        => Set("payload", "k")
         case _                                => unknownStmt()
       }) ++ Set("id")
       val unknown = opts.keySet.diff(accepted)
@@ -439,6 +440,12 @@ final class Shell(store: GraphStore,
         case ("MEDIA", Some("AUDIO")) =>
           graft.pipeline.Multimodal.decodeAudio(mediaFrame(df, id,
             opts.get("payload").map(_.toString)))
+        case ("MEDIA", Some("FRAMES")) =>
+          // video frame sampling (AVI DIB / AVI Motion-JPEG / MP4 raw);
+          // frame-grain output (one row per sampled frame), so not
+          // INTO-able
+          graft.pipeline.Multimodal.sampleVideoFrames(mediaFrame(df, id,
+            opts.get("payload").map(_.toString)), k = int("k", 3))
         case _ => unknownStmt()
       }
       // INTO: attach the result as a node label so curation stages
@@ -451,8 +458,8 @@ final class Shell(store: GraphStore,
           case ("DEDUP", Some("EXACT") | None) | ("SPANS", Some("REMOVE")) |
                ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
                ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
-               ("MEDIA", _) => true
-          case _ => false
+               ("MEDIA", Some("IMAGE") | Some("AUDIO")) => true
+          case _ => false // pair / span / rank / frame grain
         }
         require(docGrain,
           s"PIPELINE $family ${variant.getOrElse("")} INTO: output is " +

@@ -69,7 +69,7 @@ object TundraQL {
     * COSINE_LSH), SPANS ([REMOVE]), SHARDS, ANN ([IVF]), DECONTAMINATE
     * (AGAINST names the benchmark label), PACK, SAMPLE, CLUSTERS,
     * TEXT (QUALITY|LANGID|FINGERPRINT|PII|REPETITION), MEDIA
-    * (IMAGE|AUDIO). Each family validates its option keys at
+    * (IMAGE|AUDIO|FRAMES). Each family validates its option keys at
     * execution — an unknown or misspelled key is an error naming the
     * accepted set, never a silent default (the executor in
     * [[graft.ql.Shell]] is the authoritative key list). QUERY IDS is

@@ -437,6 +437,17 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"),
         r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
     assert(out === Set((10L, 1L, 4L), (11L, 0L, 3L), (12L, 1L, 4L)))
+    // surgery twin: the same batch cleaned against the same counts
+    val cleaned = Dedup.removeSpansAgainst(batch, cg, "doc_id", "text",
+      k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_removed"))).toSet
+    assert(cleaned === Set(
+      (10L, "intro outro", 2L, 4L),
+      (11L, "eleven", 1L, 4L),
+      (12L, "pre", 1L, 4L),
+      (13L, "nothing shared at all", 4L, 0L)))
     // batch re-ingested against its own counts double-counts every
     // gram: with minCount = 2 every gram qualifies and each doc is one
     // full-cover span (doc 0: 9 tokens, doc 1: 5 tokens, k = 4) — the

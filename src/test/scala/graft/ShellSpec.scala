@@ -659,6 +659,20 @@ class ShellSpec extends SparkSpec {
     assert(rows(sh2.execute("PIPELINE MEDIA IMAGE ON Doc;").get) ===
       rows(graft.pipeline.Multimodal.decode(
         graft.pipeline.Multimodal.attachBinary(docs, "id", "text"))))
+    // MEDIA FRAMES over a real AVI label == the API twin
+    val st3 = new GraphStore(spark)
+    st3.attachNodes("videos",
+      graft.pipeline.Multimodal.synthesizeAvi(docs, "id"), "id")
+    assert(rows(new Shell(st3)
+      .execute("PIPELINE MEDIA FRAMES ON videos WITH (k = 2);").get) ===
+      rows(graft.pipeline.Multimodal.sampleVideoFrames(
+        graft.pipeline.Multimodal.synthesizeAvi(docs, "id"), k = 2)))
+    // frame-grain output refuses INTO
+    val fe = intercept[IllegalArgumentException] {
+      new Shell(st3).execute(
+        "PIPELINE MEDIA FRAMES ON videos INTO frames;")
+    }
+    assert(fe.getMessage.contains("not document-grain"), fe.getMessage)
   }
 
   test("PIPELINE embedding families: COSINE / COSINE_LSH / ANN IVF " +
