@@ -865,6 +865,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("clean_text"),
           col("n_kept"), col("n_removed"))
     }),
+    // p88: line-level boilerplate removal (CCNet / RefinedWeb paragraph
+    // dedup). The corpus carries no newlines, so the fixture wraps each
+    // text in a NAV header shared by id % 5 (always boilerplate at
+    // minDocs = 6) and a FOOTER shared by id % 97, whose distinct-doc
+    // counts straddle the threshold exactly at sf0.01 (500 docs: values
+    // 0-14 occur 6 times, 15-96 occur 5), so the >= boundary is pinned.
+    // The oracle replays the whole operator with STRING lines — the
+    // engine counts xxhash64 longs, so the hash-grain swap is gated.
+    "p88_boilerplate" -> ((s, dir) =>
+      Curation.removeBoilerplate(
+        TpchGraph.store(s, dir).nodes("documents").select(col("id"),
+          concat_ws("\n",
+            concat(lit("NAV-"), (col("id") % 5).cast("string")),
+            coalesce(col("text"), lit("")),
+            concat(lit("FOOTER-"), (col("id") % 97).cast("string")))
+            .as("text")),
+        "id", "text", minDocs = 6)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_kept"), col("n_removed"))),
     // ---- p84: incremental span dedup (r12 verdict #5) — the fresh
     // batch (id % 3 == 0) is span-deduped against the accumulated
     // corpus's (id % 3 != 0) persisted gram-count table: a gram is
@@ -1818,6 +1837,30 @@ WHERE rank <= 10"""
       "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
       "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", 8),
     "p61_shuffle_shards" -> p61Oracle,
+    // p88: full independent replay of the boilerplate operator over the
+    // same synthesized multi-line fixture — STRING-keyed line counting
+    // (engine: xxhash64 longs), exact-match semantics, blank lines never
+    // boilerplate, ORDER-preserving reassembly, the >= minDocs boundary
+    // and the n_kept >= 1 floor.
+    "p88_boilerplate" ->
+      ("WITH d AS (SELECT doc_id, 'NAV-' || CAST(doc_id % 5 AS VARCHAR) " +
+        "|| chr(10) || coalesce(text, '') || chr(10) || 'FOOTER-' || " +
+        "CAST(doc_id % 97 AS VARCHAR) AS t FROM documents), " +
+        "l AS (SELECT doc_id, i, arr[i + 1] AS line FROM " +
+        "(SELECT doc_id, string_split(t, chr(10)) AS arr FROM d), " +
+        "LATERAL (SELECT unnest(range(len(arr))) AS i)), " +
+        "b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) " +
+        "AS nd FROM l WHERE trim(line) <> '' GROUP BY line) " +
+        "WHERE nd >= 6), " +
+        "tot AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id), " +
+        "k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) " +
+        "AS clean_text, count(*) AS n_kept FROM l " +
+        "WHERE line NOT IN (SELECT line FROM b) GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text, " +
+        "coalesce(k.n_kept, 0) AS n_kept, " +
+        "t.n - coalesce(k.n_kept, 0) AS n_removed " +
+        "FROM tot t LEFT JOIN k USING (doc_id) " +
+        "WHERE coalesce(k.n_kept, 0) >= 1"),
     "t43_temporal_diff" ->
       ("SELECT c_custkey AS c_id, 'UPDATED' AS change FROM customer " +
         "WHERE c_custkey % 3 = 0"),

@@ -509,4 +509,89 @@ object Curation {
         col("__off") + row_number().over(w).cast("long") - 1L)
       .drop("__b", "__off")
   }
+
+  /** Typed empty `array<bigint>` literal (a bare `array()` is
+    * `array<null>`). */
+  private def emptyPositions: Column =
+    filter(array(lit(0L)), _ => lit(false))
+
+  /** Line-level boilerplate removal — the CCNet / RefinedWeb paragraph-
+    * dedup shape: a NON-BLANK line that occurs in at least `minDocs`
+    * DISTINCT documents corpus-wide (navigation bars, cookie banners,
+    * share footers — template text repeated across a site) is cut from
+    * every document that carries it. Lines are '\n'-separated and
+    * matched EXACTLY (no trimming/normalization — two lines differing
+    * in whitespace are different lines); blank/whitespace-only lines
+    * are never boilerplate and survive as paragraph separators. Output
+    * per surviving document: `clean_text` (surviving lines re-joined
+    * with '\n', original bytes untouched), `n_kept`, `n_removed`;
+    * documents whose remnant falls below `minKeptLines` lines drop
+    * (same floor contract as [[Dedup.removeSpans]], and the same
+    * blank-document rule: null or empty text is ZERO lines, so it drops
+    * at the default floor rather than surviving as one empty line).
+    *
+    * 100 TB shape: lines cross the counting shuffle as xxhash64 longs,
+    * never strings (hash-grain discipline; a 64-bit collision can only
+    * MERGE two line classes — over-removing a line — at the usual
+    * negligible 2^-64 per pair, the argument every hashed-gram operator
+    * here documents). The boilerplate table is tiny (lines repeated
+    * across >= minDocs documents), so the left-semi probe broadcasts
+    * under AQE; only the HIT positions — not the text — shuffle back to
+    * document grain, and the surviving lines are rebuilt from the
+    * already-materialized line arrays by the same O(lines + hits)
+    * GAP-SLICE pass [[Dedup.removeSpans]] uses (each hit is a
+    * length-one span; an `array_contains` per line would be
+    * O(lines x hits) on a boilerplate-heavy document — the exact
+    * quadratic family the r12 advice killed in the span fold). The
+    * document text itself never crosses a shuffle.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        minDocs: Long,
+                        minKeptLines: Long = 1L): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val t = coalesce(col(textCol), lit(""))
+    // (id, line array) materialized BEFORE the explode (the minhashLsh
+    // lesson: an expression feeding a Generate collapses into it and
+    // runs interpreted); both the count side and the hit side re-derive
+    // the cheap explode from the pinned arrays.
+    val base = df.select(col(idCol).as("__id"),
+        when(length(t) === 0, array().cast("array<string>"))
+          .otherwise(split(t, "\n", -1)).as("__ls"))
+      .transform(graft.core.Materialize(_))
+    val lines = base.select(col("__id"),
+        posexplode(col("__ls")).as(Seq("__pos", "__l")))
+      .select(col("__id"), col("__pos"), xxhash64(col("__l")).as("__h"),
+        (trim(col("__l")) === "").as("__blank"))
+    // distinct-document frequency at line-hash grain: one map-side-
+    // combined (hash, id) distinct, then a hash-grain count
+    val boiler = lines.filter(!col("__blank"))
+      .select("__h", "__id").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__h")
+    val hits = lines.join(boiler, Seq("__h"), "left_semi")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__pos").cast("long")))
+        .as("__bp"))
+    def bp = coalesce(col("__bp"), emptyPositions)
+    base.join(hits, Seq("__id"), "left")
+      .select(col("__id"), size(col("__ls")).cast("long").as("__n"),
+        flatten(transform(sequence(lit(0), size(bp)), i => {
+          // gap i sits between hit i-1 and hit i (document edges at the
+          // ends); element_at is 1-based, lazily guarded by the
+          // conditionals so out-of-range ordinals never evaluate
+          val gapStart = when(i === 0, lit(0L))
+            .otherwise(element_at(bp, i) + 1L)
+          val gapEnd = when(i === size(bp),
+            size(col("__ls")).cast("long") - 1L)
+            .otherwise(element_at(bp, i + 1) - 1L)
+          slice(col("__ls"), (gapStart + 1L).cast("int"),
+            greatest(lit(0L), gapEnd - gapStart + 1L).cast("int"))
+        })).as("__kept"))
+      .select(col("__id").as(idCol),
+        concat_ws("\n", col("__kept")).as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
+      .filter(col("n_kept") >= minKeptLines)
+  }
 }

@@ -263,4 +263,62 @@ class CurationSpec extends SparkSpec {
     assert(res(1L)._1 === 0.0)
     assert(res(1L)._2 === "0,0,0")
   }
+
+  private def boilerDocs = {
+    import spark.implicits._
+    Seq(
+      (0L, "SHARED NAV\nbody zero\n\nmore zero\nSHARED NAV"),
+      (1L, "SHARED NAV\nbody one"),
+      (2L, "SHARED NAV\nbody two\nSHARED NAV "), // trailing space differs
+      (3L, "body three\n\nbody three again"),
+      (4L, "SHARED NAV"), // remnant is empty
+      (5L, null.asInstanceOf[String]), // null text = zero lines
+      (6L, "") // empty text = zero lines
+    ).toDF("doc_id", "text")
+  }
+
+  test("removeBoilerplate: exact-match cross-doc lines cut, order and " +
+      "blank lines kept, floors consistent") {
+    val res = Curation.removeBoilerplate(boilerDocs, "doc_id", "text",
+        minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"))).toMap
+    // "SHARED NAV" is in docs 0, 1, 2, 4 (doc 0 twice counts ONCE) = 4
+    // distinct docs >= 3 -> boilerplate; every occurrence is cut.
+    // "SHARED NAV " (trailing space, doc 2 only) is a DIFFERENT line.
+    assert(res(0L) === (("body zero\n\nmore zero", 3L, 2L)))
+    assert(res(1L) === (("body one", 1L, 1L)))
+    assert(res(2L) === (("body two\nSHARED NAV ", 2L, 1L)))
+    // blank lines survive even though the empty string spans many docs
+    assert(res(3L) === (("body three\n\nbody three again", 3L, 0L)))
+    // doc 4's remnant is empty -> dropped by the default floor;
+    // docs 5/6 have zero lines -> dropped too
+    assert(!res.contains(4L) && !res.contains(5L) && !res.contains(6L))
+    assert(res.size === 4)
+  }
+
+  test("removeBoilerplate: floor 0 keeps empty remnants with n_kept 0") {
+    val res = Curation.removeBoilerplate(boilerDocs, "doc_id", "text",
+        minDocs = 3, minKeptLines = 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"))).toMap
+    assert(res(4L) === (("", 0L, 1L)))
+    assert(res(5L) === (("", 0L, 0L)))
+    assert(res(6L) === (("", 0L, 0L)))
+    assert(res.size === 7)
+  }
+
+  test("removeBoilerplate: threshold is on DISTINCT documents") {
+    import spark.implicits._
+    // "dup" appears twice in ONE doc (1 distinct) and once in another
+    // (2 distinct total) — below minDocs = 3, so nothing is removed
+    val d = Seq((0L, "dup\nx\ndup"), (1L, "dup\ny"), (2L, "z"))
+      .toDF("doc_id", "text")
+    val res = Curation.removeBoilerplate(d, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_removed")).toMap
+    assert(res === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
 }

@@ -330,6 +330,25 @@ class PlanAuditSpec extends SparkSpec {
       s"gram count lacks partial aggregation:\n$plan")
   }
 
+  test("boilerplate removal: hash-grain count, gap-slice rebuild, " +
+      "no window, no nested loop") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val df = graft.pipeline.Curation.removeBoilerplate(
+      store.nodes("documents"), "id", "text", minDocs = 6)
+    val plan = physical(df)
+    // the distinct-doc count must combine map-side, the hit positions
+    // join back by hash (never a nested loop over lines), and the
+    // surviving-line rebuild is the O(lines + hits) gap-slice pass —
+    // no window anywhere
+    assert(!plan.contains("Window"),
+      s"boilerplate removal regressed to a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate join fell back to a nested loop:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"line count lacks partial aggregation:\n$plan")
+  }
+
   test("incremental spans-against: corpus gram table never shuffled, " +
       "merge without windows") {
     import org.apache.spark.sql.functions.col
