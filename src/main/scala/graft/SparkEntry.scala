@@ -545,6 +545,17 @@ object SparkEntry {
         vecs.filter(col("vec_id") < 5), k = 10, nProbe = 4)
         .select("q_id", "nn_id", "rank", "cosine")
     }),
+    // p89: SemDeDup — semantic dedup via k-means clusters + greedy
+    // min-id pruning of within-cluster cosine neighbors. Hard-gated:
+    // the oracle replays the ENTIRE pipeline (deterministic IVF
+    // training CTEs shared with p37, then the NOT EXISTS keep-rule),
+    // so the emitted keeper set must match bit for bit.
+    "p89_semdedup" -> ((s, dir) => {
+      val vecs = TpchGraph.store(s, dir).nodes("embeddings")
+        .withColumnRenamed("id", "vec_id")
+      Dedup.semDedup(vecs, nClusters = 16, iters = 2, threshold = 0.4)
+        .select(col("vec_id"), col("cluster"))
+    }),
     "p38_text_quality" -> ((s, dir) =>
       TextAnalysis.annotate(
         TpchGraph.store(s, dir).nodes("documents"), "text")
@@ -1446,7 +1457,12 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), " +
       spanSurgerySql(k)
 
-  private def p37Oracle: String = {
+  /** Shared DuckDB replay of the deterministic IVF training pipeline
+    * (lowest-id init, two Lloyd rounds of argmin-L2² assignment +
+    * per-dim double means cast to float) ending in the final assignment
+    * relation `af(vec_id, embedding, cluster)` — the common prefix of
+    * the p37 (ANN probing) and p89 (SemDeDup) oracles. */
+  private def ivfReplayCtes: String = {
     val dims = "(SELECT len(embedding) FROM embeddings LIMIT 1)"
     def assign(vecs: String, cents: String, out: String) =
       s"""$out AS MATERIALIZED (
@@ -1470,7 +1486,20 @@ ${assign("embeddings", "c0", "a1")},
 ${means("a1", "c1")},
 ${assign("embeddings", "c1", "a2")},
 ${means("a2", "c2")},
-${assign("embeddings", "c2", "af")},
+${assign("embeddings", "c2", "af")}"""
+  }
+
+  /** p89 oracle: SemDeDup replay — the IVF assignment CTEs, then the
+    * greedy min-id keep-rule within each cluster (a vector survives iff
+    * no lower-id same-cluster vector sits at cosine >= 0.4). */
+  private def p89Oracle: String =
+    s"""$ivfReplayCtes
+SELECT a.vec_id, a.cluster FROM af a WHERE NOT EXISTS (
+  SELECT 1 FROM af b WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+    AND ${duckCos("b.embedding", "a.embedding")} >= 0.4)"""
+
+  private def p37Oracle: String = {
+    s"""$ivfReplayCtes,
 probes AS MATERIALIZED (
   SELECT q_id, qv, c_id AS cluster FROM (
     SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
@@ -1598,6 +1627,7 @@ WHERE rank <= 10"""
     "p65_spans_nonascii" -> spansOracle(nonAsciiDocsSql(), 8),
     "p35_cosine_lsh" -> p35Oracle,
     "p37_ann_ivf" -> p37Oracle,
+    "p89_semdedup" -> p89Oracle,
     "p34_cosine_pairs" ->
       ("WITH e AS (SELECT vec_id, embedding FROM embeddings " +
         "WHERE vec_id < 500) " +

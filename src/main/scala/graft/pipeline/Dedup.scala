@@ -441,6 +441,49 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Semantic dedup — the SemDeDup shape (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with k-means (the
+    * [[Similarity.ivfTrain]] / [[Similarity.ivfAssign]] machinery —
+    * deterministic lowest-id init + Lloyd rounds), then WITHIN each
+    * cluster drop every vector that has a lower-id neighbor at cosine
+    * >= `threshold` (greedy min-id canonicalization, the same keep-rule
+    * the exact/cluster dedup family uses). Near-duplicate pairs that
+    * k-means separates into different clusters are NOT dropped — that
+    * recall loss is the operator's documented approximation, exactly as
+    * published. Output: the KEPT vectors as (idCol, cluster).
+    *
+    * 100 TB shape: this is the whole point of SemDeDup — the O(n²)
+    * pairwise cosine is confined to within-cluster blocks. Training is
+    * linear per Lloyd round (broadcast centroids, tiny k x dims
+    * aggregate); assignment is a zero-shuffle projection; the pair scan
+    * shuffles the corpus ONCE on the cluster key, and the quadratic
+    * work per cluster is (n/k)² — scale k with the corpus to hold
+    * cluster sizes constant. A skewed cluster concentrates quadratic
+    * work in one task; the published remedy (and ours) is more
+    * clusters, not a different algorithm.
+    */
+  def semDedup(vectors: DataFrame, nClusters: Int, iters: Int,
+               threshold: Double, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val centroids =
+      Similarity.ivfTrain(vectors, nClusters, iters, idCol, vecCol)
+    val assigned =
+      Similarity.ivfAssign(vectors, centroids, idCol, vecCol)
+    val a = assigned.select(col("cluster"), col(idCol).as("__ia"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("__ib"),
+      col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__ia") < col("__ib"))
+      .filter(VectorFunctions.cosine(col("__va"), col("__vb")) >=
+        threshold)
+      .select(col("__ib").as(idCol))
+      .distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+
   /** Exact duplicated-substring span detection — the substring-level
     * exact-dedup shape of Lee et al. 2021 ("Deduplicating Training Data
     * Makes Language Models Better"): find every token position covered

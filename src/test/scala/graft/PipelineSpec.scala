@@ -107,6 +107,41 @@ class PipelineSpec extends SparkSpec {
     assert(top.forall(_.getAs[Long]("nn_id") % 2 === 0))
   }
 
+  test("semDedup: within-cluster lower-id neighbor wins, cross-cluster " +
+      "near-dups survive") {
+    import spark.implicits._
+    // two well-separated blobs; ids 0/1 near-identical, 2 distinct in
+    // the same blob; ids 10/11 near-identical in the other blob
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.02f)),
+      (2L, Array(0.8f, 0.6f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.02f, 0.999f))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semDedup(vecs, nClusters = 2, iters = 2,
+        threshold = 0.99).collect()
+      .map(r => r.getAs[Long]("vec_id")).toSet
+    // 1 drops to 0, 11 drops to 10; 2 is below threshold to both peers
+    assert(kept === Set(0L, 2L, 10L))
+    // the keep-rule is exactly "no lower-id same-cluster neighbor at
+    // cosine >= t": recompute pairs and check both directions
+    val centroids = Similarity.ivfTrain(vecs, 2, 2)
+    val assigned = Similarity.ivfAssign(vecs, centroids).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val raw = vecs.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toIndexedSeq).toMap
+    def cos(a: IndexedSeq[Float], b: IndexedSeq[Float]) = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    raw.keys.foreach { id =>
+      val hasLower = raw.keys.exists(o => o < id &&
+        assigned(o) == assigned(id) && cos(raw(o), raw(id)) >= 0.99)
+      assert(kept.contains(id) === !hasLower, s"keep-rule broken for $id")
+    }
+  }
+
   test("text analysis signals") {
     val r = TextAnalysis.annotate(docs, "text")
       .filter(col("doc_id") === 0).collect()(0)
