@@ -701,6 +701,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("format"),
           col("sample_rate"), col("channels"), col("n_frames"),
           col("peak_amp"), col("rms_amp"))),
+    // p90: REAL compressed-codec audio decode — FLAC: a per-id sawtooth
+    // crosses the engine's own FLAC encoder (FIXED-order subframes +
+    // Rice residuals, ~4-5x smaller than raw PCM) and decodes through
+    // the engine's own CRC-verified FLAC decoder; the oracle REGENERATES
+    // the integer wave with generate_series and recomputes peak/RMS, so
+    // a genuinely compressed audio bitstream is gated end to end.
+    "p90_flac_decode" -> ((s, dir) =>
+      Multimodal.decodeAudio(Multimodal.synthesizeFlac(
+        TpchGraph.store(s, dir).nodes("documents"), "id"))
+        .select(col("id").as("doc_id"), col("format"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          col("peak_amp"), col("rms_amp"))),
     // REAL image resample: cap the longest side at 32 px (aspect kept,
     // integer floor), re-encode, decode again — within-budget images
     // pass through byte-identical, resampled solid color stays exact.
@@ -1805,6 +1817,20 @@ WHERE rank <= 10"""
         "CAST(256 + doc_id % 512 AS BIGINT) AS n_frames, " +
         "CAST(1000 + doc_id % 20000 AS INT) AS peak_amp, " +
         "CAST(1000 + doc_id % 20000 AS INT) AS rms_amp FROM documents"),
+    // p90: full sample-level replay — regenerate the sawtooth per doc
+    // and recompute peak/RMS (sum of squares < 2^53 keeps the double
+    // math bit-identical; floor = toInt-truncation for positives)
+    "p90_flac_decode" ->
+      ("WITH d AS (SELECT doc_id, 256 + doc_id % 512 AS n, " +
+        "64 + doc_id % 64 AS m FROM documents), " +
+        "s AS (SELECT doc_id, n, m, unnest(range(n)) AS i FROM d), " +
+        "v AS (SELECT doc_id, n, (i % m) - m // 2 AS x FROM s) " +
+        "SELECT doc_id, 'audio/flac' AS format, " +
+        "CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
+        "CAST(max(n) AS BIGINT) AS n_frames, " +
+        "CAST(max(abs(x)) AS INT) AS peak_amp, " +
+        "CAST(floor(sqrt(CAST(sum(x * x) AS DOUBLE) / max(n))) AS INT) " +
+        "AS rms_amp FROM v GROUP BY doc_id"),
     "p57_image_resize" ->
       ("WITH d AS (SELECT doc_id, 16 + doc_id % 48 AS w, " +
         "16 + doc_id % 32 AS h FROM documents), " +

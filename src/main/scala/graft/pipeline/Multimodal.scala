@@ -26,16 +26,18 @@ import org.apache.spark.sql.types._
   * uncompressed DIB frames OR Motion-JPEG streams (each `00dc` chunk a
   * standalone JPEG, decoded per frame through the same `javax.imageio`
   * path — a genuinely COMPRESSED video codec end to end) via the
-  * engine's own chunk walker ([[sampleVideoFrames]]). Formats are
+  * engine's own chunk walker ([[sampleVideoFrames]]) — and for FLAC
+  * audio via the engine's own pure-JVM decoder ([[Flac]]: all subframe
+  * types, partitioned Rice, CRC-verified). Formats are
   * detected from magic bytes ([[sniffFormat]]); payloads in any other
   * format (or undecodable bytes) take a deterministic byte-level
   * pseudo-decode fallback so the pipeline stays total — the fallback
   * is what the opaque text-as-payload fixtures exercise. The remaining
-  * compressed codecs (H.264 inside AVI/MP4, EXR, FLAC, …) are where a
+  * compressed codecs (H.264 inside AVI/MP4, EXR, …) are where a
   * production deploy would drop a JNI/external library into the same
   * `mapPartitions` host — the plumbing (schema, binary transport,
   * batch shape, container walk, partition-parallel execution) does not
-  * change, exactly as the MJPEG path demonstrates.
+  * change, exactly as the MJPEG and FLAC paths demonstrate.
   */
 object Multimodal {
 
@@ -86,6 +88,8 @@ object Multimodal {
     else if (at(0, 'B') && at(1, 'M') && bytes.length >= 26) "image/bmp"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
       at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio/wav"
+    else if (at(0, 'f') && at(1, 'L') && at(2, 'a') && at(3, 'C'))
+      "audio/flac"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
       at(8, 'A') && at(9, 'V') && at(10, 'I') && at(11, ' ')) "video/avi"
     else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p'))
@@ -184,6 +188,27 @@ object Multimodal {
     * signed frames; other sample widths report container fields with
     * zeroed amplitude stats). Non-WAV payloads emit a null-stat row
     * rather than failing the batch. */
+  /** FLAC leg of [[decodeAudio]]: the engine's own decoder
+    * ([[Flac.decode]] — a real COMPRESSED audio codec, the audio twin
+    * of the Motion-JPEG video path). Same stat contract as the WAV leg:
+    * container fields from the parsed stream, peak/RMS from an actual
+    * sample sweep. */
+  private def flacStats(id: Long, bytes: Array[Byte]): Option[Row] =
+    Flac.decode(bytes).map { case (info, samples) =>
+      var (peak, sumSq) = (0L, 0.0)
+      var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toLong)
+        if (a > peak) peak = a
+        sumSq += samples(i).toDouble * samples(i)
+        i += 1
+      }
+      val rms =
+        if (samples.isEmpty) 0 else math.sqrt(sumSq / samples.length).toInt
+      Row(id, "audio/flac", info.sampleRate, info.channels,
+        samples.length.toLong / info.channels, peak.toInt, rms)
+    }
+
   def decodeAudio(media: DataFrame): DataFrame = {
     implicit val enc: Encoder[Row] =
       org.apache.spark.sql.Encoders.row(audioSchema)
@@ -191,7 +216,11 @@ object Multimodal {
       it.map { r =>
         val id = r.getAs[Long]("id")
         val bytes = r.getAs[Array[Byte]]("media")
-        try {
+        val flac =
+          if (sniffFormat(bytes) == "audio/flac") flacStats(id, bytes)
+          else None
+        if (flac.isDefined) flac.get
+        else try {
           val ais = AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(bytes))
           try {
@@ -990,6 +1019,32 @@ object Multimodal {
         AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
         val bytes = bos.toByteArray
         Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Per-id FLAC gate fixture: a centered SAWTOOTH — period
+    * `m = 64 + id % 64`, values `(i % m) - m/2`, over `n = 256 + id %
+    * 512` mono 16-bit 8 kHz frames — compressed through the engine's
+    * own FLAC encoder ([[Flac.encode]]). The ramp makes order-1 fixed
+    * residuals constant except at period wraps, so the bitstream is
+    * GENUINELY compressed (~4-5x vs raw PCM — a period-2 square wave,
+    * by contrast, defeats every fixed predictor; measured in FlacSpec),
+    * while every decoded property is replayable in DuckDB by
+    * regenerating the integer wave with `generate_series`: peak is the
+    * exact max |sample| and the sum of squares stays below 2^53, so
+    * RMS is bit-identical double arithmetic on both sides. */
+  def synthesizeFlac(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val m = (64 + id % 64).toInt
+        val n = (256 + id % 512).toInt
+        val samples = Array.tabulate(n)(i => (i % m) - m / 2)
+        val bytes = Flac.encode(samples, 8000)
+        Row(id, bytes, Row("audio/flac", bytes.length.toLong))
       }
     }(enc)
   }
