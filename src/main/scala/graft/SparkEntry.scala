@@ -590,6 +590,17 @@ object SparkEntry {
             lit(" contact: user"), col("id").cast("string"),
             lit("@example.com ref "),
             (col("id") * 7919).cast("string"))).as("redacted"))),
+    // p91: corpus-trained bigram LM scoring (the CCNet perplexity
+    // signal). The integer skeleton — per-doc bigram count and the
+    // summed corpus bigram/prefix counts, i.e. the joins and counts
+    // that ARE the operator — is oracle-gated; logprob/ppl are
+    // spec-gated (libm ln, the tfIdf precedent). The oracle counts
+    // STRING bigrams while the engine shuffles xxhash64 longs.
+    "p91_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(
+        TpchGraph.store(s, dir).nodes("documents"), "id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("sum_c2"), col("sum_c1"))),
     "p44_repetition" -> ((s, dir) =>
       TpchGraph.store(s, dir).nodes("documents")
         .select(col("id").as("doc_id"),
@@ -1893,6 +1904,18 @@ WHERE rank <= 10"""
       "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
       "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", 8),
     "p61_shuffle_shards" -> p61Oracle,
+    // p91: STRING-bigram replay of the LM skeleton (engine: hashed)
+    "p91_bigram_lm" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(" +
+        "trim(lower(coalesce(text, ''))), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2 FROM t, " +
+        "LATERAL (SELECT unnest(range(len(w) - 1)) AS i)), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1) " +
+        "SELECT bg.doc_id, count(*) AS n_bigrams, " +
+        "sum(c2.c2) AS sum_c2, sum(c1.c1) AS sum_c1 " +
+        "FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2 " +
+        "JOIN c1 ON bg.w1 = c1.w1 GROUP BY bg.doc_id"),
     // p88: full independent replay of the boilerplate operator over the
     // same synthesized multi-line fixture — STRING-keyed line counting
     // (engine: xxhash64 longs), exact-match semantics, blank lines never

@@ -158,6 +158,65 @@ object TextAnalysis {
           log(lit(n.toDouble) / col("df").cast("double"))).as("tfidf"))
   }
 
+  /** Typed empty `array<struct<w1,bg>>` literal (a bare `array()` is
+    * `array<null>`). */
+  private def emptyBigrams: Column =
+    filter(array(struct(lit(0L).as("w1"), lit(0L).as("bg"))),
+      _ => lit(false))
+
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * perplexity quality signal: train add-one-smoothed bigram
+    * probabilities on the corpus itself, then score every document by
+    * `sum ln((c2(w1,w2) + 1) / (c1(w1) + V))` over its adjacent
+    * lowercased-token pairs, where `c2` is the corpus bigram count,
+    * `c1` the corpus count of `w1` as a bigram prefix, and `V` the
+    * distinct-token vocabulary size. Output per document with >= 1
+    * bigram: `n_bigrams`, `sum_c2`, `sum_c1` (the INTEGER skeleton the
+    * oracle gates — the joins and counts that ARE the operator),
+    * `logprob` and `ppl = exp(-logprob / n_bigrams)` (spec-gated only:
+    * `ln` is not bit-guaranteed across engines' libm, the tfIdf
+    * precedent).
+    *
+    * 100 TB shape: bigrams cross the two counting shuffles as xxhash64
+    * longs (the hashed-gram discipline; a collision MERGES two bigram
+    * classes, inflating a count, never splitting one); the count tables
+    * are vocabulary-grain, ≪ corpus; scoring is one hash join per count
+    * table plus a map-side-combined doc-grain aggregate; `V` rides in
+    * as a broadcast 1-row cross join, never a driver collect.
+    */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = transform(tokens(lower(col(textCol))), t => xxhash64(t))
+    // (id, [(prefix-hash, bigram-hash)]) materialized BEFORE the explode
+    // (expressions feeding a Generate run interpreted — the minhashLsh
+    // lesson); both count sides re-derive the cheap explode from it
+    val base = df.select(col(idCol).as("__id"), th.as("__th"))
+      .select(col("__id"), col("__th"),
+        when(size(col("__th")) >= 2,
+          transform(sequence(lit(0), size(col("__th")) - 2),
+            i => struct(element_at(col("__th"), i + 1).as("w1"),
+              xxhash64(slice(col("__th"), i + 1, lit(2))).as("bg"))))
+          .otherwise(emptyBigrams).as("__bs"))
+      .transform(graft.core.Materialize(_))
+    val pairs = base.select(col("__id"), explode(col("__bs")).as("__b"))
+      .select(col("__id"), col("__b")("w1").as("__w1"),
+        col("__b")("bg").as("__bg"))
+    val c2 = pairs.groupBy("__bg").agg(count(lit(1)).as("__c2"))
+    val c1 = pairs.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val vocab = base.select(explode(col("__th")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__v"))
+    pairs.join(c2, Seq("__bg")).join(c1, Seq("__w1"))
+      .join(broadcast(vocab))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__c2")).as("sum_c2"),
+        sum(col("__c1")).as("sum_c1"),
+        sum(log((col("__c2") + 1).cast("double") /
+          (col("__c1") + col("__v")).cast("double"))).as("logprob"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        col("sum_c2"), col("sum_c1"), col("logprob"),
+        exp(-col("logprob") / col("n_bigrams").cast("double")).as("ppl"))
+  }
+
   /** Convenience: annotate a document DataFrame with all signals. One
     * fused native pass feeds every token-derived column. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {

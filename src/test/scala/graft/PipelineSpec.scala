@@ -142,6 +142,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bigramLm: counts hand-checked, logprob follows the smoothing " +
+      "formula, sub-2-token docs drop") {
+    import spark.implicits._
+    val d = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val res = graft.pipeline.TextAnalysis.bigramLm(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_c2"),
+          r.getAs[Long]("sum_c1"), r.getAs[Double]("logprob"),
+          r.getAs[Double]("ppl"))).toMap
+    // corpus bigrams: (a,b) x3, (b,a) x1, (b,c) x1; prefixes a=3, b=2;
+    // vocab = {a, b, c, x, ""} = 5
+    val (n0, s20, s10, lp0, _) = res(0L)
+    assert((n0, s20, s10) === ((3L, 7L, 8L))) // (a,b)+(b,a)+(a,b)
+    val want0 = 2 * math.log(4.0 / 8.0) + math.log(2.0 / 7.0)
+    assert(math.abs(lp0 - want0) < 1e-12)
+    val (n1, s21, s11, lp1, ppl1) = res(1L)
+    assert((n1, s21, s11) === ((2L, 4L, 5L)))
+    val want1 = math.log(4.0 / 8.0) + math.log(2.0 / 7.0)
+    assert(math.abs(lp1 - want1) < 1e-12)
+    assert(math.abs(ppl1 - math.exp(-want1 / 2)) < 1e-12)
+    // 1-token and empty docs have no bigrams and emit no row
+    assert(res.size === 2)
+  }
+
   test("text analysis signals") {
     val r = TextAnalysis.annotate(docs, "text")
       .filter(col("doc_id") === 0).collect()(0)
