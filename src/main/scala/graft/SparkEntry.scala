@@ -1006,6 +1006,47 @@ object SparkEntry {
           col("sample_rate"), col("channels"), col("n_frames"),
           col("peak_amp"), col("rms_amp"))
     }),
+    // ---- p92-p95: QL round-trips for this round's new operators —
+    // boilerplate removal, SemDeDup, bigram LM, FLAC audio — each must
+    // reproduce its Scala twin's oracle bit for bit through the real
+    // lexer/parser/shell
+    "p92_ql_boilerplate" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("mldocs", st.nodes("documents").select(col("id"),
+        concat_ws("\n",
+          concat(lit("NAV-"), (col("id") % 5).cast("string")),
+          coalesce(col("text"), lit("")),
+          concat(lit("FOOTER-"), (col("id") % 97).cast("string")))
+          .as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT BOILERPLATE ON mldocs " +
+          "WITH (min_docs = 6);").get
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_kept"), col("n_removed"))
+    }),
+    "p93_ql_semdedup" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE SEMDEDUP ON embeddings " +
+          "WITH (clusters = 16, iters = 2, threshold = 0.4);").get
+        .select(col("id").as("vec_id"), col("cluster"))),
+    "p94_ql_bigram_lm" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE TEXT LM ON documents;").get
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("sum_c2"), col("sum_c1"))),
+    // FLAC flows through the SAME MEDIA AUDIO statement as WAV — the
+    // decoder dispatches on magic bytes, so the QL surface needs no
+    // new syntax for a new codec
+    "p95_ql_media_flac" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("flacs", Multimodal.synthesizeFlac(
+        st.nodes("documents"), "id"), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE MEDIA AUDIO ON flacs;").get
+        .select(col("id").as("doc_id"), col("format"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          col("peak_amp"), col("rms_amp"))
+    }),
     // Deterministic training-shard shuffle: xxhash64-permutation shard
     // + within-shard position; hard-gated against the DuckDB XXH64
     // mirror's hashLong chain.
@@ -2046,7 +2087,11 @@ WHERE rank <= 10"""
       "p81_ql_repetition" -> m("p44_repetition"),
       "p82_ql_media_image" -> m("p55_image_decode"),
       "p83_ql_media_audio" -> m("p56_audio_decode"),
-      "p86_ql_media_frames" -> m("p58_video_frames"))
+      "p86_ql_media_frames" -> m("p58_video_frames"),
+      "p92_ql_boilerplate" -> m("p88_boilerplate"),
+      "p93_ql_semdedup" -> m("p89_semdedup"),
+      "p94_ql_bigram_lm" -> m("p91_bigram_lm"),
+      "p95_ql_media_flac" -> m("p90_flac_decode"))
   }
 
   private def referenceOracles: Map[String, String] = Map(

@@ -260,9 +260,10 @@ final class Shell(store: GraphStore,
       def unknownStmt(): Nothing = throw new IllegalArgumentException(
         s"unknown PIPELINE statement: $family ${variant.getOrElse("")} — " +
           "families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH), " +
-          "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), DECONTAMINATE, PACK, " +
-          "SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|FINGERPRINT|PII|" +
-          "REPETITION), MEDIA (IMAGE|AUDIO|FRAMES)")
+          "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), SEMDEDUP, " +
+          "DECONTAMINATE, PACK, SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|" +
+          "FINGERPRINT|PII|REPETITION|BOILERPLATE|LM), " +
+          "MEDIA (IMAGE|AUDIO|FRAMES)")
       // an unknown (or misspelled) option key must fail loudly, never
       // silently run with a default — the review-r12 rule: a user who
       // writes ratio_threshold where the statement takes `ratio` gets
@@ -297,7 +298,12 @@ final class Shell(store: GraphStore,
         // this validation exists to kill
         case ("TEXT", Some("LANGID"))         => Set("text", "threshold")
         case ("TEXT", Some("QUALITY") | Some("PII") |
-            Some("REPETITION") | Some("FINGERPRINT")) => Set("text")
+            Some("REPETITION") | Some("FINGERPRINT") |
+            Some("LM"))                       => Set("text")
+        case ("TEXT", Some("BOILERPLATE"))    =>
+          Set("text", "min_docs", "min_kept")
+        case ("SEMDEDUP", None)               =>
+          Set("vec", "clusters", "iters", "threshold")
         case ("MEDIA", Some("IMAGE") | Some("AUDIO")) => Set("payload")
         case ("MEDIA", Some("FRAMES"))        => Set("payload", "k")
         case _                                => unknownStmt()
@@ -431,6 +437,21 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("REPETITION")) =>
           df.select(col(id), graft.pipeline.TextAnalysis.repetitionRatio(
             col(str("text", "text"))).as("rep_ratio"))
+        case ("TEXT", Some("BOILERPLATE")) =>
+          // cross-document line dedup (CCNet paragraph-dedup shape)
+          graft.pipeline.Curation.removeBoilerplate(df, id,
+            str("text", "text"), minDocs = lng("min_docs", 6L),
+            minKeptLines = lng("min_kept", 1L))
+        case ("TEXT", Some("LM")) =>
+          // corpus-trained bigram LM scoring (perplexity quality signal)
+          graft.pipeline.TextAnalysis.bigramLm(df, id, str("text", "text"))
+        case ("SEMDEDUP", None) =>
+          // SemDeDup: k-means clusters + min-id cosine pruning; emits
+          // the KEPT vectors (doc grain)
+          graft.pipeline.Dedup.semDedup(df,
+            nClusters = int("clusters", 16), iters = int("iters", 2),
+            threshold = dbl("threshold", 0.9), idCol = id,
+            vecCol = str("vec", "embedding"))
         // ---- media family: decode over a binary `media` column (the
         // attachBinary/synthesize* shape); a label carrying only text
         // wraps its `payload` column as an opaque binary payload first
@@ -458,14 +479,15 @@ final class Shell(store: GraphStore,
           case ("DEDUP", Some("EXACT") | None) | ("SPANS", Some("REMOVE")) |
                ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
                ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
+               ("SEMDEDUP", None) |
                ("MEDIA", Some("IMAGE") | Some("AUDIO")) => true
           case _ => false // pair / span / rank / frame grain
         }
         require(docGrain,
           s"PIPELINE $family ${variant.getOrElse("")} INTO: output is " +
             "not document-grain (no unique node id); INTO supports " +
-            "DEDUP EXACT, SPANS REMOVE, SHARDS, DECONTAMINATE, PACK, " +
-            "SAMPLE, CLUSTERS, TEXT *, MEDIA *")
+            "DEDUP EXACT, SPANS REMOVE, SHARDS, SEMDEDUP, DECONTAMINATE, " +
+            "PACK, SAMPLE, CLUSTERS, TEXT *, MEDIA IMAGE|AUDIO")
         store.attachNodes(lbl, result,
           if (result.columns.contains(id)) id else "id")
       }

@@ -557,6 +557,53 @@ class ShellSpec extends SparkSpec {
       i3.getMessage.contains("must be a number"), i3.getMessage)
   }
 
+  test("PIPELINE TEXT BOILERPLATE / TEXT LM / SEMDEDUP: new families " +
+      "match their Scala twins; SEMDEDUP chains with INTO") {
+    import org.apache.spark.sql.functions.col
+    val store = new GraphStore(spark)
+    val sh = new Shell(store)
+    // multi-line texts attach directly (the QL string literal has no
+    // escape syntax for newlines — same route the p92 gate takes)
+    import spark.implicits._
+    store.attachNodes("mldoc", Seq(
+      (0L, "NAV\nbody zero\nNAV"),
+      (1L, "NAV\nbody one"),
+      (2L, "NAV\nbody two"),
+      (3L, "solo body")).toDF("id", "text"), "id")
+    val boiler = sh.execute(
+      "PIPELINE TEXT BOILERPLATE ON mldoc WITH (min_docs = 3);").get
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(boiler === Map(0L -> (("body zero", 2L)),
+      1L -> (("body one", 1L)), 2L -> (("body two", 1L)),
+      3L -> (("solo body", 0L))))
+    // TEXT LM: QL result == API result (column-for-column)
+    store.attachNodes("lmdoc",
+      Seq((0L, "a b a b"), (1L, "a b c")).toDF("id", "text"), "id")
+    val ql = sh.execute("PIPELINE TEXT LM ON lmdoc;").get
+      .select("id", "n_bigrams", "sum_c2", "sum_c1").collect().toSet
+    val api = graft.pipeline.TextAnalysis.bigramLm(
+      Seq((0L, "a b a b"), (1L, "a b c")).toDF("id", "text"),
+      "id", "text")
+      .select("id", "n_bigrams", "sum_c2", "sum_c1").collect().toSet
+    assert(ql === api && ql.nonEmpty)
+    // SEMDEDUP: near-identical pair collapses to the lower id, and the
+    // doc-grain output chains with INTO
+    store.attachNodes("vecs", Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.02f)),
+      (2L, Array(0.0f, 1.0f))).toDF("id", "embedding"), "id")
+    val kept = sh.execute("PIPELINE SEMDEDUP ON vecs WITH " +
+      "(clusters = 2, iters = 1, threshold = 0.99) INTO keptvecs;").get
+    assert(kept.collect().map(_.getAs[Long]("id")).toSet === Set(0L, 2L))
+    assert(sh.execute("MATCH (k:keptvecs) SELECT k.id;").get.count() === 2)
+    // misspelled option on a new family names the accepted set
+    val err = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE SEMDEDUP ON vecs WITH (n_clusters = 2);")
+    }
+    assert(err.getMessage.contains("unknown PIPELINE option") &&
+      err.getMessage.contains("clusters"), err.getMessage)
+  }
+
   test("PIPELINE ... INTO: document-grain results attach and chain; " +
       "pair-grain refuses") {
     import org.apache.spark.sql.functions.col
