@@ -268,7 +268,32 @@ object Bench {
       // compressed-codec cost twin of mp4_frames' raw-sample walk
       "mjpeg_frames" -> (() => Multimodal.sampleVideoFrames(
         Multimodal.synthesizeMjpegAvi(store.nodes("documents"), "id"),
-        k = 3))
+        k = 3)),
+      // ---- round-13 second wave: perf accountability for p88-p91 ----
+      // cross-doc line dedup: hash-grain count + gap-slice rebuild (p88
+      // shape; the fixture wrap is inside the timing — it is a cheap
+      // projection and the operator cost is the line shuffles)
+      "boilerplate" -> (() => graft.pipeline.Curation.removeBoilerplate(
+        store.nodes("documents").select(col("id"),
+          concat_ws("\n",
+            concat(lit("NAV-"), (col("id") % 5).cast("string")),
+            coalesce(col("text"), lit("")),
+            concat(lit("FOOTER-"), (col("id") % 97).cast("string")))
+            .as("text")),
+        "id", "text", minDocs = 6)),
+      // SemDeDup: IVF train/assign + within-cluster pair scan (p89
+      // shape; training inside the timing — it IS the operator)
+      "semdedup" -> (() => Dedup.semDedup(
+        store.nodes("embeddings").withColumnRenamed("id", "vec_id"),
+        nClusters = 16, iters = 2, threshold = 0.4)),
+      // FLAC encode + CRC-verified decode in the partition codec host
+      // (p90 shape) — the audio twin of mjpeg_frames
+      "flac_decode" -> (() => Multimodal.decodeAudio(
+        Multimodal.synthesizeFlac(store.nodes("documents"), "id"))),
+      // corpus bigram LM train + score (p91 shape): two vocab-grain
+      // count shuffles + hash joins + doc-grain aggregate
+      "bigram_lm" -> (() => TextAnalysis.bigramLm(
+        store.nodes("documents"), "id", "text"))
     )
 
     def timeOnce(f: () => DataFrame): Double = {
