@@ -293,7 +293,11 @@ object Bench {
       // corpus bigram LM train + score (p91 shape): two vocab-grain
       // count shuffles + hash joins + doc-grain aggregate
       "bigram_lm" -> (() => TextAnalysis.bigramLm(
-        store.nodes("documents"), "id", "text"))
+        store.nodes("documents"), "id", "text")),
+      // OpenEXR encode + decode across all four compressions (p96
+      // shape) — the HDR-image twin of flac_decode/mjpeg_frames
+      "exr_decode" -> (() => Multimodal.decodeExr(
+        Multimodal.synthesizeExr(store.nodes("documents"), "id")))
     )
 
     def timeOnce(f: () => DataFrame): Double = {

@@ -724,6 +724,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("format"),
           col("sample_rate"), col("channels"), col("n_frames"),
           col("peak_amp"), col("rms_amp"))),
+    // p96: REAL HDR image decode — OpenEXR through the engine's own
+    // scanline codec; the fixture cycles ALL FOUR supported
+    // compressions (NONE/RLE/ZIPS/ZIP) by id % 4, and the solid
+    // half-float planes make every decoded mean pure id arithmetic.
+    "p96_exr_decode" -> ((s, dir) =>
+      Multimodal.decodeExr(Multimodal.synthesizeExr(
+        TpchGraph.store(s, dir).nodes("documents"), "id"))
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("n_channels"), col("mean_r"), col("mean_g"),
+          col("mean_b"))),
     // REAL image resample: cap the longest side at 32 px (aspect kept,
     // integer floor), re-encode, decode again — within-budget images
     // pass through byte-identical, resampled solid color stays exact.
@@ -1046,6 +1056,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("format"),
           col("sample_rate"), col("channels"), col("n_frames"),
           col("peak_amp"), col("rms_amp"))
+    }),
+    // p97: the EXR decode from the REPL — must reproduce p96's oracle
+    // bit for bit through the real lexer/parser/shell
+    "p97_ql_media_exr" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("hdrs", Multimodal.synthesizeExr(
+        st.nodes("documents"), "id"), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE MEDIA EXR ON hdrs;").get
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("n_channels"), col("mean_r"), col("mean_g"),
+          col("mean_b"))
     }),
     // Deterministic training-shard shuffle: xxhash64-permutation shard
     // + within-shard position; hard-gated against the DuckDB XXH64
@@ -1883,6 +1905,13 @@ WHERE rank <= 10"""
         "CAST(max(abs(x)) AS INT) AS peak_amp, " +
         "CAST(floor(sqrt(CAST(sum(x * x) AS DOUBLE) / max(n))) AS INT) " +
         "AS rms_amp FROM v GROUP BY doc_id"),
+    "p96_exr_decode" ->
+      ("SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS width, " +
+        "CAST(4 + doc_id % 12 AS INT) AS height, " +
+        "CAST(3 AS INT) AS n_channels, " +
+        "CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_r, " +
+        "CAST((doc_id * 57) % 256 AS DOUBLE) AS mean_g, " +
+        "CAST((doc_id * 91) % 256 AS DOUBLE) AS mean_b FROM documents"),
     "p57_image_resize" ->
       ("WITH d AS (SELECT doc_id, 16 + doc_id % 48 AS w, " +
         "16 + doc_id % 32 AS h FROM documents), " +
@@ -2091,7 +2120,8 @@ WHERE rank <= 10"""
       "p92_ql_boilerplate" -> m("p88_boilerplate"),
       "p93_ql_semdedup" -> m("p89_semdedup"),
       "p94_ql_bigram_lm" -> m("p91_bigram_lm"),
-      "p95_ql_media_flac" -> m("p90_flac_decode"))
+      "p95_ql_media_flac" -> m("p90_flac_decode"),
+      "p97_ql_media_exr" -> m("p96_exr_decode"))
   }
 
   private def referenceOracles: Map[String, String] = Map(

@@ -90,6 +90,8 @@ object Multimodal {
       at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio/wav"
     else if (at(0, 'f') && at(1, 'L') && at(2, 'a') && at(3, 'C'))
       "audio/flac"
+    else if (at(0, 0x76) && at(1, 0x2F) && at(2, 0x31) && at(3, 0x01))
+      "image/exr"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
       at(8, 'A') && at(9, 'V') && at(10, 'I') && at(11, ' ')) "video/avi"
     else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p'))
@@ -1019,6 +1021,66 @@ object Multimodal {
         AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
         val bytes = bos.toByteArray
         Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** EXR decode output: dims + per-channel means (doubles — EXR is an
+    * HDR float format, unlike [[decodedSchema]]'s 8-bit stats). */
+  val exrSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** Decode OpenEXR payloads through the engine's own scanline codec
+    * ([[Exr]] — HALF/FLOAT channels, NONE/RLE/ZIPS/ZIP): dims,
+    * channel count, and the means of the R/G/B channels (null when a
+    * channel of that name is absent). Non-EXR or unsupported payloads
+    * emit one null-stat row (the [[decodeAudio]] totality contract). */
+  def decodeExr(media: DataFrame): DataFrame = {
+    implicit val enc: Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(exrSchema)
+    media.select("id", "media").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("id")
+        Exr.decode(r.getAs[Array[Byte]]("media")) match {
+          case Some(img) =>
+            val byName = img.channels.toMap
+            def m(n: String) = byName.get(n)
+              .map(Double.box).orNull
+            Row(id, img.width, img.height, img.channels.length,
+              m("R"), m("G"), m("B"))
+          case None => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-id EXR gate fixture: a solid-color `8 + id % 24` ×
+    * `4 + id % 12` image with HALF channels B, G, R (alphabetical, the
+    * OpenEXR convention) holding `(id*91 % 256, id*57 % 256,
+    * id*31 % 256)` — small integers are exact in float16, so the
+    * decoded means are pure id arithmetic — cycling through ALL FOUR
+    * supported compressions by `id % 4` (NONE, RLE, ZIPS, ZIP), so one
+    * gate covers every decode path including the zlib and RLE legs. */
+  def synthesizeExr(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 24).toInt
+        val h = (4 + id % 12).toInt
+        def plane(v: Long) = Array.fill(w * h)((v % 256).toFloat)
+        val bytes = Exr.encode(w, h, Seq(
+          "B" -> plane(id * 91), "G" -> plane(id * 57),
+          "R" -> plane(id * 31)),
+          pixelType = 1, compression = (id % 4).toInt)
+        Row(id, bytes, Row("image/exr", bytes.length.toLong))
       }
     }(enc)
   }

@@ -263,7 +263,7 @@ final class Shell(store: GraphStore,
           "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), SEMDEDUP, " +
           "DECONTAMINATE, PACK, SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|" +
           "FINGERPRINT|PII|REPETITION|BOILERPLATE|LM), " +
-          "MEDIA (IMAGE|AUDIO|FRAMES)")
+          "MEDIA (IMAGE|AUDIO|EXR|FRAMES)")
       // an unknown (or misspelled) option key must fail loudly, never
       // silently run with a default — the review-r12 rule: a user who
       // writes ratio_threshold where the statement takes `ratio` gets
@@ -304,7 +304,8 @@ final class Shell(store: GraphStore,
           Set("text", "min_docs", "min_kept")
         case ("SEMDEDUP", None)               =>
           Set("vec", "clusters", "iters", "threshold")
-        case ("MEDIA", Some("IMAGE") | Some("AUDIO")) => Set("payload")
+        case ("MEDIA", Some("IMAGE") | Some("AUDIO") |
+            Some("EXR"))                      => Set("payload")
         case ("MEDIA", Some("FRAMES"))        => Set("payload", "k")
         case _                                => unknownStmt()
       }) ++ Set("id")
@@ -461,6 +462,10 @@ final class Shell(store: GraphStore,
         case ("MEDIA", Some("AUDIO")) =>
           graft.pipeline.Multimodal.decodeAudio(mediaFrame(df, id,
             opts.get("payload").map(_.toString)))
+        case ("MEDIA", Some("EXR")) =>
+          // HDR scanline decode via the engine's own OpenEXR codec
+          graft.pipeline.Multimodal.decodeExr(mediaFrame(df, id,
+            opts.get("payload").map(_.toString)))
         case ("MEDIA", Some("FRAMES")) =>
           // video frame sampling (AVI DIB / AVI Motion-JPEG / MP4 raw);
           // frame-grain output (one row per sampled frame), so not
@@ -480,14 +485,15 @@ final class Shell(store: GraphStore,
                ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
                ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
                ("SEMDEDUP", None) |
-               ("MEDIA", Some("IMAGE") | Some("AUDIO")) => true
+               ("MEDIA", Some("IMAGE") | Some("AUDIO") |
+                 Some("EXR")) => true
           case _ => false // pair / span / rank / frame grain
         }
         require(docGrain,
           s"PIPELINE $family ${variant.getOrElse("")} INTO: output is " +
             "not document-grain (no unique node id); INTO supports " +
             "DEDUP EXACT, SPANS REMOVE, SHARDS, SEMDEDUP, DECONTAMINATE, " +
-            "PACK, SAMPLE, CLUSTERS, TEXT *, MEDIA IMAGE|AUDIO")
+            "PACK, SAMPLE, CLUSTERS, TEXT *, MEDIA IMAGE|AUDIO|EXR")
         store.attachNodes(lbl, result,
           if (result.columns.contains(id)) id else "id")
       }
