@@ -349,6 +349,24 @@ class PlanAuditSpec extends SparkSpec {
       s"line count lacks partial aggregation:\n$plan")
   }
 
+  test("bigram LM: hash-grain counts combine map-side, vocab rides a " +
+      "broadcast, no window") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val df = graft.pipeline.TextAnalysis.bigramLm(
+      store.nodes("documents"), "id", "text")
+    val plan = physical(df)
+    assert(!plan.contains("Window"),
+      s"bigram LM regressed to a window:\n$plan")
+    // two count shuffles + the doc aggregate all partial-aggregate
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"bigram counts lack partial aggregation:\n$plan")
+    // the 1-row vocabulary must broadcast, never shuffle the pair table
+    // against it
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"vocab join is not broadcast:\n$plan")
+  }
+
   test("incremental spans-against: corpus gram table never shuffled, " +
       "merge without windows") {
     import org.apache.spark.sql.functions.col
