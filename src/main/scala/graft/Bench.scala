@@ -297,7 +297,26 @@ object Bench {
       // OpenEXR encode + decode across all four compressions (p96
       // shape) — the HDR-image twin of flac_decode/mjpeg_frames
       "exr_decode" -> (() => Multimodal.decodeExr(
-        Multimodal.synthesizeExr(store.nodes("documents"), "id")))
+        Multimodal.synthesizeExr(store.nodes("documents"), "id"))),
+      // compressed-JSONL ingest round trip (p98 shape): zstd shard
+      // export + streaming strict re-ingest — measures the real
+      // corpus-intake path end to end (the write is inside the timing;
+      // shards overwrite idempotently per rep)
+      "jsonl_ingest" -> (() => {
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_bench_jsonl").getAbsolutePath
+        graft.pipeline.Ingest.writeJsonlZst(
+          store.nodes("documents").select("id", "text", "source"),
+          out, shards = 8)
+        graft.pipeline.Ingest.jsonlFiles(spark, out + "/*.jsonl.zst",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType))), strict = true)
+      })
     )
 
     def timeOnce(f: () => DataFrame): Double = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.GraphAnalytics
 import graft.core.Ast._
 import graft.core.MockClock
-import graft.pipeline.{Corpus, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Curation, Dedup, Ingest, Multimodal, Similarity, TextAnalysis}
 import graft.planner.Planner
 import graft.store.GraphStore
 import graft.streaming.EventStreams
@@ -1057,6 +1057,28 @@ object SparkEntry {
           col("sample_rate"), col("channels"), col("n_frames"),
           col("peak_amp"), col("rms_amp"))
     }),
+    // p98: compressed-JSONL ingestion — the round trip a web-scale
+    // corpus actually takes (.jsonl.zst shards, RedPajama/Dolma
+    // convention): the documents table is exported as 4 zstd shards,
+    // re-ingested via the streaming binaryFile reader in STRICT mode,
+    // and must reproduce the original table bit for bit (JSON string
+    // escaping, long ids, zstd framing all gated)
+    "p98_ingest_jsonl_zst" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id"), col("text"), col("lang"), col("source"))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      Ingest.writeJsonlZst(docs, out, shards = 4)
+      Ingest.jsonlFiles(s, out + "/*.jsonl.zst", StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType))), strict = true)
+        .select(col("id").as("doc_id"), col("text"), col("lang"),
+          col("source"))
+    }),
     // p97: the EXR decode from the REPL — must reproduce p96's oracle
     // bit for bit through the real lexer/parser/shell
     "p97_ql_media_exr" -> ((s, dir) => {
@@ -1987,6 +2009,9 @@ WHERE rank <= 10"""
       "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
       "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", 8),
     "p61_shuffle_shards" -> p61Oracle,
+    // p98: the ingest round trip must surface the original table
+    "p98_ingest_jsonl_zst" ->
+      "SELECT doc_id, text, lang, source FROM documents",
     // p91: STRING-bigram replay of the LM skeleton (engine: hashed)
     "p91_bigram_lm" ->
       ("WITH t AS (SELECT doc_id, regexp_split_to_array(" +

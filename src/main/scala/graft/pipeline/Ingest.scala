@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import java.io.{BufferedReader, InputStream, InputStreamReader}
+import java.util.zip.GZIPInputStream
+
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Corpus ingestion for the formats web-scale text corpora actually
+  * ship in: `.jsonl`, `.jsonl.zst`, `.jsonl.gz` shards (the
+  * RedPajama / Dolma / CommonCrawl-derivative convention — one JSON
+  * object per line, zstd- or gzip-compressed per shard file).
+  *
+  * 100 TB shape: `spark.read.format("binaryFile")` makes one task per
+  * shard file — exactly the parallel grain these corpora are sharded
+  * for (the 100-500 MB shard convention) — and the decompressor is
+  * STREAMING (`ZstdInputStream`/`GZIPInputStream` feeding a line
+  * reader), so a task holds one compressed shard plus one line in
+  * memory, never the decompressed file. Compression is sniffed per
+  * file from magic bytes, so mixed directories work. JSON parsing is
+  * `from_json` against the caller's schema — codegen'd, with
+  * `_corrupt`-style null rows surfaced rather than dropped (an ingest
+  * pipeline must SEE parse failures; the `strict` flag turns them into
+  * loud task failures instead). Note Spark's `binaryFile` source caps
+  * single files at 2 GB — shard upstream, as every published corpus
+  * already does.
+  *
+  * The reference has no file-ingestion surface beyond CSV
+  * (bench/tundra_runner.cpp:15-27) — this is beyond-parity, SURVEY
+  * §2.10.
+  */
+object Ingest {
+
+  private def sniffStream(bytes: Array[Byte]): InputStream = {
+    val raw = new java.io.ByteArrayInputStream(bytes)
+    if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x28 &&
+      (bytes(1) & 0xFF) == 0xB5 && (bytes(2) & 0xFF) == 0x2F &&
+      (bytes(3) & 0xFF) == 0xFD) new ZstdInputStream(raw)
+    else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F &&
+      (bytes(1) & 0xFF) == 0x8B) new GZIPInputStream(raw)
+    else raw
+  }
+
+  /** Read a glob of `.jsonl[.zst|.gz]` shards into rows of `schema`.
+    * Output carries the source file path as `_input_file` plus the
+    * schema's fields. With `strict = false` (default) an unparsable
+    * line yields a row of nulls for the schema fields (count them to
+    * monitor corpus health); with `strict = true` it fails the task
+    * naming the file. */
+  def jsonlFiles(spark: SparkSession, glob: String, schema: StructType,
+                 strict: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (path, bytes) =>
+          val reader = new BufferedReader(new InputStreamReader(
+            sniffStream(bytes), "UTF-8"))
+          Iterator.continually(reader.readLine()).takeWhile { l =>
+            if (l == null) reader.close()
+            l != null
+          }.filter(_.nonEmpty).map(l => (path, l))
+        }
+      }.toDF("_input_file", "_line")
+    val parsed = lines.select(col("_input_file"),
+      from_json(col("_line"), schema).as("_r"), col("_line"))
+    val bad = col("_r").isNull ||
+      schema.fields.map(f => col("_r")(f.name).isNull)
+        .reduce(_ && _) // from_json nulls every field on corrupt input
+    val checked =
+      if (!strict) parsed
+      else parsed.filter(when(bad, raise_error(concat(
+        lit("unparsable JSONL line in "), col("_input_file"),
+        lit(": "), substring(col("_line"), 1, 120))))
+        .otherwise(lit(true)))
+    checked.select(col("_input_file") +: schema.fields.toSeq
+      .map(f => col("_r")(f.name).as(f.name)): _*)
+  }
+
+  /** Write a DataFrame as zstd-compressed JSONL shards (the fixture /
+    * export twin of [[jsonlFiles]]): `shards` files named
+    * `part-NNNNN.jsonl.zst` under `dir`, written through the Hadoop
+    * FileSystem API so local paths and `hdfs:`/object-store URIs both
+    * work. Executors write their own shards — no driver funnel. */
+  def writeJsonlZst(df: DataFrame, dir: String, shards: Int): Unit = {
+    require(shards >= 1, "shards must be >= 1")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.toJSON.repartition(shards).rdd.foreachPartition { it =>
+      // one file per partition; TaskContext gives the shard ordinal
+      val part = org.apache.spark.TaskContext.getPartitionId()
+      val path = new org.apache.hadoop.fs.Path(
+        f"$dir%s/part-$part%05d.jsonl.zst")
+      val fs = path.getFileSystem(conf.value)
+      val out = new ZstdOutputStream(fs.create(path, true))
+      try {
+        val nl = "\n".getBytes("UTF-8")
+        it.foreach { line =>
+          out.write(line.getBytes("UTF-8")); out.write(nl)
+        }
+      } finally out.close()
+    }
+  }
+}
