@@ -298,6 +298,13 @@ object Bench {
       // shape) — the HDR-image twin of flac_decode/mjpeg_frames
       "exr_decode" -> (() => Multimodal.decodeExr(
         Multimodal.synthesizeExr(store.nodes("documents"), "id"))),
+      // BPE: 20 training rounds on the distinct-word table + greedy
+      // tokenize pass over the corpus (p99 shape)
+      "bpe_tokenize" -> (() => {
+        val docs = store.nodes("documents")
+        graft.pipeline.Bpe.tokenize(docs, "id", "text",
+          graft.pipeline.Bpe.train(docs, "text", numMerges = 20))
+      }),
       // compressed-JSONL ingest round trip (p98 shape): zstd shard
       // export + streaming strict re-ingest — measures the real
       // corpus-intake path end to end (the write is inside the timing;

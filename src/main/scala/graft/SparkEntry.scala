@@ -1057,6 +1057,27 @@ object SparkEntry {
           col("sample_rate"), col("channels"), col("n_frames"),
           col("peak_amp"), col("rms_amp"))
     }),
+    // p99: BPE tokenizer — distributed merge training on the distinct-
+    // word table + greedy lowest-rank apply. The merge CHOICES are
+    // inherently iterative (not SQL-expressible; pinned against the
+    // hand-computed Sennrich example in BpeSpec), so the oracle gates
+    // the correctness INVARIANT that holds for ANY merge list: the
+    // detokenization of the tokenized corpus must reproduce the
+    // whitespace-normalized lowercased input bit for bit — which
+    // breaks if training corrupts a symbol, apply merges across word
+    // boundaries, or the marker handling drops a character.
+    "p99_bpe_roundtrip" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+      val merges = graft.pipeline.Bpe.train(docs, "text", numMerges = 20)
+      graft.pipeline.Bpe.tokenize(docs, "id", "text", merges)
+        .select(col("id").as("doc_id"), col("detok"))
+    }),
+    // p100: the BPE round trip from the REPL — must reproduce p99's
+    // oracle bit for bit through the real lexer/parser/shell
+    "p100_ql_bpe" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE TEXT BPE ON documents WITH (merges = 20);")
+        .get.select(col("id").as("doc_id"), col("detok"))),
     // p98: compressed-JSONL ingestion — the round trip a web-scale
     // corpus actually takes (.jsonl.zst shards, RedPajama/Dolma
     // convention): the documents table is exported as 4 zstd shards,
@@ -2012,6 +2033,10 @@ WHERE rank <= 10"""
     // p98: the ingest round trip must surface the original table
     "p98_ingest_jsonl_zst" ->
       "SELECT doc_id, text, lang, source FROM documents",
+    // p99: detokenization fidelity — any-merge-list invariant
+    "p99_bpe_roundtrip" ->
+      ("SELECT doc_id, regexp_replace(trim(lower(coalesce(text, ''))), " +
+        "'\\s+', ' ', 'g') AS detok FROM documents"),
     // p91: STRING-bigram replay of the LM skeleton (engine: hashed)
     "p91_bigram_lm" ->
       ("WITH t AS (SELECT doc_id, regexp_split_to_array(" +
@@ -2159,7 +2184,8 @@ WHERE rank <= 10"""
       "p93_ql_semdedup" -> m("p89_semdedup"),
       "p94_ql_bigram_lm" -> m("p91_bigram_lm"),
       "p95_ql_media_flac" -> m("p90_flac_decode"),
-      "p97_ql_media_exr" -> m("p96_exr_decode"))
+      "p97_ql_media_exr" -> m("p96_exr_decode"),
+      "p100_ql_bpe" -> m("p99_bpe_roundtrip"))
   }
 
   private def referenceOracles: Map[String, String] = Map(

@@ -262,7 +262,7 @@ final class Shell(store: GraphStore,
           "families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH), " +
           "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), SEMDEDUP, " +
           "DECONTAMINATE, PACK, SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|" +
-          "FINGERPRINT|PII|REPETITION|BOILERPLATE|LM), " +
+          "FINGERPRINT|PII|BPE|REPETITION|BOILERPLATE|LM), " +
           "MEDIA (IMAGE|AUDIO|EXR|FRAMES)")
       // an unknown (or misspelled) option key must fail loudly, never
       // silently run with a default — the review-r12 rule: a user who
@@ -302,6 +302,7 @@ final class Shell(store: GraphStore,
             Some("LM"))                       => Set("text")
         case ("TEXT", Some("BOILERPLATE"))    =>
           Set("text", "min_docs", "min_kept")
+        case ("TEXT", Some("BPE"))            => Set("text", "merges")
         case ("SEMDEDUP", None)               =>
           Set("vec", "clusters", "iters", "threshold")
         case ("MEDIA", Some("IMAGE") | Some("AUDIO") |
@@ -446,6 +447,12 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("LM")) =>
           // corpus-trained bigram LM scoring (perplexity quality signal)
           graft.pipeline.TextAnalysis.bigramLm(df, id, str("text", "text"))
+        case ("TEXT", Some("BPE")) =>
+          // BPE train-on-the-fly + tokenize (interactive shape; a
+          // production pipeline persists the merge list via the API)
+          val t = str("text", "text")
+          graft.pipeline.Bpe.tokenize(df, id, t,
+            graft.pipeline.Bpe.train(df, t, int("merges", 20)))
         case ("SEMDEDUP", None) =>
           // SemDeDup: k-means clusters + min-id cosine pruning; emits
           // the KEPT vectors (doc grain)

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Bpe
+import graft.tpch.TpchGraph
+
+/** Pins the BPE trainer against the hand-computed merge sequence of the
+  * classic Sennrich et al. 2016 corpus (low/lower/newest/widest), the
+  * deterministic tie-break, the greedy apply on an UNSEEN word, and the
+  * detokenization invariant the p99 oracle gates at corpus scale. */
+class BpeSpec extends SparkSpec {
+
+  // the paper's corpus with frequencies low:5 lower:2 newest:6 widest:3
+  private def corpus = {
+    import spark.implicits._
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+  }
+
+  test("train: the Sennrich corpus yields the classic merge sequence " +
+      "under the (count desc, pair asc) tie-break") {
+    // round 1 pair counts: (e,s)=(s,t)=(t,</w>)=9 — lexicographic
+    // smallest left wins; rounds 2/3 extend it; round 4 ties (l,o)
+    // with (o,w) at 7 — (l,o) wins; round 5 merges (lo,w)
+    val merges = Bpe.train(corpus, "text", numMerges = 5)
+    assert(merges === Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")))
+  }
+
+  test("tokenize: greedy lowest-rank apply segments an unseen word; " +
+      "detok reconstructs; n_tokens counts") {
+    import spark.implicits._
+    val merges = Bpe.train(corpus, "text", numMerges = 5)
+    val res = Bpe.tokenize(
+      Seq((0L, "lowest"), (1L, "  Low  NEWEST  "), (2L, ""),
+        (3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("tokens"), r.getAs[Int]("n_tokens"),
+          r.getAs[String]("detok"))).toMap
+    // "lowest" is NOT in the training corpus: (e,s) rank 0 applies
+    // first, then (es,t), (est,</w>), (l,o), (lo,w)
+    assert(res(0L) === (("low est</w>", 2, "lowest")))
+    // casing + whitespace normalize before segmentation; (low,</w>)
+    // would be merge 6, so at 5 merges "low" is [low, </w>]
+    assert(res(1L) === (("low </w> n e w est</w>", 6, "low newest")))
+    assert(res(2L) === (("", 0, "")))
+    assert(res(3L) === (("", 0, "")))
+  }
+
+  test("train: numMerges beyond exhaustion stops at the fixpoint") {
+    import spark.implicits._
+    val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    // symbols a b </w>: merges (a,b) then (ab,</w>) then nothing —
+    // single-symbol words yield no pairs, so training stops early
+    val merges = Bpe.train(tiny, "text", numMerges = 50)
+    assert(merges === Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("detok invariant holds over a corpus slice for any merge count") {
+    val docs = TpchGraph.store(spark, "/root/testdata/sf0.001")
+      .nodes("documents").filter(col("id") < 50)
+    Seq(0, 3, 12).foreach { k =>
+      val merges = Bpe.train(docs, "text", numMerges = k)
+      val bad = Bpe.tokenize(docs, "id", "text", merges)
+        .select(col("id"), col("detok"))
+        .join(docs.select(col("id"),
+          regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+            .as("want")), Seq("id"))
+        .filter(col("detok") =!= col("want"))
+      assert(bad.count() === 0, s"detok diverged at numMerges=$k")
+    }
+  }
+}

@@ -602,6 +602,17 @@ class ShellSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("unknown PIPELINE option") &&
       err.getMessage.contains("clusters"), err.getMessage)
+    // TEXT BPE: QL trains + tokenizes and matches the API twin
+    store.attachNodes("bpedoc",
+      Seq((0L, "low low lower newest")).toDF("id", "text"), "id")
+    val qlBpe = sh.execute(
+      "PIPELINE TEXT BPE ON bpedoc WITH (merges = 3);").get
+      .select("id", "tokens", "n_tokens", "detok").collect().toSet
+    val apiDocs = Seq((0L, "low low lower newest")).toDF("id", "text")
+    val apiBpe = graft.pipeline.Bpe.tokenize(apiDocs, "id", "text",
+      graft.pipeline.Bpe.train(apiDocs, "text", 3))
+      .select("id", "tokens", "n_tokens", "detok").collect().toSet
+    assert(qlBpe === apiBpe && qlBpe.nonEmpty)
   }
 
   test("PIPELINE ... INTO: document-grain results attach and chain; " +
