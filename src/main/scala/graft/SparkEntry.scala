@@ -1057,6 +1057,18 @@ object SparkEntry {
           col("sample_rate"), col("channels"), col("n_frames"),
           col("peak_amp"), col("rms_amp"))
     }),
+    // p101: the corpus health profile — the one-row dashboard an ingest
+    // batch runs; every field is an integer aggregate of per-row
+    // deterministic signals so the row hash-gates exactly (the engine
+    // counts distinct texts at xxhash64 grain; the oracle counts
+    // strings — the hash swap is gated)
+    "p101_corpus_profile" -> ((s, dir) =>
+      Corpus.profile(TpchGraph.store(s, dir).nodes("documents"),
+        "id", "text")),
+    // p102: the same from the REPL
+    "p102_ql_profile" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE PROFILE ON documents;").get),
     // p99: BPE tokenizer — distributed merge training on the distinct-
     // word table + greedy lowest-rank apply. The merge CHOICES are
     // inherently iterative (not SQL-expressible; pinned against the
@@ -2033,6 +2045,34 @@ WHERE rank <= 10"""
     // p98: the ingest round trip must surface the original table
     "p98_ingest_jsonl_zst" ->
       "SELECT doc_id, text, lang, source FROM documents",
+    // p101: integer corpus dashboard, quality/langid formulas inline
+    // (the p38/p39/p42 expressions), distinct texts by STRING
+    "p101_corpus_profile" ->
+      ("WITH t AS (SELECT doc_id, coalesce(text, '') AS text " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, text, " +
+        "regexp_split_to_array(trim(text), '\\s+') AS w, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS wl " +
+        "FROM t), " +
+        "s AS (SELECT doc_id, text, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS emp, " +
+        "len(w) AS toks, " +
+        s"len(list_filter(wl, x -> x IN $duckStops)) * 1.0 / " +
+        "greatest(len(w) * 1.0, 1.0) AS sr, " +
+        "CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / " +
+        "greatest(len(w) * 1.0, 1.0) AS awl, " +
+        "len(regexp_extract_all(text, '[.,;:!?()-]')) AS np, " +
+        "length(text) AS nc FROM m) " +
+        "SELECT count(*) AS n_docs, sum(toks) AS n_tokens, " +
+        "sum(emp) AS n_empty, " +
+        "sum(CASE WHEN sr * 0.5 + " +
+        "(CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) + " +
+        "(CASE WHEN np * 1.0 / greatest(nc * 1.0, 1.0) < 0.1 " +
+        "THEN 0.2 ELSE 0.0 END) >= 0.5 THEN 1 ELSE 0 END) " +
+        "AS n_quality_pass, " +
+        "sum(CASE WHEN sr >= 0.05 THEN 1 ELSE 0 END) AS n_lang_en, " +
+        "count(DISTINCT text) AS n_distinct_text, " +
+        "count(*) - count(DISTINCT text) AS n_exact_dup FROM s"),
     // p99: detokenization fidelity — any-merge-list invariant
     "p99_bpe_roundtrip" ->
       ("SELECT doc_id, regexp_replace(trim(lower(coalesce(text, ''))), " +
@@ -2185,7 +2225,8 @@ WHERE rank <= 10"""
       "p94_ql_bigram_lm" -> m("p91_bigram_lm"),
       "p95_ql_media_flac" -> m("p90_flac_decode"),
       "p97_ql_media_exr" -> m("p96_exr_decode"),
-      "p100_ql_bpe" -> m("p99_bpe_roundtrip"))
+      "p100_ql_bpe" -> m("p99_bpe_roundtrip"),
+      "p102_ql_profile" -> m("p101_corpus_profile"))
   }
 
   private def referenceOracles: Map[String, String] = Map(

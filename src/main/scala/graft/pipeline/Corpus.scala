@@ -42,6 +42,41 @@ object Corpus {
         .otherwise("test"))
   }
 
+  /** Corpus health profile — the one-row dashboard a real pipeline runs
+    * after every ingest batch: document and token volume, exact-dup
+    * pressure, quality- and language-gate pass counts, and empty-doc
+    * count. All fields are INTEGER aggregates of per-row deterministic
+    * signals, so the row hash-gates exactly (a double mean would be
+    * summation-order-dependent across partitions — derive means
+    * downstream from the integer fields instead).
+    *
+    * 100 TB shape: one pass + two map-side-combined aggregates (the
+    * global counts and the distinct-text count via a hash-grain
+    * two-level aggregate — text itself never crosses the wire). */
+  def profile(docs: DataFrame, idCol: String, textCol: String,
+              minQuality: Double = 0.5): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val stats = docs.select(
+      when(length(trim(t)) === 0, 1L).otherwise(0L).as("__empty"),
+      TextAnalysis.tokenCountWs(t).cast("long").as("__toks"),
+      when(TextAnalysis.qualityScoreFast(t) >= minQuality, 1L)
+        .otherwise(0L).as("__q"),
+      when(TextAnalysis.langId(t) === "en", 1L).otherwise(0L).as("__en"),
+      xxhash64(t).as("__h"))
+    val base = stats.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__toks")).as("n_tokens"),
+      sum(col("__empty")).as("n_empty"),
+      sum(col("__q")).as("n_quality_pass"),
+      sum(col("__en")).as("n_lang_en"))
+    val distinctTexts = stats.select("__h").distinct()
+      .agg(count(lit(1)).as("n_distinct_text"))
+    base.join(distinctTexts)
+      .select(col("n_docs"), col("n_tokens"), col("n_empty"),
+        col("n_quality_pass"), col("n_lang_en"), col("n_distinct_text"),
+        (col("n_docs") - col("n_distinct_text")).as("n_exact_dup"))
+  }
+
   /** Full pipeline: quality gate, exact dedup, then drop near-duplicates
     * (minhash-LSH; the lower-id member of each near-dup pair survives).
     * Returns the surviving representative ids. */

@@ -260,7 +260,7 @@ final class Shell(store: GraphStore,
       def unknownStmt(): Nothing = throw new IllegalArgumentException(
         s"unknown PIPELINE statement: $family ${variant.getOrElse("")} — " +
           "families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH), " +
-          "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), SEMDEDUP, " +
+          "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), SEMDEDUP, PROFILE, " +
           "DECONTAMINATE, PACK, SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|" +
           "FINGERPRINT|PII|BPE|REPETITION|BOILERPLATE|LM), " +
           "MEDIA (IMAGE|AUDIO|EXR|FRAMES)")
@@ -305,6 +305,8 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("BPE"))            => Set("text", "merges")
         case ("SEMDEDUP", None)               =>
           Set("vec", "clusters", "iters", "threshold")
+        case ("PROFILE", None)                =>
+          Set("text", "min_quality")
         case ("MEDIA", Some("IMAGE") | Some("AUDIO") |
             Some("EXR"))                      => Set("payload")
         case ("MEDIA", Some("FRAMES"))        => Set("payload", "k")
@@ -460,6 +462,10 @@ final class Shell(store: GraphStore,
             nClusters = int("clusters", 16), iters = int("iters", 2),
             threshold = dbl("threshold", 0.9), idCol = id,
             vecCol = str("vec", "embedding"))
+        case ("PROFILE", None) =>
+          // one-row corpus health dashboard (integer aggregates)
+          graft.pipeline.Corpus.profile(df, id, str("text", "text"),
+            minQuality = dbl("min_quality", 0.5))
         // ---- media family: decode over a binary `media` column (the
         // attachBinary/synthesize* shape); a label carrying only text
         // wraps its `payload` column as an opaque binary payload first
