@@ -928,6 +928,27 @@ object SparkEntry {
         "id", "text", minDocs = 6)
         .select(col("id").as("doc_id"), col("clean_text"),
           col("n_kept"), col("n_removed"))),
+    // p103: incremental boilerplate removal — the fresh batch
+    // (id % 3 == 0) is cleaned against the corpus's persisted
+    // line-count table: a line is boilerplate when batch + corpus
+    // distinct-doc counts reach minDocs. The FOOTER groups straddle
+    // the threshold only with corpus assistance, so the assisted join
+    // path is what the gate pins.
+    "p103_boilerplate_against" -> ((s, dir) => {
+      val wrapped = TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id"), concat_ws("\n",
+          concat(lit("NAV-"), (col("id") % 5).cast("string")),
+          coalesce(col("text"), lit("")),
+          concat(lit("FOOTER-"), (col("id") % 97).cast("string")))
+          .as("text"))
+      Curation.removeBoilerplateAgainst(
+        wrapped.filter(col("id") % 3 === 0),
+        Curation.boilerplateLineCounts(
+          wrapped.filter(col("id") % 3 =!= 0), "id", "text"),
+        "id", "text", minDocs = 6)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_kept"), col("n_removed"))
+    }),
     // ---- p84: incremental span dedup (r12 verdict #5) — the fresh
     // batch (id % 3 == 0) is span-deduped against the accumulated
     // corpus's (id % 3 != 0) persisted gram-count table: a gram is
@@ -2077,6 +2098,33 @@ WHERE rank <= 10"""
     "p99_bpe_roundtrip" ->
       ("SELECT doc_id, regexp_replace(trim(lower(coalesce(text, ''))), " +
         "'\\s+', ' ', 'g') AS detok FROM documents"),
+    // p103: two-relation replay of the incremental boilerplate —
+    // batch lines counted against batch + corpus distinct-doc sums
+    "p103_boilerplate_against" ->
+      ("WITH raw AS (SELECT doc_id, 'NAV-' || " +
+        "CAST(doc_id % 5 AS VARCHAR) || chr(10) || coalesce(text, '') " +
+        "|| chr(10) || 'FOOTER-' || CAST(doc_id % 97 AS VARCHAR) AS t " +
+        "FROM documents), " +
+        "lall AS (SELECT doc_id, i, arr[i + 1] AS line FROM " +
+        "(SELECT doc_id, string_split(t, chr(10)) AS arr FROM raw), " +
+        "LATERAL (SELECT unnest(range(len(arr))) AS i)), " +
+        "lb AS (SELECT * FROM lall WHERE doc_id % 3 = 0), " +
+        "lc AS (SELECT * FROM lall WHERE doc_id % 3 <> 0), " +
+        "cb AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lb " +
+        "WHERE trim(line) <> '' GROUP BY line), " +
+        "cc AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lc " +
+        "WHERE trim(line) <> '' GROUP BY line), " +
+        "b AS (SELECT cb.line FROM cb LEFT JOIN cc USING (line) " +
+        "WHERE cb.nd + coalesce(cc.nd, 0) >= 6), " +
+        "tot AS (SELECT doc_id, count(*) AS n FROM lb GROUP BY doc_id), " +
+        "k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) " +
+        "AS clean_text, count(*) AS n_kept FROM lb " +
+        "WHERE line NOT IN (SELECT line FROM b) GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text, " +
+        "coalesce(k.n_kept, 0) AS n_kept, " +
+        "t.n - coalesce(k.n_kept, 0) AS n_removed " +
+        "FROM tot t LEFT JOIN k USING (doc_id) " +
+        "WHERE coalesce(k.n_kept, 0) >= 1"),
     // p91: STRING-bigram replay of the LM skeleton (engine: hashed)
     "p91_bigram_lm" ->
       ("WITH t AS (SELECT doc_id, regexp_split_to_array(" +

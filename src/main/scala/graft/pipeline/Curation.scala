@@ -549,6 +549,61 @@ object Curation {
                         minDocs: Long,
                         minKeptLines: Long = 1L): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    removeBoilerplateImpl(df, idCol, textCol, None, minDocs,
+      minKeptLines)
+  }
+
+  /** Corpus-side line table for [[removeBoilerplateAgainst]]: per
+    * xxhash64 line hash, the number of DISTINCT corpus documents
+    * carrying that non-blank line — (line_hash, n_docs), line-grain,
+    * ≪ corpus. Distinct-doc counts are ADDITIVE across disjoint
+    * batches (document ids never repeat), so a growing corpus folds an
+    * accepted batch's table in by summing — the [[Dedup.spanGramCounts]]
+    * persistence discipline, line-grain instead of gram-grain. */
+  def boilerplateLineCounts(corpus: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    corpus.select(col(idCol).as("__id"),
+        when(length(t) === 0, array().cast("array<string>"))
+          .otherwise(split(t, "\n", -1)).as("__ls"))
+      .transform(graft.core.Materialize(_))
+      .select(col("__id"), explode(col("__ls")).as("__l"))
+      .filter(trim(col("__l")) =!= "")
+      .select(xxhash64(col("__l")).as("line_hash"), col("__id"))
+      .distinct()
+      .groupBy("line_hash")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Incremental boilerplate removal — the daily-ingest twin of
+    * [[removeBoilerplate]] (as [[Dedup.removeSpansAgainst]] is of
+    * [[Dedup.removeSpans]]): cut from a fresh batch every non-blank
+    * line whose distinct-document count across batch ∪ corpus (per the
+    * persisted [[boilerplateLineCounts]] table) reaches `minDocs`,
+    * without touching corpus text. Same output schema, floors, and
+    * exact-match contract as [[removeBoilerplate]]; same
+    * corpus-must-not-include-the-batch caveat as [[Dedup.spansAgainst]]
+    * (a batch already folded in would double-count its own lines).
+    *
+    * 100 TB shape: batch lines shuffle once (batch-sized); the corpus
+    * side is the pre-aggregated line-count table probed by ONE inner
+    * hash join whose other side is the batch's DISTINCT
+    * below-threshold line hashes — batch-sized, so AQE broadcasts it
+    * and the corpus table is scanned once, never shuffled. */
+  def removeBoilerplateAgainst(newBatch: DataFrame,
+                               corpusLines: DataFrame, idCol: String,
+                               textCol: String, minDocs: Long,
+                               minKeptLines: Long = 1L): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    removeBoilerplateImpl(newBatch, idCol, textCol, Some(corpusLines),
+      minDocs, minKeptLines)
+  }
+
+  private def removeBoilerplateImpl(df: DataFrame, idCol: String,
+                                    textCol: String,
+                                    corpusLines: Option[DataFrame],
+                                    minDocs: Long,
+                                    minKeptLines: Long): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     // (id, line array) materialized BEFORE the explode (the minhashLsh
     // lesson: an expression feeding a Generate collapses into it and
@@ -564,11 +619,25 @@ object Curation {
         (trim(col("__l")) === "").as("__blank"))
     // distinct-document frequency at line-hash grain: one map-side-
     // combined (hash, id) distinct, then a hash-grain count
-    val boiler = lines.filter(!col("__blank"))
+    val batchCounts = lines.filter(!col("__blank"))
       .select("__h", "__id").distinct()
       .groupBy("__h").agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") >= minDocs)
-      .select("__h")
+    val boiler = corpusLines match {
+      case None =>
+        batchCounts.filter(col("__docs") >= minDocs).select("__h")
+      case Some(cl) =>
+        // boilerplate within the batch alone, plus lines the corpus
+        // counts push over the threshold — the inner join keeps the
+        // batch side broadcastable (the spansAgainst discipline)
+        val within =
+          batchCounts.filter(col("__docs") >= minDocs).select("__h")
+        val assisted = batchCounts.filter(col("__docs") < minDocs)
+          .join(cl.select(col("line_hash").as("__h"),
+            col("n_docs").cast("long").as("__cd")), "__h")
+          .filter(col("__docs") + col("__cd") >= minDocs)
+          .select("__h")
+        within.unionByName(assisted)
+    }
     val hits = lines.join(boiler, Seq("__h"), "left_semi")
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__pos").cast("long")))

@@ -310,6 +310,39 @@ class CurationSpec extends SparkSpec {
     assert(res.size === 7)
   }
 
+  test("removeBoilerplateAgainst: corpus counts push batch lines over " +
+      "the threshold; batch-only lines stay") {
+    import spark.implicits._
+    val batch = Seq(
+      (100L, "CORPUS NAV\nbatch body a"),
+      (101L, "CORPUS NAV\nbatch body b"),
+      (102L, "BATCH ONLY\nbatch body c")
+    ).toDF("doc_id", "text")
+    // "CORPUS NAV" sits in 4 corpus docs; with 2 batch docs it reaches
+    // minDocs = 6 ONLY via the corpus table. "BATCH ONLY" (1) stays.
+    val corpus = (0L until 4L).map(i => (i, s"CORPUS NAV\ncorpus $i"))
+      .toDF("doc_id", "text")
+    val counts = Curation.boilerplateLineCounts(corpus, "doc_id", "text")
+    assert(counts.collect().map(r => r.getAs[Long]("n_docs")).toSet
+      === Set(4L, 1L)) // NAV in 4 docs, each body in 1
+    val res = Curation.removeBoilerplateAgainst(batch, counts,
+        "doc_id", "text", minDocs = 6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))
+      .toMap
+    assert(res === Map(100L -> (("batch body a", 1L)),
+      101L -> (("batch body b", 1L)),
+      102L -> (("BATCH ONLY\nbatch body c", 0L))))
+    // one corpus doc fewer and the sum stays below the threshold
+    val res5 = Curation.removeBoilerplateAgainst(batch,
+        Curation.boilerplateLineCounts(corpus.filter(col("doc_id") < 3),
+          "doc_id", "text"),
+        "doc_id", "text", minDocs = 6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_removed")).toMap
+    assert(res5 === Map(100L -> 0L, 101L -> 0L, 102L -> 0L))
+  }
+
   test("removeBoilerplate: threshold is on DISTINCT documents") {
     import spark.implicits._
     // "dup" appears twice in ONE doc (1 distinct) and once in another
