@@ -149,8 +149,17 @@ object Bpe {
           val ws = r.getString(1).trim
             .toLowerCase(java.util.Locale.ROOT)
             .split("\\s+").filter(_.nonEmpty)
-          val toks = ws.flatMap(w => encodeWord(w, rank))
-          val detok = toks.mkString("").replace(Eow, " ").trim
+          val perWord = ws.map(w => encodeWord(w, rank))
+          val toks = perWord.flatten
+          // Detok strips exactly ONE trailing marker per word — never a
+          // global replace: a word may CONTAIN the literal text "</w>"
+          // (its characters reconstruct inside the joined symbols, or
+          // training may even merge them into a symbol equal to the
+          // marker), and a replace would corrupt it. Within one word
+          // the marker is always the final suffix: pairs never span
+          // words, so no merge can move Eow off the word end.
+          val detok = perWord
+            .map(_.mkString("").stripSuffix(Eow)).mkString(" ")
           Row(r.getLong(0), toks.mkString(" "), toks.length, detok)
         }
       }(enc)

@@ -52,6 +52,20 @@ class BpeSpec extends SparkSpec {
     assert(res(3L) === (("", 0, "")))
   }
 
+  test("detok survives words containing the literal marker text") {
+    import spark.implicits._
+    // "a</w>b" and a bare "</w>" reconstruct their own characters;
+    // only the ONE trailing marker per word is stripped (a global
+    // replace corrupted these — review find)
+    val d = Seq((0L, "a</w>b </w> x</w>")).toDF("doc_id", "text")
+    Seq(0, 4).foreach { k =>
+      val merges = Bpe.train(d, "text", numMerges = k)
+      val res = Bpe.tokenize(d, "doc_id", "text", merges).collect()(0)
+      assert(res.getAs[String]("detok") === "a</w>b </w> x</w>",
+        s"numMerges=$k")
+    }
+  }
+
   test("train: numMerges beyond exhaustion stops at the fixpoint") {
     import spark.implicits._
     val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
