@@ -2084,20 +2084,28 @@ WHERE rank <= 10"""
         "greatest(len(w) * 1.0, 1.0) AS awl, " +
         "len(regexp_extract_all(text, '[.,;:!?()-]')) AS np, " +
         "length(text) AS nc FROM m) " +
-        "SELECT count(*) AS n_docs, sum(toks) AS n_tokens, " +
-        "sum(emp) AS n_empty, " +
-        "sum(CASE WHEN sr * 0.5 + " +
+        // CAST every bare sum: DuckDB sum(BIGINT/INTEGER) is HUGEINT,
+        // which the driver's hasher renders as a float (913.0 vs 913)
+        // against the engine's int64 — bit-identical values, hash-FAIL.
+        "SELECT count(*) AS n_docs, " +
+        "CAST(sum(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(emp) AS BIGINT) AS n_empty, " +
+        "CAST(sum(CASE WHEN sr * 0.5 + " +
         "(CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) + " +
         "(CASE WHEN np * 1.0 / greatest(nc * 1.0, 1.0) < 0.1 " +
-        "THEN 0.2 ELSE 0.0 END) >= 0.5 THEN 1 ELSE 0 END) " +
+        "THEN 0.2 ELSE 0.0 END) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_quality_pass, " +
-        "sum(CASE WHEN sr >= 0.05 THEN 1 ELSE 0 END) AS n_lang_en, " +
+        "CAST(sum(CASE WHEN sr >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_lang_en, " +
         "count(DISTINCT text) AS n_distinct_text, " +
         "count(*) - count(DISTINCT text) AS n_exact_dup FROM s"),
-    // p99: detokenization fidelity — any-merge-list invariant
+    // p99: detokenization fidelity — any-merge-list invariant.
+    // Collapse \s+ BEFORE trim: DuckDB trim strips spaces only, so
+    // trim-first would leave boundary tabs/newlines the engine's
+    // \s+-split contract drops (advice r13).
     "p99_bpe_roundtrip" ->
-      ("SELECT doc_id, regexp_replace(trim(lower(coalesce(text, ''))), " +
-        "'\\s+', ' ', 'g') AS detok FROM documents"),
+      ("SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), " +
+        "'\\s+', ' ', 'g')) AS detok FROM documents"),
     // p103: two-relation replay of the incremental boilerplate —
     // batch lines counted against batch + corpus distinct-doc sums
     "p103_boilerplate_against" ->
@@ -2133,8 +2141,11 @@ WHERE rank <= 10"""
         "LATERAL (SELECT unnest(range(len(w) - 1)) AS i)), " +
         "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
         "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1) " +
+        // CAST the sums: DuckDB sum(BIGINT) is HUGEINT, which hashes
+        // as a float on the driver side while the engine emits int64.
         "SELECT bg.doc_id, count(*) AS n_bigrams, " +
-        "sum(c2.c2) AS sum_c2, sum(c1.c1) AS sum_c1 " +
+        "CAST(sum(c2.c2) AS BIGINT) AS sum_c2, " +
+        "CAST(sum(c1.c1) AS BIGINT) AS sum_c1 " +
         "FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2 " +
         "JOIN c1 ON bg.w1 = c1.w1 GROUP BY bg.doc_id"),
     // p88: full independent replay of the boilerplate operator over the

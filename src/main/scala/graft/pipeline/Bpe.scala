@@ -40,14 +40,46 @@ object Bpe {
   private def initSymbols(w: Column): Column =
     concat(split(w, ""), array(lit(Eow)))
 
+  /** Above this many distinct words the merge loop stays distributed;
+    * at or below it the vocabulary is collected once and all rounds run
+    * driver-side. Natural-language vocabularies plateau (Heaps' law) at
+    * a few million distinct words even at 100 TB, so the local path is
+    * the common case; the distributed loop remains the safety net for
+    * adversarial corpora (e.g. random-string keys). */
+  val DefaultLocalVocabLimit = 2000000L
+
   /** Train `numMerges` merges. Returns the ordered merge list —
     * (left, right) by rank — which IS the tokenizer artifact a real
     * pipeline persists. Ties break on (count desc, left asc, right
-    * asc) so training is deterministic across partitionings. */
-  def train(df: DataFrame, textCol: String,
-            numMerges: Int): Seq[(String, String)] = {
+    * asc) so training is deterministic across partitionings.
+    *
+    * Job-count shape: ONE corpus-wide word-count shuffle, then a
+    * count-probe of the distinct-word table (the CC tail-finish
+    * pattern, `Curation.scala`). When the vocabulary is bounded
+    * (≤ `localVocabLimit`) it is collected once and every merge round
+    * runs driver-side with incrementally-maintained pair statistics —
+    * 2 Spark jobs total instead of 2 per merge (a production 32K-merge
+    * vocabulary would otherwise schedule ~64K barrier jobs). Both
+    * paths produce the identical merge list (asserted in BpeSpec). */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            localVocabLimit: Long = DefaultLocalVocabLimit)
+      : Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
-    var vocab = words(df, textCol)
+    val wc = words(df, textCol).transform(graft.core.Materialize(_))
+    if (wc.count() <= localVocabLimit)
+      trainLocal(wc.collect().map(r =>
+        (r.getString(0), r.getLong(1))), numMerges)
+    else trainDistributed(wc, numMerges)
+  }
+
+  /** The distributed merge loop: per round one vocabulary-grain pair
+    * aggregate + a 1-row argmax collect + a rewrite confined to words
+    * containing the winner. Correct at any vocabulary size; ~2 Spark
+    * jobs per merge, so scheduler-bound at production merge counts —
+    * [[train]] routes bounded vocabularies to [[trainLocal]]. */
+  private[pipeline] def trainDistributed(
+      wc: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    var vocab = wc
       .select(col("__cnt"), initSymbols(col("__w")).as("__s"))
       .transform(graft.core.Materialize(_))
     val merges = scala.collection.mutable.ArrayBuffer
@@ -92,6 +124,103 @@ object Bpe {
           .transform(graft.core.Materialize(_))
         round += 1
       }
+    }
+    merges.toSeq
+  }
+
+  /** UTF-8 bytewise comparison — Spark's StringType `asc` ordering.
+    * Java String.compareTo is UTF-16 code-unit order, which disagrees
+    * with code-point order for supplementary characters; the local
+    * tie-break must match the distributed `orderBy` exactly. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side merge loop over a collected (word, count) vocabulary.
+    * Pair statistics and a pair→word-ids index are maintained
+    * INCREMENTALLY: each round touches only the words containing the
+    * winning pair, so a 32K-merge run is O(corpus-vocab init + touched
+    * rewrites), not O(rounds × vocab). Semantics are identical to the
+    * distributed loop (leftmost-first non-overlapping rewrite, ties on
+    * count desc / left asc / right asc in UTF-8 order) — BpeSpec
+    * asserts both paths yield the same merge list. */
+  private[pipeline] def trainLocal(
+      words0: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    // split("") is code-point grain (Java regex never matches inside a
+    // surrogate pair) — the same engine Spark's split(w, "") uses
+    val syms = mutable.ArrayBuffer.empty[Array[String]]
+    val cnts = mutable.ArrayBuffer.empty[Long]
+    words0.foreach { case (w, c) =>
+      syms += (w.split("").filter(_.nonEmpty) :+ Eow)
+      cnts += c
+    }
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi); val c = cnts(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val k = (s(i), s(i + 1))
+        stats.update(k, stats.getOrElse(k, 0L) + c)
+        index.getOrElseUpdate(k, mutable.Set.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges && stats.nonEmpty) {
+      var bl: String = null; var br: String = null; var bn = -1L
+      stats.foreach { case ((l, r), n) =>
+        if (n > bn || (n == bn && (utf8Lt(l, bl) ||
+            (l == bl && utf8Lt(r, br))))) { bl = l; br = r; bn = n }
+      }
+      val best = (bl, br)
+      merges += best
+      index.getOrElse(best, mutable.Set.empty).toArray.foreach { id =>
+        val old = syms(id); val c = cnts(id)
+        // leftmost-first non-overlapping fold — the distributed
+        // `aggregate` semantics verbatim
+        val nw = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < old.length) {
+          if (nw.nonEmpty && nw.last == bl && old(i) == br)
+            nw(nw.length - 1) = bl + br
+          else nw += old(i)
+          i += 1
+        }
+        if (nw.length != old.length) {
+          var j = 0
+          while (j < old.length - 1) {
+            val k = (old(j), old(j + 1))
+            val left = stats(k) - c
+            if (left <= 0L) { stats.remove(k); index.remove(k) }
+            else { stats(k) = left; index(k) -= id }
+            j += 1
+          }
+          syms(id) = nw.toArray
+          j = 0
+          while (j < nw.length - 1) {
+            val k = (nw(j), nw(j + 1))
+            stats.update(k, stats.getOrElse(k, 0L) + c)
+            index.getOrElseUpdate(k, mutable.Set.empty) += id
+            j += 1
+          }
+        }
+      }
+      round += 1
     }
     merges.toSeq
   }
@@ -145,8 +274,11 @@ object Bpe {
         val rank = rankBc.value
         it.map { r =>
           // Locale.ROOT: a Turkish default locale would dot-map 'I'
-          // differently from Spark's lower() used in training
-          val ws = r.getString(1).trim
+          // differently from Spark's lower() used in training.
+          // No .trim here: Java trim strips all chars <= U+0020 while
+          // training/oracle trim strip spaces only — the one shared
+          // whitespace contract is the \s+ split with empties dropped.
+          val ws = r.getString(1)
             .toLowerCase(java.util.Locale.ROOT)
             .split("\\s+").filter(_.nonEmpty)
           val perWord = ws.map(w => encodeWord(w, rank))

@@ -49,7 +49,46 @@ object Flac {
     crc
   }
 
+  /** Indexed-access twins for the encoder: snapshotting the whole
+    * accumulated stream buffer per frame (`buf.toArray`) made encoding
+    * O(frames x streamLength) — quadratic for long inputs (advice
+    * r13). ArrayBuffer apply() is O(1), so these are one pass over the
+    * frame's own bytes only. */
+  private[pipeline] def crc8(b: ArrayBuffer[Byte], from: Int,
+                             until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xFF
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF
+        else (crc << 1) & 0xFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
   private[pipeline] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xFF) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+        else (crc << 1) & 0xFFFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[pipeline] def crc16(b: ArrayBuffer[Byte], from: Int,
+                              until: Int): Int = {
     var crc = 0
     var i = from
     while (i < until) {
@@ -306,9 +345,16 @@ object Flac {
         }
       }
       if (info == null || info.sampleRate == 0) return None
+      // Capacity is a HINT only (ArrayBuffer grows on demand): never
+      // size it from untrusted header fields — this decoder is hosted
+      // on arbitrary corpus payloads, and a crafted STREAMINFO claiming
+      // 2^36 samples x 8 channels would force a ~1 GB allocation before
+      // any frame parses (advice r13). Honest streams also can't carry
+      // more samples than ~8x their byte length, so bound by both.
       val out = new ArrayBuffer[Int](
-        math.min(math.max(info.totalSamples, 0L),
-          1L << 24).toInt * info.channels)
+        math.min(math.min(
+          math.max(info.totalSamples, 0L) * info.channels,
+          bytes.length.toLong * 8L), 1L << 20).toInt)
       // ---- frames until the stream ends ----
       while (r.bytePos < bytes.length) {
         val frameStart = r.bytePos
@@ -417,7 +463,11 @@ object Flac {
     * block, CONSTANT when flat, otherwise the FIXED order (0-4)
     * minimizing total zigzagged residual, single-partition Rice. */
   def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
-    require(sampleRate > 0 && sampleRate < (1 << 20), "bad rate")
+    // the frame header carries the rate verbatim as 16-bit Hz (rate
+    // code 13): accepting more would silently truncate it into a
+    // stream malformed for spec-conformant decoders (advice r13)
+    require(sampleRate > 0 && sampleRate <= 0xFFFF,
+      "sampleRate must be 1..65535 (encoded as 16-bit Hz)")
     val w = new BitWriter
     w.writeBits('f', 8); w.writeBits('L', 8)
     w.writeBits('a', 8); w.writeBits('C', 8)
@@ -451,7 +501,7 @@ object Flac {
       w.writeBits((n - 1).toLong, 16)
       w.writeBits(sampleRate.toLong, 16)
       val headerEnd = w.size
-      w.writeBits(crc8(w.buf.toArray, frameStart, headerEnd).toLong, 8)
+      w.writeBits(crc8(w.buf, frameStart, headerEnd).toLong, 8)
       // ---- subframe ----
       var flat = true
       i = 1
@@ -509,7 +559,7 @@ object Flac {
       }
       w.align()
       val frameEnd = w.size
-      w.writeBits(crc16(w.buf.toArray, frameStart, frameEnd).toLong, 16)
+      w.writeBits(crc16(w.buf, frameStart, frameEnd).toLong, 16)
       frameNo += 1
       off += n
     }

@@ -57,11 +57,27 @@ object Ingest {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
+        // The zstd reader holds a NATIVE context, so it must close on
+        // every task exit path — not just full drain: a downstream
+        // limit/take or a strict-mode raise_error abandons the
+        // iterator mid-file and would leak native memory per shard in
+        // long-lived executors (advice r13). Files are read
+        // sequentially, so one "currently open" slot plus a
+        // task-completion listener covers early aborts; the drain path
+        // still closes promptly.
+        val open = new java.util.concurrent.atomic
+          .AtomicReference[BufferedReader]()
+        def closeOpen(): Unit =
+          Option(open.getAndSet(null)).foreach(_.close())
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeOpen()))
         it.flatMap { case (path, bytes) =>
+          closeOpen() // previous file's reader, if not fully drained
           val reader = new BufferedReader(new InputStreamReader(
             sniffStream(bytes), "UTF-8"))
+          open.set(reader)
           Iterator.continually(reader.readLine()).takeWhile { l =>
-            if (l == null) reader.close()
+            if (l == null) closeOpen()
             l != null
           }.filter(_.nonEmpty).map(l => (path, l))
         }

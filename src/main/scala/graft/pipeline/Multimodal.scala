@@ -33,11 +33,14 @@ import org.apache.spark.sql.types._
   * format (or undecodable bytes) take a deterministic byte-level
   * pseudo-decode fallback so the pipeline stays total — the fallback
   * is what the opaque text-as-payload fixtures exercise. The remaining
-  * compressed codecs (H.264 inside AVI/MP4, EXR, …) are where a
-  * production deploy would drop a JNI/external library into the same
-  * `mapPartitions` host — the plumbing (schema, binary transport,
-  * batch shape, container walk, partition-parallel execution) does not
-  * change, exactly as the MJPEG and FLAC paths demonstrate.
+  * compressed codecs (H.264/H.265 inside MP4) plug into the same
+  * `mapPartitions` host through a REGISTERED seam
+  * ([[registerVideoCodec]]): a production deploy registers a
+  * JNI-backed [[VideoFrameDecoder]] per executor JVM and the plumbing
+  * (schema, binary transport, batch shape, container walk,
+  * partition-parallel execution) does not change — exercised end to
+  * end by MultimodalCodecSpec's fake-avc1 test, exactly as the MJPEG
+  * and FLAC paths demonstrate for real.
   */
 object Multimodal {
 
@@ -449,16 +452,42 @@ object Multimodal {
       }
     }
 
-  /** Walk an MP4's `moov` for the first VIDEO track with an uncompressed
-    * `raw ` 24-bit sample entry and expand its sample tables
-    * (stsd + stsz + stsc + stco — the real chunk-run expansion, not a
-    * 1:1 shortcut) into absolute (offset, size) frame extents.
-    * Compressed sample entries (avc1, hev1, …) are the documented JNI
-    * seam — the walk and the sampling host are unchanged, only the
-    * per-frame decode differs. Returns None for anything torn or not a
-    * parseable video MP4 (caller falls back to the null-stat row). */
+  /** One compressed video sample → (width, height, meanR, meanG,
+    * meanB), or None when the sample is undecodable. Receives the
+    * WHOLE payload plus the sample's (offset, size) extent so a codec
+    * can slice without copying. This is the plug-in contract for the
+    * codecs the JVM cannot decode (H.264/H.265) — a production deploy
+    * registers a JNI-backed decoder per executor JVM (the natural
+    * grain for a native codec context) and the container walk,
+    * sampling host, schema and partitioning are untouched. */
+  type VideoFrameDecoder =
+    (Array[Byte], Int, Int) => Option[(Int, Int, Int, Int, Int)]
+
+  private val videoCodecs = new java.util.concurrent
+    .ConcurrentHashMap[String, VideoFrameDecoder]()
+
+  /** Register a decoder for an MP4 sample-entry fourcc (e.g. "avc1",
+    * "hev1"). Per-JVM: on a cluster, call from each executor (a JNI
+    * codec's own static init is the idiomatic place). */
+  def registerVideoCodec(fourcc: String, dec: VideoFrameDecoder): Unit = {
+    require(fourcc.length == 4, s"fourcc must be 4 chars: '$fourcc'")
+    videoCodecs.put(fourcc, dec)
+  }
+
+  def unregisterVideoCodec(fourcc: String): Unit =
+    videoCodecs.remove(fourcc)
+
+  /** Walk an MP4's `moov` for the first VIDEO track with either an
+    * uncompressed `raw ` 24-bit sample entry or a sample entry whose
+    * fourcc has a [[registerVideoCodec registered]] decoder, and expand
+    * its sample tables (stsd + stsz + stsc + stco — the real chunk-run
+    * expansion, not a 1:1 shortcut) into absolute (offset, size) frame
+    * extents plus the sample-entry fourcc. Compressed entries without a
+    * registered decoder (avc1, hev1, …) reject here — the documented
+    * JNI seam. Returns None for anything torn or not a parseable video
+    * MP4 (caller falls back to the null-stat row). */
   private def parseMp4(b: Array[Byte])
-      : Option[(Int, Int, IndexedSeq[(Int, Int)])] = {
+      : Option[(Int, Int, String, IndexedSeq[(Int, Int)])] = {
     if (sniffFormat(b) != "video/mp4") return None
     mp4Boxes(b, 0, b.length).collectFirst {
       case ("moov", mf, mt) => (mf, mt)
@@ -469,8 +498,8 @@ object Multimodal {
     }
   }
 
-  private def parseTrak(b: Array[Byte], from: Int,
-                        to: Int): Option[(Int, Int, IndexedSeq[(Int, Int)])] = {
+  private def parseTrak(b: Array[Byte], from: Int, to: Int)
+      : Option[(Int, Int, String, IndexedSeq[(Int, Int)])] = {
     var handler = ""
     var fmt = ""
     var w = -1; var h = -1; var depth = -1
@@ -509,7 +538,11 @@ object Multimodal {
         case _ => ()
       }
     walk(from, to)
-    if (handler != "vide" || fmt != "raw " || depth != 24 || w <= 0 ||
+    // `raw ` must be 24-bit; a registered plug-in codec owns its own
+    // pixel format, so only the fourcc gate applies to it
+    val decodable = fmt == "raw " && depth == 24 ||
+      videoCodecs.containsKey(fmt)
+    if (handler != "vide" || !decodable || w <= 0 ||
         h <= 0 || sizes.isEmpty || chunkOffs.isEmpty || stsc.isEmpty)
       return None
     // stsc chunk-run expansion: entry i applies from its firstChunk up
@@ -534,7 +567,7 @@ object Multimodal {
       ci += 1
     }
     if (sample < sizes.length) None // stco ran out before the samples
-    else Some((w, h, frames.toIndexedSeq))
+    else Some((w, h, fmt, frames.toIndexedSeq))
   }
 
   /** Exact channel means of one packed top-down RGB24 MP4 `raw ` sample
@@ -611,8 +644,9 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]]("media")
         val parsed = parseAvi(bytes)
           .map { case (w, h, fr, codec) => (w, h, fr, codec) }
-          .orElse(parseMp4(bytes)
-            .map { case (w, h, fr) => (w, h, fr, "raw") })
+          .orElse(parseMp4(bytes).map { case (w, h, fmt, fr) =>
+            (w, h, fr, if (fmt == "raw ") "raw" else fmt)
+          })
         parsed match {
           case Some((w, h, frames, codec)) =>
             val n = frames.length
@@ -628,13 +662,24 @@ object Multimodal {
                       Row(id, n, f, fw, fh, mr, mg, mb)
                     case None => Row(id, n, f, w, h, null, null, null)
                   }
-                case _ =>
+                case "dib" | "raw" =>
                   val means =
                     if (codec == "dib") dibMeans(bytes, off, size, w, h)
                     else rgb24Means(bytes, off, size, w, h)
                   means match {
                     case Some((mr, mg, mb)) =>
                       Row(id, n, f, w, h, mr, mg, mb)
+                    case None => Row(id, n, f, w, h, null, null, null)
+                  }
+                case plug =>
+                  // registered plug-in codec (the JNI seam): a track
+                  // with this fourcc only parses when a decoder is
+                  // registered, so the lookup cannot be null here —
+                  // but a decoder may still reject one sample
+                  Option(videoCodecs.get(plug))
+                    .flatMap(_(bytes, off, size)) match {
+                    case Some((fw, fh, mr, mg, mb)) =>
+                      Row(id, n, f, fw, fh, mr, mg, mb)
                     case None => Row(id, n, f, w, h, null, null, null)
                   }
               }
@@ -821,7 +866,10 @@ object Multimodal {
     * stsc, stsz, stco}}}}}, with TWO samples per chunk (odd counts get
     * a short tail chunk) so the stsc chunk-run expansion is exercised,
     * not just a 1:1 shortcut. */
-  def synthesizeMp4(df: DataFrame, idCol: String): DataFrame = {
+  def synthesizeMp4(df: DataFrame, idCol: String,
+                    sampleEntry: String = "raw "): DataFrame = {
+    require(sampleEntry.length == 4,
+      s"sample entry fourcc must be 4 chars: '$sampleEntry'")
     implicit val enc: Encoder[Row] =
       org.apache.spark.sql.Encoders.row(mediaSchema)
     df.select(col(idCol).cast("long").as("id")).mapPartitions { it =>
@@ -903,7 +951,7 @@ object Multimodal {
         b32(12); cc("url "); b32(1) // self-contained
         b32(stblSz); cc("stbl")
         b32(stsdSz); cc("stsd"); b32(0); b32(1)
-        b32(86); cc("raw "); zeros(6); b16(1) // sample entry header
+        b32(86); cc(sampleEntry); zeros(6); b16(1) // sample entry header
         b16(0); b16(0); zeros(12) // pre_defined, reserved, pre_defined
         b16(w); b16(h)
         b32(0x00480000); b32(0x00480000) // 72 dpi

@@ -75,6 +75,37 @@ class BpeSpec extends SparkSpec {
     assert(merges === Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("train: driver-side local finish and distributed loop yield " +
+      "the identical merge list (Sennrich fixture + corpus slice)") {
+    // localVocabLimit = -1 forces the distributed path through the
+    // public API; the default routes these bounded vocabs locally
+    val kLocal = Bpe.train(corpus, "text", numMerges = 8)
+    val kDist = Bpe.train(corpus, "text", numMerges = 8,
+      localVocabLimit = -1L)
+    assert(kLocal === kDist)
+    val docs = TpchGraph.store(spark, "/root/testdata/sf0.001")
+      .nodes("documents").filter(col("id") < 40)
+    val cLocal = Bpe.train(docs, "text", numMerges = 12)
+    val cDist = Bpe.train(docs, "text", numMerges = 12,
+      localVocabLimit = -1L)
+    assert(cLocal === cDist)
+  }
+
+  test("tokenize: tabs/newlines follow the same whitespace contract " +
+      "as training and the p99 oracle (advice r13)") {
+    import spark.implicits._
+    val d = Seq((0L, "\tlow\nnewest \t"), (1L, " \t\n "))
+      .toDF("doc_id", "text")
+    val res = Bpe.tokenize(d, "doc_id", "text",
+      Bpe.train(corpus, "text", numMerges = 5))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("detok")).toMap
+    // boundary tabs/newlines vanish, interior runs collapse to one
+    // space — exactly trim(regexp_replace(lower(t),'\s+',' ','g'))
+    assert(res(0L) === "low newest")
+    assert(res(1L) === "")
+  }
+
   test("detok invariant holds over a corpus slice for any merge count") {
     val docs = TpchGraph.store(spark, "/root/testdata/sf0.001")
       .nodes("documents").filter(col("id") < 50)

@@ -320,6 +320,63 @@ class MultimodalCodecSpec extends SparkSpec {
     fallback.foreach(r => assert(r.isNullAt(r.fieldIndex("n_frames"))))
   }
 
+  test("video codec plug-in seam: an avc1 MP4 rejects to null-stat " +
+      "rows unregistered, flows through sampleVideoFrames with a " +
+      "registered fake decoder, and rejects again after unregister") {
+    // same container, avc1 sample entry; payload stays raw RGB24 so
+    // the FAKE decoder can produce verifiable stats — what's under
+    // test is the seam (registry -> container walk -> sampling host),
+    // not a JVM H.264 implementation
+    val media = Multimodal.synthesizeMp4(ids, "doc_id", "avc1")
+
+    // 1) unregistered: the documented reject — container walks fine
+    //    but the sample entry has no decoder -> null-stat fallback
+    val before = Multimodal.sampleVideoFrames(media, k = 3).collect()
+    assert(before.length === 7)
+    before.foreach(r => assert(r.isNullAt(r.fieldIndex("n_frames"))))
+
+    // 2) registered: identical rows to the raw path, through the SAME
+    //    sampleVideoFrames host (dims come from the decoder — ground
+    //    truth per frame, like the MJPEG path)
+    Multimodal.registerVideoCodec("avc1", (b, off, size) => {
+      // stand-in for a JNI H.264 decode: the fixture's "compressed"
+      // sample is packed top-down RGB24 of unknown dims; recover them
+      // from the sample size (h = 3 pixel rows per synthetic w... the
+      // fixture keeps w*h*3 == size with w,h from the id, so derive
+      // means only and dims via exhaustive small search)
+      val candidates = for {
+        w <- 12 until 32; h <- 6 until 16
+        if w * h * 3 == size
+      } yield (w, h)
+      candidates.headOption.flatMap { case (w, h) =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var p = off
+        while (p < off + size) {
+          sr += b(p) & 0xFF; sg += b(p + 1) & 0xFF; sb += b(p + 2) & 0xFF
+          p += 3
+        }
+        val n = w.toLong * h
+        Some((w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
+      }
+    })
+    try {
+      val rows = Multimodal.sampleVideoFrames(media, k = 3).collect()
+      assert(rows.length === 7 * 3)
+      rows.foreach { r =>
+        val id = r.getAs[Long]("id")
+        val f = r.getAs[Int]("frame_idx")
+        assert(r.getAs[Int]("n_frames") === 3 + (id % 6).toInt)
+        assert(r.getAs[Int]("mean_r") === ((id * 37 + f * 19) % 256).toInt)
+        assert(r.getAs[Int]("mean_g") === ((id * 53 + f * 29) % 256).toInt)
+        assert(r.getAs[Int]("mean_b") === ((id * 89 + f * 31) % 256).toInt)
+      }
+    } finally Multimodal.unregisterVideoCodec("avc1")
+
+    // 3) unregistered again: back to the loud-but-total reject
+    val after = Multimodal.sampleVideoFrames(media, k = 3).collect()
+    assert(after.forall(_.isNullAt(after.head.fieldIndex("n_frames"))))
+  }
+
   test("sniffFormat magic bytes") {
     assert(Multimodal.sniffFormat("RIFFxxxxWAVEfmt ".getBytes) ===
       "audio/wav")

@@ -142,6 +142,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semDedup: skew probe fires on a degenerate all-identical " +
+      "cluster, stays silent when balanced, never changes results") {
+    import spark.implicits._
+    // 200 identical embeddings: k-means collapses them into ONE
+    // cluster no matter what k is — the silent-quadratic case
+    val vecs = (0L until 200L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(vecs, 4, 2)
+    val assigned = Similarity.ivfAssign(vecs, centroids)
+    val msg = Dedup.semDedupSkew(assigned, maxPairsPerCluster = 1000L)
+    assert(msg.isDefined, "degenerate cluster must trip the probe")
+    assert(msg.get.contains("200") && msg.get.contains("raise nClusters"))
+    // 200*199/2 = 19900 pairs: a budget above it stays silent
+    assert(Dedup.semDedupSkew(assigned, 20000L).isEmpty)
+    // end to end with the tripping budget: semantics unchanged —
+    // min-id canonicalization keeps exactly vector 0
+    val kept = Dedup.semDedup(vecs, nClusters = 4, iters = 2,
+      threshold = 0.99, maxPairsPerCluster = 1000L)
+    assert(kept.collect().map(_.getAs[Long]("vec_id")).toSet === Set(0L))
+  }
+
   test("bigramLm: counts hand-checked, logprob follows the smoothing " +
       "formula, sub-2-token docs drop") {
     import spark.implicits._

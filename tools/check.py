@@ -51,6 +51,31 @@ def main(sf_dir, out_dir, subset=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # Oracle-side lowercasing canary (r12/r13 judge item #6, the half
+    # the fixture-build guard in DuckOracleSql.assertLowerMirrorSafe
+    # does not cover): the lower()-tokenizing oracles assume DuckDB's
+    # simple per-codepoint lower() agrees with Spark/Java's contextual
+    # one. The divergent cases under Locale.ROOT are U+0130 (İ → i +
+    # combining dot in Java, plain i in DuckDB) and word-final Σ (ς in
+    # Java, σ in DuckDB). A corpus containing either CANNOT be
+    # hash-replayed through those oracles — fail loudly up front
+    # instead of surfacing as N confusing downstream hash mismatches.
+    try:
+        boundary = con.execute(
+            "SELECT count(*) FROM documents WHERE "
+            "regexp_matches(text, '(İ)|(\\p{L}Σ([^\\p{L}]|$))')"
+        ).fetchone()[0]
+    except Exception:  # synthetic fixture without a text column
+        boundary = 0
+    if boundary:
+        print(f"FAIL __lower_canary__: {boundary} document(s) cross "
+              f"the Java-contextual vs DuckDB-simple lowercasing "
+              f"boundary (U+0130 İ or word-final Σ) — the XXH64 "
+              f"mirror's lower()-tokenizing oracles cannot replay this "
+              f"corpus; pre-lowercase the fixture or port the oracle "
+              f"side to an ICU-contextual lower (DuckOracleSql "
+              f"boundary note)")
+        n_fail += 1
     # Every book entry is stamped with a run id so books merged across
     # one-per-process subset invocations can prove each entry came from
     # the current binary — a stale pass:true from an earlier build is
@@ -84,6 +109,26 @@ def main(sf_dir, out_dir, subset=None):
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             ecols = [d[0] for d in eng.description]
             erows = eng.fetchall()
+            # Type-lint the oracle result schema BEFORE comparing values:
+            # fetchall() returns HUGEINT/DECIMAL as exact Python numbers,
+            # but the driver's hasher goes through Arrow/pandas where
+            # HUGEINT (DuckDB's type for bare sum(BIGINT/INTEGER)) and
+            # DECIMAL become float64 — so "913" hashes as "913.0" there
+            # while this gate would see an exact match (the r13
+            # p91/p101 gate-fidelity hole). Reject loudly; the fix is
+            # always an explicit CAST in the oracle SQL.
+            rel = con.sql(sql)
+            bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                   if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")]
+            if bad:
+                print(f"FAIL {name}: oracle schema has driver-divergent "
+                      f"types {bad} — CAST(... AS BIGINT/DOUBLE) in the "
+                      f"oracle SQL (driver renders these as float64)")
+                book[name] = {"pass": False, "rows": None,
+                              "oracle": "duckdb",
+                              "err": f"type-lint: {bad}", "run": run_id}
+                n_fail += 1
+                continue
             ora = con.execute(sql)
             ocols = [d[0] for d in ora.description]
             orows = ora.fetchall()
