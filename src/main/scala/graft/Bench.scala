@@ -335,6 +335,28 @@ object Bench {
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("source",
               org.apache.spark.sql.types.StringType))), strict = true)
+      }),
+      // WARC ingest round trip (p104 shape): gzipped WARC export +
+      // byte-exact streaming re-ingest — CommonCrawl's real intake
+      // path (write inside the timing; shards overwrite per rep)
+      "warc_ingest" -> (() => {
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_bench_warc").getAbsolutePath
+        graft.pipeline.Ingest.writeWarcGz(
+          store.nodes("documents").select("id", "text", "source"),
+          out, shards = 8)
+        graft.pipeline.Ingest.warcFiles(spark, out + "/*.warc.gz")
+      }),
+      // DSIR importance weights + Gumbel top-k resample (p105 shape)
+      // in the paper's hashed-bucket form: two bucket-grain count
+      // shuffles + one occurrence-grain score pass + TakeOrdered
+      "dsir_select" -> (() => {
+        val docs = store.nodes("documents")
+        graft.pipeline.Dsir.resample(
+          graft.pipeline.Dsir.weights(docs,
+            docs.filter(col("id") % 3 === 0), docs, "id", "text",
+            buckets = 10000),
+          "id", k = 1000, seed = 42L)
       })
     )
 

@@ -1133,6 +1133,57 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("lang"),
           col("source"))
     }),
+    // p104: WARC ingestion — the shard format CommonCrawl actually
+    // ships (ISO 28500): the documents table is exported as 4 gzipped
+    // WARC response-record shards and re-ingested through the
+    // byte-exact streaming parser; the gate pins Content-Length byte
+    // accounting over multi-byte UTF-8, CRLF framing, the URI round
+    // trip and gzip member handling (null text writes as '')
+    "p104_warc_ingest" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id"), col("text"), col("source"))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_warc_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      Ingest.writeWarcGz(docs, out, shards = 4)
+      Ingest.warcFiles(s, out + "/*.warc.gz")
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"),
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+            .as("source"))
+    }),
+    // p105: DSIR importance weights (Xie 2023 — importance
+    // resampling for training-data selection): target = the
+    // doc_id % 3 = 0 slice, source = the rest (the p87 two-relation
+    // convention). The gate pins the integer skeleton — occurrence
+    // count plus summed target/source feature counts over
+    // unigram+bigram string features; logw is a fixed closed form of
+    // exactly these integers and the two broadcast totals, so the
+    // skeleton gate pins the whole computation (float log sums are
+    // order-dependent and stay out of the hash, the p91 discipline)
+    "p105_dsir_weights" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+      graft.pipeline.Dsir.weights(docs,
+        docs.filter(col("id") % 3 === 0),
+        docs.filter(col("id") % 3 =!= 0), "id", "text")
+        .select(col("id").as("doc_id"), col("n_feats"),
+          col("sum_tc"), col("sum_sc"))
+    }),
+    // p106: DSIR from the REPL — AGAINST names the target label; the
+    // scored label itself is the source distribution (so the oracle's
+    // source predicate is TRUE, not the %3<>0 slice)
+    "p106_ql_dsir" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("dsir_target",
+        st.nodes("documents").filter(col("id") % 3 === 0), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE DSIR ON documents AGAINST dsir_target;").get
+        .select(col("id").as("doc_id"), col("n_feats"),
+          col("sum_tc"), col("sum_sc"))
+    }),
     // p97: the EXR decode from the REPL — must reproduce p96's oracle
     // bit for bit through the real lexer/parser/shell
     "p97_ql_media_exr" -> ((s, dir) => {
@@ -1601,6 +1652,29 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "FROM kept k2 JOIN t ON t.doc_id = k2.doc_id " +
       "GROUP BY k2.doc_id"
 
+  /** p105/p106 oracle: independent STRING-feature replay of the DSIR
+    * integer skeleton — unigram+bigram occurrences over the shared
+    * whitespace contract, counted per target/source predicate, then
+    * per-doc occurrence count + summed feature counts. Sums CAST to
+    * BIGINT (the r13 HUGEINT lesson). Preds reference `doc_id`. */
+  private def dsirOracle(targetPred: String, sourcePred: String): String =
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "trim(lower(coalesce(text, ''))), '\\s+'), x -> x <> '') AS w " +
+      "FROM documents), " +
+      "feats AS (SELECT doc_id, f FROM (" +
+      "SELECT doc_id, unnest(w) AS f FROM tok " +
+      "UNION ALL SELECT doc_id, w[i + 1] || ' ' || w[i + 2] AS f " +
+      "FROM tok, LATERAL (SELECT unnest(range(len(w) - 1)) AS i))), " +
+      s"tc AS (SELECT f, count(*) AS n FROM feats WHERE $targetPred " +
+      "GROUP BY f), " +
+      s"sc AS (SELECT f, count(*) AS n FROM feats WHERE $sourcePred " +
+      "GROUP BY f) " +
+      "SELECT d.doc_id, count(*) AS n_feats, " +
+      "CAST(sum(coalesce(tc.n, 0)) AS BIGINT) AS sum_tc, " +
+      "CAST(sum(coalesce(sc.n, 0)) AS BIGINT) AS sum_sc " +
+      "FROM feats d LEFT JOIN tc ON d.f = tc.f " +
+      "LEFT JOIN sc ON d.f = sc.f GROUP BY d.doc_id"
+
   /** p87 oracle: the incremental surgery — [[spansAgainstOracle]]'s
     * qualifying batch positions fed through [[spanSurgerySql]]'s
     * string surgery over the batch's original-case tokens. */
@@ -2066,6 +2140,13 @@ WHERE rank <= 10"""
     // p98: the ingest round trip must surface the original table
     "p98_ingest_jsonl_zst" ->
       "SELECT doc_id, text, lang, source FROM documents",
+    // p104: the WARC round trip — null text writes as an empty body
+    "p104_warc_ingest" ->
+      "SELECT doc_id, coalesce(text, '') AS text, source FROM documents",
+    "p105_dsir_weights" ->
+      dsirOracle("doc_id % 3 = 0", "doc_id % 3 <> 0"),
+    "p106_ql_dsir" ->
+      dsirOracle("doc_id % 3 = 0", "TRUE"),
     // p101: integer corpus dashboard, quality/langid formulas inline
     // (the p38/p39/p42 expressions), distinct texts by STRING
     "p101_corpus_profile" ->

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import java.io.{BufferedReader, InputStream, InputStreamReader}
-import java.util.zip.GZIPInputStream
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
 
@@ -95,6 +95,141 @@ object Ingest {
         .otherwise(lit(true)))
     checked.select(col("_input_file") +: schema.fields.toSeq
       .map(f => col("_r")(f.name).as(f.name)): _*)
+  }
+
+  /** Read a glob of WARC shards (`.warc` / `.warc.gz` — the format
+    * CommonCrawl actually ships, ISO 28500) into one row per record:
+    * `(_input_file, warc_type, target_uri, payload)`. The parse is
+    * BYTE-exact: headers are read line-wise up to the blank line, the
+    * body is read as exactly `Content-Length` bytes (so payloads may
+    * contain any byte sequence, including CRLFs and multi-byte UTF-8),
+    * then the record's trailing CRLFCRLF is consumed. Malformed
+    * records end that FILE's parse (remaining well-formed files are
+    * unaffected) — a torn shard yields its prefix, the standard
+    * salvage behavior for crawl data.
+    *
+    * 100 TB shape: identical to [[jsonlFiles]] — one task per shard
+    * via `binaryFile` (CommonCrawl's ~1 GB .warc.gz grain), streaming
+    * gzip decompress (multi-member streams supported, as CC writes
+    * them), one record in memory at a time. The 2 GB/file binaryFile
+    * cap is upstream sharding's job, as with JSONL. */
+  def warcFiles(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // same native-resource discipline as jsonlFiles: gzip's
+        // Inflater (and zstd's context) hold native memory — close on
+        // every task exit path, including early abandonment
+        val open = new java.util.concurrent.atomic
+          .AtomicReference[java.io.InputStream]()
+        def closeOpen(): Unit =
+          Option(open.getAndSet(null)).foreach(_.close())
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeOpen()))
+        it.flatMap { case (path, bytes) =>
+          closeOpen()
+          val in = new java.io.BufferedInputStream(sniffStream(bytes))
+          open.set(in)
+          // byte-wise header-line reader: WARC headers are ASCII,
+          // CRLF-terminated; never a Reader here — the body length is
+          // in BYTES and a Reader would desynchronize the stream
+          def readLine(): String = {
+            val sb = new java.lang.StringBuilder(64)
+            var c = in.read()
+            while (c != -1 && c != '\n') {
+              if (c != '\r') sb.append(c.toChar)
+              c = in.read()
+            }
+            if (c == -1 && sb.length == 0) null else sb.toString
+          }
+          def readFully(n: Int): Array[Byte] = {
+            val buf = new Array[Byte](n)
+            var off = 0
+            while (off < n) {
+              val k = in.read(buf, off, n - off)
+              if (k < 0) throw new java.io.EOFException("torn record")
+              off += k
+            }
+            buf
+          }
+          Iterator.continually {
+            try {
+              val version = readLine()
+              if (version == null || !version.startsWith("WARC/")) None
+              else {
+                var warcType = ""
+                var uri = ""
+                var len = -1L
+                var line = readLine()
+                while (line != null && line.nonEmpty) {
+                  val i = line.indexOf(':')
+                  if (i > 0) {
+                    val k = line.substring(0, i).trim.toLowerCase
+                    val v = line.substring(i + 1).trim
+                    k match {
+                      case "warc-type"       => warcType = v
+                      case "warc-target-uri" => uri = v
+                      case "content-length"  => len = v.toLong
+                      case _                 => ()
+                    }
+                  }
+                  line = readLine()
+                }
+                if (len < 0 || len > Int.MaxValue) None
+                else {
+                  val body = readFully(len.toInt)
+                  readLine(); readLine() // record-terminating CRLFCRLF
+                  Some((path, warcType, uri, body))
+                }
+              }
+            } catch {
+              case _: java.io.IOException | _: NumberFormatException =>
+                None // torn/malformed: salvage the records parsed so far
+            }
+          }.takeWhile { r => if (r.isEmpty) closeOpen(); r.nonEmpty }
+            .flatten
+        }
+      }.toDF("_input_file", "warc_type", "target_uri", "payload")
+  }
+
+  /** Write `(id, text, source)`-shaped rows as gzipped WARC response
+    * records (the fixture / export twin of [[warcFiles]]): `shards`
+    * files named `part-NNNNN.warc.gz` under `dir`. The target URI
+    * encodes source and id (`http://<source>/<id>`); the body is the
+    * UTF-8 text. Executors write their own shards — no driver
+    * funnel. */
+  def writeWarcGz(df: DataFrame, dir: String, shards: Int): Unit = {
+    require(shards >= 1, "shards must be >= 1")
+    require(df.columns.length == 3,
+      s"expected (id, text, source) columns, got ${df.columns.toSeq}")
+    val Seq(idC, textC, srcC) = df.columns.toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(idC).cast("long"), coalesce(col(textC), lit(""))
+        .cast("string"), col(srcC).cast("string"))
+      .repartition(shards).rdd.foreachPartition { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(
+          f"$dir%s/part-$part%05d.warc.gz")
+        val fs = path.getFileSystem(conf.value)
+        val out = new GZIPOutputStream(fs.create(path, true))
+        try {
+          val crlf = "\r\n".getBytes("US-ASCII")
+          it.foreach { r =>
+            val body = r.getString(1).getBytes("UTF-8")
+            val hdr = ("WARC/1.0\r\n" +
+              "WARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://${r.getString(2)}/${r.getLong(0)}\r\n" +
+              "Content-Type: text/plain\r\n" +
+              s"Content-Length: ${body.length}\r\n" +
+              "\r\n").getBytes("US-ASCII")
+            out.write(hdr); out.write(body)
+            out.write(crlf); out.write(crlf)
+          }
+        } finally out.close()
+      }
   }
 
   /** Write a DataFrame as zstd-compressed JSONL shards (the fixture /

@@ -303,6 +303,8 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("BOILERPLATE"))    =>
           Set("text", "min_docs", "min_kept")
         case ("TEXT", Some("BPE"))            => Set("text", "merges")
+        case ("DSIR", None)                   =>
+          Set("text", "k", "seed", "buckets")
         case ("SEMDEDUP", None)               =>
           Set("vec", "clusters", "iters", "threshold")
         case ("PROFILE", None)                =>
@@ -455,6 +457,20 @@ final class Shell(store: GraphStore,
           val t = str("text", "text")
           graft.pipeline.Bpe.tokenize(df, id, t,
             graft.pipeline.Bpe.train(df, t, int("merges", 20)))
+        case ("DSIR", None) =>
+          // DSIR importance weighting (Xie 2023): AGAINST names the
+          // TARGET label; the scored label itself is the source
+          // distribution (the paper's raw-corpus setup). k > 0
+          // additionally Gumbel-top-k resamples (seeded, deterministic)
+          val tgt = store.nodes(against.getOrElse(
+            throw new IllegalArgumentException(
+              "PIPELINE DSIR needs AGAINST <target-label>")))
+          val w = graft.pipeline.Dsir.weights(df, tgt, df, id,
+            str("text", "text"), buckets = int("buckets", 0))
+          val k = int("k", 0)
+          if (k > 0) graft.pipeline.Dsir.resample(w, id, k,
+            lng("seed", 42L))
+          else w
         case ("SEMDEDUP", None) =>
           // SemDeDup: k-means clusters + min-id cosine pruning; emits
           // the KEPT vectors (doc grain)

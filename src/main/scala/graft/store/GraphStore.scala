@@ -708,7 +708,20 @@ final class GraphStore(
               t.isInstanceOf[java.nio.file.NoSuchFileException]
             isFnf && Option(t.getMessage).exists(_.contains(s"/v$v/"))
           }
-          fnfOnThisV || !io.exists(vPath)
+          // The same sweep can also surface as rename-returned-false
+          // (Hadoop's committer throws a generic "Could not rename
+          // …/_temporary/…" IOException when the attempt dir vanished
+          // under it) — and a RECURSIVE sweep deletes children first,
+          // so at classification time the v-dir root may STILL exist
+          // (the r14 full-suite race): match the committer surface on
+          // THIS version's temp tree, not only FNF / vanished-root.
+          val renameOnThisV = chain.exists { t =>
+            t.isInstanceOf[java.io.IOException] &&
+              Option(t.getMessage).exists(m =>
+                m.contains("Could not rename") &&
+                  m.contains(s"/v$v/") && m.contains("/_temporary/"))
+          }
+          fnfOnThisV || renameOnThisV || !io.exists(vPath)
         } =>
           throw new IllegalStateException(
             s"commit lost its reserved dir $vPath mid-data-write — a " +

@@ -81,4 +81,66 @@ class IngestSpec extends SparkSpec {
     assert(msg.contains("unparsable JSONL") || msg.contains("NOT JSON"),
       s"strict error should name the line: $err")
   }
+
+  test("WARC round-trip: gzipped response records, byte-exact bodies " +
+      "through multi-byte UTF-8, CRLFs inside payloads, empty bodies") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // payloads chosen to break length-naive parsers: CRLF inside the
+    // body (looks like a record boundary), multi-byte UTF-8 (chars
+    // != bytes), an empty body, and a body that starts "WARC/1.0"
+    val docs = Seq(
+      (0L, "plain body", "src0"),
+      (1L, "crlf\r\n\r\ninside", "src1"),
+      (2L, "unicode é中文 𝄞 ok", "src2"),
+      (3L, "", "src3"),
+      (4L, "WARC/1.0 lookalike body", "src4")
+    ).toDF("id", "text", "source")
+    Ingest.writeWarcGz(docs, dir, shards = 2)
+    assert(new File(dir).listFiles().count(_.getName.endsWith(
+      ".warc.gz")) === 2)
+    val back = Ingest.warcFiles(spark, dir + "/*.warc.gz")
+      .select(
+        regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+          .cast("long").as("id"),
+        col("payload").cast("string").as("text"),
+        regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+          .as("source"))
+    assert(rowBag(back) === rowBag(docs))
+    assert(Ingest.warcFiles(spark, dir + "/*.warc.gz")
+      .collect().forall(_.getAs[String]("warc_type") === "response"))
+  }
+
+  test("WARC salvage: a torn shard yields its well-formed prefix; " +
+      "non-WARC bytes yield zero records, never a crash") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val docs = Seq((0L, "first record", "s"), (1L, "second record", "s"),
+      (2L, "third record", "s")).toDF("id", "text", "source")
+    Ingest.writeWarcGz(docs, dir, shards = 1)
+    // re-gzip a truncated decompressed stream: cut inside record 2
+    val full = {
+      val in = new java.util.zip.GZIPInputStream(
+        Files.newInputStream(new File(dir, "part-00000.warc.gz").toPath))
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close(); out.toByteArray
+    }
+    val tornDir = tmpDir()
+    val gz = new GZIPOutputStream(
+      Files.newOutputStream(new File(tornDir, "torn.warc.gz").toPath))
+    gz.write(full, 0, full.length * 2 / 3); gz.close()
+    val salvaged = Ingest.warcFiles(spark, tornDir + "/*.warc.gz")
+    val got = salvaged.collect()
+    assert(got.length >= 1 && got.length < 3,
+      s"expected a salvaged prefix, got ${got.length}")
+    assert(got.head.getAs[String]("target_uri").nonEmpty)
+    // junk file: no records
+    val junkDir = tmpDir()
+    Files.write(new File(junkDir, "junk.warc").toPath,
+      "this is not a warc file at all".getBytes("UTF-8"))
+    assert(Ingest.warcFiles(spark, junkDir + "/*.warc").count() === 0)
+  }
 }

@@ -429,4 +429,31 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("integral id column"))
   }
+
+  test("DSIR: count tables partial-aggregate, totals ride broadcasts, " +
+      "resample top-k is TakeOrdered — never a full sort shuffle") {
+    import org.apache.spark.sql.functions.col
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val docs = store.nodes("documents")
+    val w = graft.pipeline.Dsir.weights(docs,
+      docs.filter(col("id") % 3 === 0), docs, "id", "text",
+      buckets = 10000)
+    val planW = physical(w)
+    // feature-count groupBys + the per-doc aggregate all combine
+    // map-side (partial HashAggregate pairs)
+    assert("HashAggregate".r.findAllIn(planW).size >= 6,
+      s"DSIR counts lack partial aggregation:\n$planW")
+    // the two 1-row totals must broadcast into the per-doc frame
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r
+        .findAllIn(planW).size >= 2,
+      s"DSIR totals are not broadcast:\n$planW")
+    assert(!planW.contains("CartesianProduct"),
+      s"DSIR totals regressed to a cartesian:\n$planW")
+    val planK = physical(graft.pipeline.Dsir.resample(
+      graft.core.Materialize(w), "id", k = 50, seed = 7L))
+    assert(planK.contains("TakeOrderedAndProject"),
+      s"resample top-k is not TakeOrdered:\n$planK")
+    assert(!planK.contains("Sort ") || planK.contains("TakeOrdered"),
+      s"resample pays a full sort:\n$planK")
+  }
 }

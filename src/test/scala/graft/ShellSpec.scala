@@ -615,6 +615,31 @@ class ShellSpec extends SparkSpec {
     assert(qlBpe === apiBpe && qlBpe.nonEmpty)
   }
 
+  test("PIPELINE DSIR: matches the Scala twin (AGAINST = target, " +
+      "scored label = source), k resamples, AGAINST is mandatory") {
+    val store = new GraphStore(spark)
+    val sh = new Shell(store)
+    import spark.implicits._
+    val docs = Seq((0L, "a b a"), (1L, "a c"), (2L, "b b"),
+      (3L, "c c c")).toDF("id", "text")
+    store.attachNodes("corpus", docs, "id")
+    store.attachNodes("tgt", docs.filter($"id" === 0L), "id")
+    val ql = sh.execute("PIPELINE DSIR ON corpus AGAINST tgt;").get
+      .select("id", "n_feats", "sum_tc", "sum_sc").collect().toSet
+    val api = graft.pipeline.Dsir.weights(docs,
+      docs.filter($"id" === 0L), docs, "id", "text")
+      .select("id", "n_feats", "sum_tc", "sum_sc").collect().toSet
+    assert(ql === api && ql.nonEmpty)
+    // k > 0 resamples deterministically (seed defaults to 42)
+    val picked = sh.execute(
+      "PIPELINE DSIR ON corpus AGAINST tgt WITH (k = 2);").get
+    assert(picked.count() === 2)
+    val err = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE DSIR ON corpus;")
+    }
+    assert(err.getMessage.contains("AGAINST"), err.getMessage)
+  }
+
   test("PIPELINE ... INTO: document-grain results attach and chain; " +
       "pair-grain refuses") {
     import org.apache.spark.sql.functions.col
