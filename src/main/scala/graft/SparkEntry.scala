@@ -1155,6 +1155,33 @@ object SparkEntry {
           regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
             .as("source"))
     }),
+    // p107: mojibake repair (the ftfy core case) — invariant gate in
+    // the p99 style: decorate every document with known non-ASCII
+    // (2- and 3-byte UTF-8), corrupt it with the classic
+    // UTF-8-seen-as-Latin-1 mis-decode, repair, and the result must
+    // reproduce the decorated original bit for bit; clean ASCII rides
+    // the identity path of the same expression
+    "p107_mojibake_repair" -> ((s, dir) => {
+      val deco = concat(coalesce(col("text"), lit("")),
+        lit(" café — naïve 中文 €"))
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          graft.pipeline.Encoding.repairMojibake(
+            graft.pipeline.Encoding.toMojibake(deco)).as("fixed"))
+    }),
+    // p108: the same through the REPL (PIPELINE TEXT FIXENCODING on a
+    // pre-corrupted attached label)
+    "p108_ql_fixencoding" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      val deco = concat(coalesce(col("text"), lit("")),
+        lit(" café — naïve 中文 €"))
+      st.attachNodes("mojidocs", st.nodes("documents")
+        .select(col("id"),
+          graft.pipeline.Encoding.toMojibake(deco).as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT FIXENCODING ON mojidocs;").get
+        .select(col("id").as("doc_id"), col("fixed"))
+    }),
     // p105: DSIR importance weights (Xie 2023 — importance
     // resampling for training-data selection): target = the
     // doc_id % 3 = 0 slice, source = the rest (the p87 two-relation
@@ -2147,6 +2174,13 @@ WHERE rank <= 10"""
       dsirOracle("doc_id % 3 = 0", "doc_id % 3 <> 0"),
     "p106_ql_dsir" ->
       dsirOracle("doc_id % 3 = 0", "TRUE"),
+    // p107/p108: repair(corrupt(x)) == x — the decorated original
+    "p107_mojibake_repair" ->
+      ("SELECT doc_id, coalesce(text, '') || ' café — naïve 中文 €' " +
+        "AS fixed FROM documents"),
+    "p108_ql_fixencoding" ->
+      ("SELECT doc_id, coalesce(text, '') || ' café — naïve 中文 €' " +
+        "AS fixed FROM documents"),
     // p101: integer corpus dashboard, quality/langid formulas inline
     // (the p38/p39/p42 expressions), distinct texts by STRING
     "p101_corpus_profile" ->

@@ -303,6 +303,7 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("BOILERPLATE"))    =>
           Set("text", "min_docs", "min_kept")
         case ("TEXT", Some("BPE"))            => Set("text", "merges")
+        case ("TEXT", Some("FIXENCODING"))    => Set("text")
         case ("DSIR", None)                   =>
           Set("text", "k", "seed", "buckets")
         case ("SEMDEDUP", None)               =>
@@ -457,6 +458,12 @@ final class Shell(store: GraphStore,
           val t = str("text", "text")
           graft.pipeline.Bpe.tokenize(df, id, t,
             graft.pipeline.Bpe.train(df, t, int("merges", 20)))
+        case ("TEXT", Some("FIXENCODING")) =>
+          // mojibake score + one-round Latin-1 mis-decode repair
+          val t = col(str("text", "text"))
+          df.select(col(id),
+            graft.pipeline.Encoding.mojibakeScore(t).as("n_moji"),
+            graft.pipeline.Encoding.repairMojibake(t).as("fixed"))
         case ("DSIR", None) =>
           // DSIR importance weighting (Xie 2023): AGAINST names the
           // TARGET label; the scored label itself is the source
