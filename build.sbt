@@ -35,6 +35,15 @@ val jdk17AddOpens = Seq(
 // classpath (log4j2 picks up the first log4j2.properties it finds).
 Compile / packageBin / mappings ~=
   (_.filterNot(_._2 == "log4j2.properties"))
+// …but sbt's batch runMain executes from that packaged jar, so the
+// config vanished from every Bench/Verify fork (measured r14: the
+// forked JVM fell back to Spark's bundled defaults and the
+// accumulator-spam RegexFilter never applied — the source of the
+// anonymous DAGScheduler stack fragments in booked bench tails).
+// Point the run fork at the source file explicitly; tests run from the
+// classes directory and find it on the classpath as before.
+run / javaOptions +=
+  s"-Dlog4j2.configurationFile=${baseDirectory.value / "src" / "main" / "resources" / "log4j2.properties"}"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

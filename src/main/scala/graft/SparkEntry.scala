@@ -1182,6 +1182,20 @@ object SparkEntry {
         .execute("PIPELINE TEXT FIXENCODING ON mojidocs;").get
         .select(col("id").as("doc_id"), col("fixed"))
     }),
+    // p109: fixed-budget token chunking with overlap — the
+    // long-document → training-sequence step; zero-shuffle
+    // projection+explode, exact SQL replay (16-token windows every 12)
+    "p109_chunk_documents" -> ((s, dir) =>
+      graft.pipeline.Curation.chunkDocuments(
+        TpchGraph.store(s, dir).nodes("documents"), "id", "text",
+        budget = 16, overlap = 4)
+        .withColumnRenamed("id", "doc_id")),
+    // p110: the same from the REPL
+    "p110_ql_chunk" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute(
+          "PIPELINE CHUNK ON documents WITH (budget = 16, overlap = 4);")
+        .get.withColumnRenamed("id", "doc_id")),
     // p105: DSIR importance weights (Xie 2023 — importance
     // resampling for training-data selection): target = the
     // doc_id % 3 = 0 slice, source = the rest (the p87 two-relation
@@ -1702,6 +1716,23 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "FROM feats d LEFT JOIN tc ON d.f = tc.f " +
       "LEFT JOIN sc ON d.f = sc.f GROUP BY d.doc_id"
 
+  /** p109/p110 oracle: the chunk windows as DuckDB list slices. */
+  private def chunkOracle(budget: Int, overlap: Int): String = {
+    val stride = budget - overlap
+    "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS w " +
+      "FROM documents), " +
+      "nn AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0), " +
+      "k AS (SELECT doc_id, w, n, unnest(range(greatest(" +
+      s"CAST(ceil((n - $overlap) * 1.0 / $stride) AS BIGINT), 1))) " +
+      "AS chunk_idx FROM nn) " +
+      "SELECT doc_id, chunk_idx, " +
+      s"array_to_string(w[chunk_idx * $stride + 1 : " +
+      s"chunk_idx * $stride + $budget], ' ') AS chunk_text, " +
+      s"CAST(least(n - chunk_idx * $stride, $budget) AS BIGINT) " +
+      "AS n_tokens FROM k"
+  }
+
   /** p87 oracle: the incremental surgery — [[spansAgainstOracle]]'s
     * qualifying batch positions fed through [[spanSurgerySql]]'s
     * string surgery over the batch's original-case tokens. */
@@ -2174,6 +2205,11 @@ WHERE rank <= 10"""
       dsirOracle("doc_id % 3 = 0", "doc_id % 3 <> 0"),
     "p106_ql_dsir" ->
       dsirOracle("doc_id % 3 = 0", "TRUE"),
+    // p109/p110: independent replay of the chunking arithmetic —
+    // 1-based inclusive clamped list slices, ceil chunk count with the
+    // ≥1 floor, original-case tokens, single-space joins
+    "p109_chunk_documents" -> chunkOracle(16, 4),
+    "p110_ql_chunk" -> chunkOracle(16, 4),
     // p107/p108: repair(corrupt(x)) == x — the decorated original
     "p107_mojibake_repair" ->
       ("SELECT doc_id, coalesce(text, '') || ' café — naïve 中文 €' " +

@@ -121,6 +121,46 @@ object Curation {
         expr(s"__before DIV $budgetTokens").as("bin"))
   }
 
+  /** Fixed-budget token chunking with overlap — the long-document →
+    * training-sequence step (and the RAG-chunking shape): each document
+    * splits into windows of `budget` whitespace tokens starting every
+    * `budget − overlap` tokens, original case preserved, internal
+    * whitespace runs normalized to single spaces by the join. The chunk
+    * count is `max(ceil((n − overlap) / stride), 1)` for non-empty
+    * docs — every chunk after the first contributes at least one new
+    * token, the final chunk may be short, token-less docs emit nothing.
+    *
+    * 100 TB shape: a pure projection + explode — zero shuffles, zero
+    * driver state; the array-building projection is materialized before
+    * the explode (the repo-wide Generate-collapse lesson). Output:
+    * (idCol, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     budget: Int, overlap: Int = 0): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(overlap >= 0 && overlap < budget,
+      s"overlap must be in [0, budget): $overlap vs $budget")
+    val stride = budget - overlap
+    val toks = filter(split(trim(coalesce(col(textCol), lit(""))),
+      "\\s+"), t => t =!= "")
+    val base = docs
+      .select(col(idCol).cast("long").as("__id"), toks.as("__w"))
+      .filter(size(col("__w")) > 0)
+      .transform(graft.core.Materialize(_))
+    val n = size(col("__w"))
+    val nChunks = greatest(ceil((n - lit(overlap)).cast("double") /
+      lit(stride.toDouble)).cast("int"), lit(1))
+    base
+      .select(col("__id"), col("__w"),
+        explode(sequence(lit(0), nChunks - 1)).as("__k"))
+      .select(col("__id").as(idCol),
+        col("__k").cast("long").as("chunk_idx"),
+        array_join(slice(col("__w"),
+          col("__k") * stride + 1, lit(budget)), " ").as("chunk_text"),
+        least(size(col("__w")) - col("__k") * stride, lit(budget))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum percentage of
     * rows, selected by the same md5-id-hash buckets as
     * [[Corpus.assignSplits]] — so the sample is stable as the corpus

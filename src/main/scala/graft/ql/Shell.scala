@@ -306,6 +306,8 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("FIXENCODING"))    => Set("text")
         case ("DSIR", None)                   =>
           Set("text", "k", "seed", "buckets")
+        case ("CHUNK", None)                  =>
+          Set("text", "budget", "overlap")
         case ("SEMDEDUP", None)               =>
           Set("vec", "clusters", "iters", "threshold")
         case ("PROFILE", None)                =>
@@ -464,6 +466,12 @@ final class Shell(store: GraphStore,
           df.select(col(id),
             graft.pipeline.Encoding.mojibakeScore(t).as("n_moji"),
             graft.pipeline.Encoding.repairMojibake(t).as("fixed"))
+        case ("CHUNK", None) =>
+          // fixed-budget token windows with overlap (doc-grain in,
+          // CHUNK-grain out — ids repeat, so not INTO-able)
+          graft.pipeline.Curation.chunkDocuments(df, id,
+            str("text", "text"), budget = int("budget", 512),
+            overlap = int("overlap", 0))
         case ("DSIR", None) =>
           // DSIR importance weighting (Xie 2023): AGAINST names the
           // TARGET label; the scored label itself is the source
@@ -520,7 +528,7 @@ final class Shell(store: GraphStore,
           case ("DEDUP", Some("EXACT") | None) | ("SPANS", Some("REMOVE")) |
                ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
                ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
-               ("SEMDEDUP", None) |
+               ("SEMDEDUP", None) | ("DSIR", None) |
                ("MEDIA", Some("IMAGE") | Some("AUDIO") |
                  Some("EXR")) => true
           case _ => false // pair / span / rank / frame grain

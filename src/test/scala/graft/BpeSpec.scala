@@ -91,6 +91,34 @@ class BpeSpec extends SparkSpec {
     assert(cLocal === cDist)
   }
 
+  test("train: the bounded local finish schedules O(1) Spark jobs " +
+      "regardless of merge count (the r13 scheduler-bound fix)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = TpchGraph.store(spark, "/root/testdata/sf0.001")
+        .nodes("documents")
+      docs.count() // materialize store caches outside the window
+      jobs.set(0)
+      val merges = Bpe.train(docs, "text", numMerges = 200)
+      Thread.sleep(1000) // listener events are async; let them settle
+      // the synthetic corpus vocabulary exhausts around ~105 merges —
+      // still 100+ rounds, plenty to expose a 2-jobs-per-merge shape
+      assert(merges.length >= 100)
+      // word-count materialize + count-probe + collect (+ at most a
+      // couple of Spark-internal jobs) — NEVER 2-per-merge (200+)
+      assert(jobs.get() <= 8,
+        s"local BPE finish scheduled ${jobs.get()} jobs for " +
+          s"${merges.length} merges — the merge loop is running " +
+          "distributed again")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("tokenize: tabs/newlines follow the same whitespace contract " +
       "as training and the p99 oracle (advice r13)") {
     import spark.implicits._

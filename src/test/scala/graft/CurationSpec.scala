@@ -354,4 +354,39 @@ class CurationSpec extends SparkSpec {
         r.getAs[Long]("n_removed")).toMap
     assert(res === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
+
+  test("chunkDocuments: window starts, overlap, short tail, the one-" +
+      "chunk floor, case/whitespace handling, empty docs emit nothing") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d e f g h i j"),    // 10 toks: [0,4) [3,7) [6,10)
+      (1L, "One  Two\tThree"),        // 3 toks <= budget → 1 chunk
+      (2L, "x"),                      // 1 tok (== overlap) → floor
+      (3L, "  \t "), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val res = Curation.chunkDocuments(d, "doc_id", "text",
+      budget = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(res === Map(
+      (0L, 0L) -> (("a b c d", 4L)),
+      (0L, 1L) -> (("d e f g", 4L)),
+      (0L, 2L) -> (("g h i j", 4L)),
+      (1L, 0L) -> (("One Two Three", 3L)), // case kept, \s+ collapsed
+      (2L, 0L) -> (("x", 1L))))
+    // every chunk after the first contributes new tokens: 11 toks →
+    // 4 chunks, tail holds 2 (1 overlap + 1 new)
+    val tail = Curation.chunkDocuments(
+      Seq((0L, (1 to 11).map("t" + _).mkString(" ")))
+        .toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .collect().map(r => r.getAs[Long]("chunk_idx") ->
+        r.getAs[Long]("n_tokens")).toMap
+    assert(tail === Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 2L))
+    val err = intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(d, "doc_id", "text", 4, 4)
+    }
+    assert(err.getMessage.contains("overlap"))
+  }
 }
