@@ -1182,6 +1182,40 @@ object SparkEntry {
         .execute("PIPELINE TEXT FIXENCODING ON mojidocs;").get
         .select(col("id").as("doc_id"), col("fixed"))
     }),
+    // p111: HTML → text extraction. The synthesized page wraps each
+    // document in real markup: a style block, heading/paragraph tags,
+    // a comment, a script whose BODY contains markup (a tag-only strip
+    // leaks it), and entity references including the double-encoded
+    // `&amp;lt;`. The oracle states the expected TEXT in closed form —
+    // it does not re-run the strip logic, so the gate is independent
+    "p111_strip_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>p { color: red }</style></head>" +
+          "<body>\n<h1 class=\"t\">"), col("source"),
+        lit("</h1>\n<p>"), coalesce(col("text"), lit("")),
+        lit("</p><!-- boilerplate --><script type=\"text/javascript\">" +
+          "var x = \"<p>leak</p>\";</script>" +
+          "&amp; &lt;ok&gt;&nbsp;&amp;lt;</body></html>"))
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          graft.pipeline.TextAnalysis.stripHtml(html).as("clean"))
+    }),
+    // p112: the same from the REPL over an attached html-bearing label
+    "p112_ql_striphtml" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      val html = concat(
+        lit("<html><head><style>p { color: red }</style></head>" +
+          "<body>\n<h1 class=\"t\">"), col("source"),
+        lit("</h1>\n<p>"), coalesce(col("text"), lit("")),
+        lit("</p><!-- boilerplate --><script type=\"text/javascript\">" +
+          "var x = \"<p>leak</p>\";</script>" +
+          "&amp; &lt;ok&gt;&nbsp;&amp;lt;</body></html>"))
+      st.attachNodes("htmldocs", st.nodes("documents")
+        .select(col("id"), html.as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT STRIPHTML ON htmldocs;").get
+        .select(col("id").as("doc_id"), col("clean"))
+    }),
     // p109: fixed-budget token chunking with overlap — the
     // long-document → training-sequence step; zero-shuffle
     // projection+explode, exact SQL replay (16-token windows every 12)
@@ -2205,6 +2239,17 @@ WHERE rank <= 10"""
       dsirOracle("doc_id % 3 = 0", "doc_id % 3 <> 0"),
     "p106_ql_dsir" ->
       dsirOracle("doc_id % 3 = 0", "TRUE"),
+    // p111/p112: the expected extraction in closed form — heading +
+    // paragraph text, decoded entities, whitespace-collapsed; the
+    // style/script/comment contents must be GONE
+    "p111_strip_html" ->
+      ("SELECT doc_id, trim(regexp_replace(source || ' ' || " +
+        "coalesce(text, '') || ' & <ok> &lt;', '\\s+', ' ', 'g')) " +
+        "AS clean FROM documents"),
+    "p112_ql_striphtml" ->
+      ("SELECT doc_id, trim(regexp_replace(source || ' ' || " +
+        "coalesce(text, '') || ' & <ok> &lt;', '\\s+', ' ', 'g')) " +
+        "AS clean FROM documents"),
     // p109/p110: independent replay of the chunking arithmetic —
     // 1-based inclusive clamped list slices, ceil chunk count with the
     // ≥1 floor, original-case tokens, single-space joins

@@ -69,6 +69,30 @@ object TextAnalysis {
       graft.functions.PolyHash(
         org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
+  /** HTML → text extraction (the CCNet/RefinedWeb pre-tokenization
+    * step): drop script/style/comment blocks WITH their contents (a
+    * tag-only strip would leak javascript into the corpus), strip the
+    * remaining tags, decode the six ubiquitous named entities
+    * (`&amp;` LAST, so `&amp;lt;` single-decodes to `&lt;` — the
+    * standard one-pass contract; numeric `&#NNN;` entities are out of
+    * scope and pass through), and normalize whitespace runs. All
+    * built-in codegen'd expressions; the regexes use only syntax both
+    * java.util.regex and RE2 (the DuckDB oracle) share — `(?is)`
+    * inline flags and lazy quantifiers, no backrefs/lookaround. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(coalesce(html, lit("")),
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) =>
+        org.apache.spark.sql.functions.replace(c, lit(k), lit(v))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Email addresses — RE2-compatible (the oracle's DuckDB regex engine)
     * AND java.util.regex-compatible, so both engines see identical
     * matches. */

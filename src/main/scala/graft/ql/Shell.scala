@@ -304,6 +304,7 @@ final class Shell(store: GraphStore,
           Set("text", "min_docs", "min_kept")
         case ("TEXT", Some("BPE"))            => Set("text", "merges")
         case ("TEXT", Some("FIXENCODING"))    => Set("text")
+        case ("TEXT", Some("STRIPHTML"))      => Set("text")
         case ("DSIR", None)                   =>
           Set("text", "k", "seed", "buckets")
         case ("CHUNK", None)                  =>
@@ -466,6 +467,11 @@ final class Shell(store: GraphStore,
           df.select(col(id),
             graft.pipeline.Encoding.mojibakeScore(t).as("n_moji"),
             graft.pipeline.Encoding.repairMojibake(t).as("fixed"))
+        case ("TEXT", Some("STRIPHTML")) =>
+          // HTML → text extraction (script/style/comment contents
+          // dropped, tags stripped, named entities decoded)
+          df.select(col(id), graft.pipeline.TextAnalysis.stripHtml(
+            col(str("text", "text"))).as("clean"))
         case ("CHUNK", None) =>
           // fixed-budget token windows with overlap (doc-grain in,
           // CHUNK-grain out — ids repeat, so not INTO-able)

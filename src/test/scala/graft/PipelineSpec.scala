@@ -163,6 +163,30 @@ class PipelineSpec extends SparkSpec {
     assert(kept.collect().map(_.getAs[Long]("vec_id")).toSet === Set(0L))
   }
 
+  test("stripHtml: block contents die, tags strip, entities decode " +
+      "once, whitespace collapses; plain text is untouched") {
+    import spark.implicits._
+    val cases = Seq(
+      (0L, "<p>hello <b>world</b></p>", "hello world"),
+      // script BODY containing markup must not leak
+      (1L, "a<script>var x = \"<p>leak</p>\";</script>b", "a b"),
+      (2L, "x<style type=\"css\">p{}</style>y<!-- hidden -->z", "x y z"),
+      // one-pass entity decode: &amp;lt; → &lt;, never <
+      (3L, "&lt;tag&gt; &amp; &amp;lt; &quot;q&quot; &nbsp;done",
+        "<tag> & &lt; \"q\" done"),
+      (4L, "no markup at all", "no markup at all"),
+      (5L, "spaced\n\n\t text", "spaced text"),
+      (6L, null.asInstanceOf[String], ""))
+    val got = cases.map { case (i, in, _) => (i, in) }
+      .toDF("id", "html")
+      .select(col("id"),
+        graft.pipeline.TextAnalysis.stripHtml(col("html")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, _, want) =>
+      assert(got(i) === want, s"case $i")
+    }
+  }
+
   test("bigramLm: counts hand-checked, logprob follows the smoothing " +
       "formula, sub-2-token docs drop") {
     import spark.implicits._
