@@ -24,9 +24,12 @@ package graft
   * mappings (`İ` → `i`, `Σ` → `σ` everywhere). The non-ASCII gate
   * fixtures therefore use pre-lowercased text (covering 2-, 3- and
   * 4-byte UTF-8, where both engines agree and the byte-level XXH64
-  * mirror is exact); mixed-case Turkish/Greek corpora would need the
-  * oracle side ported to an ICU-contextual lower. The ENGINE is
-  * unaffected — its semantics are Java/ICU-consistent.
+  * mirror is exact). Mixed-case Turkish/Greek is CLOSED as of round
+  * 14: [[contextualLowerSql]] mirrors the contextual semantics in
+  * DuckDB SQL (İ expansion + Final_Sigma), hash-proven by gate p113
+  * over a mixed-case fixture — oracles that need it opt in per
+  * expression. The ENGINE was always unaffected — its semantics are
+  * Java/ICU-consistent.
   *
   * Two structural lessons the prototypes hit, baked in here:
   *  - nesting the closed forms explodes (each avalanche step duplicates
@@ -143,6 +146,50 @@ object DuckOracleSql {
         "lower()-tokenizing oracles cannot replay it: pre-lowercase " +
         "the fixture text, or port the oracle side to an " +
         "ICU-contextual lower (DuckOracleSql boundary note)")
+  }
+
+  /** CONTEXTUAL lowercase of a VARCHAR expression — the Java/ICU
+    * `toLowerCase(Locale.ROOT)` semantics the engine's `lower()`
+    * applies, mirrored in DuckDB SQL (closing the r12/r13 "mixed-case
+    * Turkish/Greek corpora can't be hash-replayed" boundary):
+    *
+    *  - `İ` (U+0130) expands to `i` + U+0307 combining dot (DuckDB's
+    *    simple lower() gives a bare `i`);
+    *  - `Σ` follows the Unicode Final_Sigma rule — `ς` iff preceded by
+    *    a cased letter (skipping case-ignorable characters) and NOT
+    *    followed by one (same skip), else `σ`;
+    *  - every other codepoint takes the simple 1:1 mapping, where the
+    *    two engines agree.
+    *
+    * Per position the rule scans the codepoint list through
+    * `list_filter(range(i), …)` — O(n²) worst case, fine at gate/
+    * fixture scale (the per-codepoint `string_split` discipline is the
+    * same one the XXH64 mirror validates). Class approximations:
+    * cased ≈ `[\p{Lu}\p{Ll}\p{Lt}]`, case-ignorable ≈
+    * `[\p{Mn}\p{Me}\p{Cf}\p{Lm}\p{Sk}'.·:]` — exact for letters,
+    * combining marks and the MidLetter/MidNumLet punctuation a real
+    * corpus puts next to a sigma; Other_Uppercase/Other_Lowercase
+    * oddities (circled letters, modifier vowels) are outside the
+    * mirror's contract. Validated against the engine's own `lower()`
+    * by the p113 hash gate over a mixed-case fixture. */
+  def contextualLowerSql(col: String): String = {
+    val cp = s"string_split($col, '')"
+    def cased(c: String) =
+      s"regexp_matches($c, '^[\\p{Lu}\\p{Ll}\\p{Lt}]$$')"
+    def ign(c: String) =
+      s"regexp_matches($c, '^[\\p{Mn}\\p{Me}\\p{Cf}\\p{Lm}" +
+        s"\\p{Sk}''.·:]$$')"
+    val prev = s"list_filter(range(i), j -> NOT ${ign(s"$cp[j + 1]")})"
+    val nxt = s"list_filter(range(i + 1, len($cp)), " +
+      s"j -> NOT ${ign(s"$cp[j + 1]")})"
+    val finalSigma =
+      s"len($prev) > 0 AND ${cased(s"$cp[$prev[-1] + 1]")} AND NOT " +
+        s"(len($nxt) > 0 AND ${cased(s"$cp[$nxt[1] + 1]")})"
+    s"array_to_string(list_transform(range(len($cp)), i -> " +
+      s"CASE WHEN $cp[i + 1] = 'İ' THEN 'i' || chr(775) " +
+      s"WHEN $cp[i + 1] = 'Σ' THEN " +
+      s"(CASE WHEN $finalSigma THEN 'ς' ELSE 'σ' END) " +
+      s"ELSE lower($cp[i + 1]) END), '')"
   }
 
   /** UTF-8 byte list of a VARCHAR column (codepoint → byte arithmetic).

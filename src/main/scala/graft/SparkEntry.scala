@@ -1182,6 +1182,25 @@ object SparkEntry {
         .execute("PIPELINE TEXT FIXENCODING ON mojidocs;").get
         .select(col("id").as("doc_id"), col("fixed"))
     }),
+    // p113: the contextual-lowercase boundary, hash-replayed (closes
+    // the r12/r13 "mixed-case Turkish/Greek can't be gated" gap): the
+    // engine lowers a per-id MIXED-CASE Turkish/Greek decoration —
+    // word-final sigma, sigma before MidNumLet punctuation and
+    // apostrophes, standalone sigma, dotted İ — and the oracle replays
+    // it through DuckOracleSql.contextualLowerSql (Final_Sigma rule +
+    // İ expansion in SQL). The check.py corpus canary is untouched:
+    // it guards the documents TABLE; this gate proves the mirror that
+    // lifts the restriction when an oracle opts in.
+    "p113_contextual_lower" -> ((s, dir) => {
+      val variant = element_at(array(
+        lit("İstanbul ΟΔΟΣ"), lit("ΣΩΜΑ ΣΟΦΟΣ."),
+        lit("ΔΗΜΟΣ' Σ.Σ"), lit("Χ.Σ. ΤΕΛΟΣ Σ")),
+        (col("id") % 4).cast("int") + 1)
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          lower(concat(coalesce(col("text"), lit("")), lit(" "),
+            variant)).as("lowered"))
+    }),
     // p111: HTML → text extraction. The synthesized page wraps each
     // document in real markup: a style block, heading/paragraph tags,
     // a comment, a script whose BODY contains markup (a tag-only strip
@@ -2239,6 +2258,14 @@ WHERE rank <= 10"""
       dsirOracle("doc_id % 3 = 0", "doc_id % 3 <> 0"),
     "p106_ql_dsir" ->
       dsirOracle("doc_id % 3 = 0", "TRUE"),
+    // p113: the same decoration, lowered through the contextual mirror
+    "p113_contextual_lower" ->
+      ("SELECT doc_id, " +
+        DuckOracleSql.contextualLowerSql(
+          "coalesce(text, '') || ' ' || CASE CAST(doc_id % 4 AS INT) " +
+            "WHEN 0 THEN 'İstanbul ΟΔΟΣ' WHEN 1 THEN 'ΣΩΜΑ ΣΟΦΟΣ.' " +
+            "WHEN 2 THEN 'ΔΗΜΟΣ'' Σ.Σ' ELSE 'Χ.Σ. ΤΕΛΟΣ Σ' END") +
+        " AS lowered FROM documents"),
     // p111/p112: the expected extraction in closed form — heading +
     // paragraph text, decoded entities, whitespace-collapsed; the
     // style/script/comment contents must be GONE
