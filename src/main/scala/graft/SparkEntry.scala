@@ -1182,6 +1182,44 @@ object SparkEntry {
         .execute("PIPELINE TEXT FIXENCODING ON mojidocs;").get
         .select(col("id").as("doc_id"), col("fixed"))
     }),
+    // p114: URL canonicalization — three synthesized variants per id
+    // exercise host/scheme lowering, default-port drop (http & https,
+    // a NON-default port kept), tracking-param removal, param sort,
+    // empty-value param retention, fragment strip, empty-path → '/'.
+    // Closed-form oracle (states the expected URL, never re-runs the
+    // normalizer)
+    "p114_canonical_url" -> ((s, dir) => {
+      val raw = element_at(array(
+        concat(lit("HTTP://WWW."), upper(col("source")),
+          lit(".Example.COM:80/Docs/"), col("id"),
+          lit("?utm_source=feed&b=2&a=1&fbclid=x#frag")),
+        concat(lit("https://"), col("source"),
+          lit(".example.com:443")),
+        concat(lit("ftp://Host.Net:2121/A/"), col("id"),
+          lit("?z=1&y=&utm_medium=m"))),
+        (col("id") % 3).cast("int") + 1)
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          graft.pipeline.Curation.canonicalizeUrl(raw).as("url"))
+    }),
+    // p115: the same from the REPL over an attached url-bearing label
+    "p115_ql_canonurl" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      val raw = element_at(array(
+        concat(lit("HTTP://WWW."), upper(col("source")),
+          lit(".Example.COM:80/Docs/"), col("id"),
+          lit("?utm_source=feed&b=2&a=1&fbclid=x#frag")),
+        concat(lit("https://"), col("source"),
+          lit(".example.com:443")),
+        concat(lit("ftp://Host.Net:2121/A/"), col("id"),
+          lit("?z=1&y=&utm_medium=m"))),
+        (col("id") % 3).cast("int") + 1)
+      st.attachNodes("urldocs", st.nodes("documents")
+        .select(col("id"), raw.as("url")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE URL ON urldocs WITH (url = \"url\");").get
+        .select(col("id").as("doc_id"), col("url"))
+    }),
     // p113: the contextual-lowercase boundary, hash-replayed (closes
     // the r12/r13 "mixed-case Turkish/Greek can't be gated" gap): the
     // engine lowers a per-id MIXED-CASE Turkish/Greek decoration —
@@ -1769,6 +1807,15 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "FROM feats d LEFT JOIN tc ON d.f = tc.f " +
       "LEFT JOIN sc ON d.f = sc.f GROUP BY d.doc_id"
 
+  /** p114/p115 oracle: the canonical forms stated directly. */
+  private def canonUrlOracle: String =
+    "SELECT doc_id, CASE CAST(doc_id % 3 AS INT) " +
+      "WHEN 0 THEN 'http://www.' || lower(source) || " +
+      "'.example.com/Docs/' || doc_id || '?a=1&b=2' " +
+      "WHEN 1 THEN 'https://' || source || '.example.com/' " +
+      "ELSE 'ftp://host.net:2121/A/' || doc_id || '?y=&z=1' END " +
+      "AS url FROM documents"
+
   /** p109/p110 oracle: the chunk windows as DuckDB list slices. */
   private def chunkOracle(budget: Int, overlap: Int): String = {
     val stride = budget - overlap
@@ -2258,6 +2305,9 @@ WHERE rank <= 10"""
       dsirOracle("doc_id % 3 = 0", "doc_id % 3 <> 0"),
     "p106_ql_dsir" ->
       dsirOracle("doc_id % 3 = 0", "TRUE"),
+    // p114/p115: the expected canonical URLs in closed form
+    "p114_canonical_url" -> canonUrlOracle,
+    "p115_ql_canonurl" -> canonUrlOracle,
     // p113: the same decoration, lowered through the contextual mirror
     "p113_contextual_lower" ->
       ("SELECT doc_id, " +

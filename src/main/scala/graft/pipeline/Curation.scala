@@ -161,6 +161,41 @@ object Curation {
           .cast("long").as("n_tokens"))
   }
 
+  /** URL canonicalization — the dedup-prep step every crawl pipeline
+    * runs before URL-level exact dedup (two fetches of one page must
+    * collapse): lowercase scheme+host, drop the scheme's default port,
+    * strip the fragment, drop tracking parameters (`utm_*`, `fbclid`,
+    * `gclid`, `msclkid`, `mc_eid`, `igshid`, `ref`), sort the
+    * remaining query parameters bytewise, normalize an empty path to
+    * `/`. Path case is PRESERVED (RFC 3986 — paths are
+    * case-sensitive); non-absolute inputs pass through untouched.
+    * All built-in codegen'd expressions, regex syntax shared by Java
+    * and RE2 — the 100 TB cost is the scan; compose with
+    * [[graft.pipeline.Dedup.exact]] on the canonical key for the
+    * dedup itself. */
+  def canonicalizeUrl(c: Column): Column = {
+    val u = regexp_replace(trim(coalesce(c, lit(""))), "(?s)#.*$", "")
+    val scheme =
+      lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val authNorm = when(scheme === "http",
+      regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathNorm = when(path === "", lit("/")).otherwise(path)
+    val params = filter(split(regexp_extract(u, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && !p.rlike(
+        "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)"))
+    val qNorm = array_join(sort_array(params), "&")
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), authNorm, pathNorm,
+        when(qNorm === "", lit(""))
+          .otherwise(concat(lit("?"), qNorm))))
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum percentage of
     * rows, selected by the same md5-id-hash buckets as
     * [[Corpus.assignSplits]] — so the sample is stable as the corpus

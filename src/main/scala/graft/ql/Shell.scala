@@ -309,6 +309,7 @@ final class Shell(store: GraphStore,
           Set("text", "k", "seed", "buckets")
         case ("CHUNK", None)                  =>
           Set("text", "budget", "overlap")
+        case ("URL", None)                    => Set("url")
         case ("SEMDEDUP", None)               =>
           Set("vec", "clusters", "iters", "threshold")
         case ("PROFILE", None)                =>
@@ -478,6 +479,11 @@ final class Shell(store: GraphStore,
           graft.pipeline.Curation.chunkDocuments(df, id,
             str("text", "text"), budget = int("budget", 512),
             overlap = int("overlap", 0))
+        case ("URL", None) =>
+          // canonicalize a URL column (doc-grain; dedup via a chained
+          // PIPELINE DEDUP EXACT on the canonical key)
+          df.select(col(id), graft.pipeline.Curation.canonicalizeUrl(
+            col(str("url", "url"))).as("url"))
         case ("DSIR", None) =>
           // DSIR importance weighting (Xie 2023): AGAINST names the
           // TARGET label; the scored label itself is the source
@@ -534,7 +540,7 @@ final class Shell(store: GraphStore,
           case ("DEDUP", Some("EXACT") | None) | ("SPANS", Some("REMOVE")) |
                ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
                ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
-               ("SEMDEDUP", None) | ("DSIR", None) |
+               ("SEMDEDUP", None) | ("DSIR", None) | ("URL", None) |
                ("MEDIA", Some("IMAGE") | Some("AUDIO") |
                  Some("EXR")) => true
           case _ => false // pair / span / rank / frame grain

@@ -389,4 +389,31 @@ class CurationSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("overlap"))
   }
+
+  test("canonicalizeUrl: scheme/host lower, default-port drop, " +
+      "tracking strip, param sort, fragment strip, path case kept, " +
+      "pass-through for non-absolute inputs") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/Path/UP?utm_source=x&b=2&a=1#frag",
+        "http://www.example.com/Path/UP?a=1&b=2"),
+      ("https://Host.net:443", "https://host.net/"),
+      // non-default port kept; empty-value param kept and sorted
+      ("ftp://Host.Net:2121/A?z=1&y=&gclid=g", "ftp://host.net:2121/A?y=&z=1"),
+      // ONLY tracking params → no '?' at all
+      ("http://h.com/p?utm_a=1&fbclid=2&ref=3", "http://h.com/p"),
+      // ref as a VALUE is not the tracking key `ref`
+      ("http://h.com/p?xref=1&pref=2", "http://h.com/p?pref=2&xref=1"),
+      ("relative/path?utm_source=x", "relative/path?utm_source=x"),
+      ("", ""),
+      (null.asInstanceOf[String], ""))
+    val got = cases.zipWithIndex
+      .map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "u")
+      .select(col("id"), Curation.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i.toLong) === want, s"case $i")
+    }
+  }
 }
