@@ -1182,6 +1182,22 @@ object SparkEntry {
         .execute("PIPELINE TEXT FIXENCODING ON mojidocs;").get
         .select(col("id").as("doc_id"), col("fixed"))
     }),
+    // p116: temperature-scaled source mixing (tau = 0.5, 300-doc
+    // budget) — the selection itself is hash-gated: the oracle
+    // recomputes the per-source per-million rates with the SAME
+    // deterministic arithmetic (name-ordered weight sum, IEEE sqrt/
+    // floor) and replays the md5 buckets
+    "p116_temperature_mix" -> ((s, dir) =>
+      graft.pipeline.Curation.temperatureMix(
+        TpchGraph.store(s, dir).nodes("documents")
+          .select(col("id"), col("source")),
+        "id", "source", budgetDocs = 300L, tau = 0.5)
+        .select(col("id").as("doc_id"), col("source"))),
+    // p117: the same from the REPL
+    "p117_ql_mix" -> ((s, dir) =>
+      new graft.ql.Shell(TpchGraph.store(s, dir))
+        .execute("PIPELINE MIX ON documents WITH (budget = 300);").get
+        .select(col("id").as("doc_id"), col("source"))),
     // p114: URL canonicalization — three synthesized variants per id
     // exercise host/scheme lowering, default-port drop (http & https,
     // a NON-default port kept), tracking-param removal, param sort,
@@ -1807,6 +1823,21 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "FROM feats d LEFT JOIN tc ON d.f = tc.f " +
       "LEFT JOIN sc ON d.f = sc.f GROUP BY d.doc_id"
 
+  /** p116/p117 oracle: per-source per-million rates recomputed with
+    * the engine's deterministic arithmetic, then the md5 buckets. */
+  private def temperatureMixOracle: String =
+    "WITH c AS (SELECT source, count(*) AS n FROM documents " +
+      "GROUP BY source), " +
+      "z AS (SELECT list_aggregate(list(sqrt(CAST(n AS DOUBLE)) " +
+      "ORDER BY source), 'sum') AS z FROM c), " +
+      "r AS (SELECT source, CAST(least(floor(1000000.0 * " +
+      "(300.0 * sqrt(CAST(n AS DOUBLE)) / (SELECT z FROM z)) / " +
+      "CAST(n AS DOUBLE)), 1000000.0) AS BIGINT) AS ppm FROM c) " +
+      "SELECT d.doc_id, d.source FROM documents d " +
+      "JOIN r ON d.source = r.source " +
+      "WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS " +
+      "VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.ppm"
+
   /** p114/p115 oracle: the canonical forms stated directly. */
   private def canonUrlOracle: String =
     "SELECT doc_id, CASE CAST(doc_id % 3 AS INT) " +
@@ -2308,6 +2339,12 @@ WHERE rank <= 10"""
     // p114/p115: the expected canonical URLs in closed form
     "p114_canonical_url" -> canonUrlOracle,
     "p115_ql_canonurl" -> canonUrlOracle,
+    // p116/p117: independent recomputation of the mixing rates (the
+    // list(... ORDER BY source) sum mirrors the engine's name-ordered
+    // normalizer; every op is exactly-rounded IEEE-754) + the md5
+    // per-million bucket replay
+    "p116_temperature_mix" -> temperatureMixOracle,
+    "p117_ql_mix" -> temperatureMixOracle,
     // p113: the same decoration, lowered through the contextual mirror
     "p113_contextual_lower" ->
       ("SELECT doc_id, " +

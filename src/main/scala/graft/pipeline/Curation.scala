@@ -218,6 +218,55 @@ object Curation {
     df.filter(bucket < pct)
   }
 
+  /** Temperature-scaled source mixing — the GPT-3/PaLM data-mixing
+    * step: sample each source at a rate making its expected share of a
+    * `budgetDocs`-document mix proportional to `n_s^tau` (tau < 1
+    * up-weights small high-quality sources, tau = 1 is proportional).
+    * Per-source quotas resolve to per-MILLION sampling rates; selection
+    * reuses the md5-id buckets of [[Corpus.assignSplits]] /
+    * [[stratifiedSample]], so membership is stable as the corpus grows
+    * and reproducible across engines.
+    *
+    * Determinism contract (what lets the p116 oracle hash-replay the
+    * selection): the weight normalizer sums `n_s^tau` in SOURCE-NAME
+    * order, and every step is an exactly-rounded IEEE-754 op
+    * (sqrt for tau = 0.5, +, *, /, floor) — measured bit-identical
+    * between the JVM and DuckDB on the real and 30× corpora. tau
+    * values other than 0.5/1.0 go through `math.pow`, which carries no
+    * cross-engine exactness guarantee — fine for production, excluded
+    * from the hash gate.
+    *
+    * 100 TB shape: one source-grain count aggregate (sources ≪ corpus
+    * by definition — the collected table is the mixing config), then a
+    * pure filter projection over the scan. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     budgetDocs: Long, tau: Double = 0.5): DataFrame = {
+    require(budgetDocs >= 0, "budgetDocs must be >= 0")
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1]: $tau")
+    def w(n: Long): Double =
+      if (tau == 0.5) math.sqrt(n.toDouble)
+      else if (tau == 1.0) n.toDouble
+      else math.pow(n.toDouble, tau)
+    val counts = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1)
+    var z = 0.0
+    counts.foreach { case (_, n) => z += w(n) }
+    val ppm = counts.map { case (s, n) =>
+      val share = budgetDocs.toDouble * w(n) / z
+      s -> math.min(math.floor(1000000.0 * share / n.toDouble),
+        1000000.0).toLong
+    }
+    val rate = ppm.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    val bucket = pmod(conv(substring(
+      md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    df.filter(bucket < rate)
+  }
+
   /** Duplicate-cluster canonicalization: given near-dup pairs (any of the
     * [[Dedup]] generators), compute the transitive closure — connected
     * components — and assign every document the minimum id of its cluster

@@ -310,6 +310,8 @@ final class Shell(store: GraphStore,
         case ("CHUNK", None)                  =>
           Set("text", "budget", "overlap")
         case ("URL", None)                    => Set("url")
+        case ("MIX", None)                    =>
+          Set("by", "budget", "tau")
         case ("SEMDEDUP", None)               =>
           Set("vec", "clusters", "iters", "threshold")
         case ("PROFILE", None)                =>
@@ -484,6 +486,11 @@ final class Shell(store: GraphStore,
           // PIPELINE DEDUP EXACT on the canonical key)
           df.select(col(id), graft.pipeline.Curation.canonicalizeUrl(
             col(str("url", "url"))).as("url"))
+        case ("MIX", None) =>
+          // temperature-scaled source mixing (GPT-3/PaLM data mixing)
+          graft.pipeline.Curation.temperatureMix(df, id,
+            str("by", "source"), budgetDocs = lng("budget", 1000L),
+            tau = dbl("tau", 0.5))
         case ("DSIR", None) =>
           // DSIR importance weighting (Xie 2023): AGAINST names the
           // TARGET label; the scored label itself is the source
@@ -541,6 +548,7 @@ final class Shell(store: GraphStore,
                ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
                ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
                ("SEMDEDUP", None) | ("DSIR", None) | ("URL", None) |
+               ("MIX", None) |
                ("MEDIA", Some("IMAGE") | Some("AUDIO") |
                  Some("EXR")) => true
           case _ => false // pair / span / rank / frame grain

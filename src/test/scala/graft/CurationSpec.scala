@@ -390,6 +390,35 @@ class CurationSpec extends SparkSpec {
     assert(err.getMessage.contains("overlap"))
   }
 
+  test("temperatureMix: tau=1 with a full budget keeps everything, " +
+      "tau=0.5 up-weights the small source, membership is monotone " +
+      "in budget and deterministic") {
+    import spark.implicits._
+    // 200 docs from 'big', 20 from 'small'
+    val docs = ((0L until 200L).map((_, "big")) ++
+      (200L until 220L).map((_, "small"))).toDF("doc_id", "source")
+    // tau=1, budget=everything → proportional rates hit 100%
+    assert(Curation.temperatureMix(docs, "doc_id", "source",
+      budgetDocs = 220L, tau = 1.0).count() === 220L)
+    // tau=0.5: small source's SELECTED share beats its corpus share
+    val sel = Curation.temperatureMix(docs, "doc_id", "source",
+      budgetDocs = 60L, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val smallShareSel = sel.count(_._2 == "small").toDouble /
+      math.max(sel.length, 1)
+    assert(smallShareSel > 20.0 / 220.0,
+      s"tau<1 must up-weight the small source: $smallShareSel")
+    // deterministic + monotone in budget (rates only grow)
+    val again = Curation.temperatureMix(docs, "doc_id", "source",
+      budgetDocs = 60L, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sel.toSet === again.toSet)
+    val bigger = Curation.temperatureMix(docs, "doc_id", "source",
+      budgetDocs = 120L, tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel.map(_._1).toSet.subsetOf(bigger))
+  }
+
   test("canonicalizeUrl: scheme/host lower, default-port drop, " +
       "tracking strip, param sort, fragment strip, path case kept, " +
       "pass-through for non-absolute inputs") {
