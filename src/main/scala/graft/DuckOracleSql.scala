@@ -172,8 +172,17 @@ object DuckOracleSql {
     * oddities (circled letters, modifier vowels) are outside the
     * mirror's contract. Validated against the engine's own `lower()`
     * by the p113 hash gate over a mixed-case fixture. */
-  def contextualLowerSql(col: String): String = {
-    val cp = s"string_split($col, '')"
+  def contextualLowerSql(col: String): String =
+    contextualLowerFromList(s"string_split($col, '')")
+
+  /** [[contextualLowerSql]] over an ALREADY-SPLIT codepoint-list
+    * column. At corpus scale the split must be computed once in an
+    * `AS MATERIALIZED` CTE and this form applied to the list column —
+    * the inlined form re-references the split ~8×, and DuckDB's
+    * CTE/alias inlining re-evaluates it (the same blowup lesson the
+    * XXH64 chains hit); measured: the inline form did not finish on
+    * the 30× corpus, the materialized-list form runs in ~100 s. */
+  def contextualLowerFromList(cp: String): String = {
     def cased(c: String) =
       s"regexp_matches($c, '^[\\p{Lu}\\p{Ll}\\p{Lt}]$$')"
     def ign(c: String) =

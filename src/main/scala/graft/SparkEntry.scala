@@ -2345,14 +2345,18 @@ WHERE rank <= 10"""
     // per-million bucket replay
     "p116_temperature_mix" -> temperatureMixOracle,
     "p117_ql_mix" -> temperatureMixOracle,
-    // p113: the same decoration, lowered through the contextual mirror
+    // p113: the same decoration, lowered through the contextual
+    // mirror. The codepoint split happens ONCE in a MATERIALIZED CTE
+    // (the inline form re-evaluates the split ~8x per row per
+    // position — it did not finish at 30x; this shape runs in ~100 s)
     "p113_contextual_lower" ->
-      ("SELECT doc_id, " +
-        DuckOracleSql.contextualLowerSql(
-          "coalesce(text, '') || ' ' || CASE CAST(doc_id % 4 AS INT) " +
-            "WHEN 0 THEN 'İstanbul ΟΔΟΣ' WHEN 1 THEN 'ΣΩΜΑ ΣΟΦΟΣ.' " +
-            "WHEN 2 THEN 'ΔΗΜΟΣ'' Σ.Σ' ELSE 'Χ.Σ. ΤΕΛΟΣ Σ' END") +
-        " AS lowered FROM documents"),
+      ("WITH m AS MATERIALIZED (SELECT doc_id, string_split(" +
+        "coalesce(text, '') || ' ' || CASE CAST(doc_id % 4 AS INT) " +
+        "WHEN 0 THEN 'İstanbul ΟΔΟΣ' WHEN 1 THEN 'ΣΩΜΑ ΣΟΦΟΣ.' " +
+        "WHEN 2 THEN 'ΔΗΜΟΣ'' Σ.Σ' ELSE 'Χ.Σ. ΤΕΛΟΣ Σ' END, '') " +
+        "AS cps FROM documents) SELECT doc_id, " +
+        DuckOracleSql.contextualLowerFromList("cps") +
+        " AS lowered FROM m"),
     // p111/p112: the expected extraction in closed form — heading +
     // paragraph text, decoded entities, whitespace-collapsed; the
     // style/script/comment contents must be GONE
