@@ -357,7 +357,39 @@ object Bench {
             docs.filter(col("id") % 3 === 0), docs, "id", "text",
             buckets = 10000),
           "id", k = 1000, seed = 42L)
-      })
+      }),
+      // r14 curation additions, each a scan-shaped op (p107-p117):
+      // one-round mojibake repair over corrupted text, HTML-to-text
+      // extraction over synthesized markup, 64/16 token chunking,
+      // URL canonicalization, temperature mixing
+      "fix_encoding" -> (() => {
+        val t = graft.pipeline.Encoding.toMojibake(concat(
+          coalesce(col("text"), lit("")), lit(" café — naïve 中文 €")))
+        store.nodes("documents").select(col("id"),
+          graft.pipeline.Encoding.repairMojibake(t).as("fixed"))
+      }),
+      "strip_html" -> (() => {
+        val html = concat(lit("<html><body><h1>"), col("source"),
+          lit("</h1><p>"), coalesce(col("text"), lit("")),
+          lit("</p><script>var x = \"<p>leak</p>\";</script>" +
+            "&amp; &lt;ok&gt;</body></html>"))
+        store.nodes("documents").select(col("id"),
+          graft.pipeline.TextAnalysis.stripHtml(html).as("clean"))
+      }),
+      "chunk_documents" -> (() => graft.pipeline.Curation
+        .chunkDocuments(store.nodes("documents"), "id", "text",
+          budget = 64, overlap = 16)),
+      "canonical_url" -> (() => {
+        val raw = concat(lit("HTTP://WWW."), upper(col("source")),
+          lit(".Example.COM:80/Docs/"), col("id"),
+          lit("?utm_source=feed&b=2&a=1&fbclid=x#frag"))
+        store.nodes("documents").select(col("id"),
+          graft.pipeline.Curation.canonicalizeUrl(raw).as("url"))
+      }),
+      "temperature_mix" -> (() => graft.pipeline.Curation
+        .temperatureMix(store.nodes("documents")
+          .select(col("id"), col("source")), "id", "source",
+          budgetDocs = 10000L, tau = 0.5))
     )
 
     def timeOnce(f: () => DataFrame): Double = {

@@ -430,6 +430,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(err.getMessage.contains("integral id column"))
   }
 
+  test("chunkDocuments is shuffle-free; temperatureMix is a pure " +
+      "filter projection after its one source-grain aggregate") {
+    import org.apache.spark.sql.functions.col
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val docs = store.nodes("documents")
+    val chunkPlan = physical(graft.pipeline.Curation.chunkDocuments(
+      docs, "id", "text", budget = 16, overlap = 4))
+    // projection + explode only — a shuffle here would be a regression
+    // (the materialize barrier is a localCheckpoint scan, not an
+    // exchange)
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking gained a shuffle:\n$chunkPlan")
+    assert(chunkPlan.contains("Generate"),
+      s"chunking lost its explode:\n$chunkPlan")
+    val mixPlan = physical(graft.pipeline.Curation.temperatureMix(
+      docs.select(col("id"), col("source")), "id", "source",
+      budgetDocs = 100L))
+    // selection itself: Filter over the scan, no join, no shuffle
+    assert(!mixPlan.contains("Exchange") && !mixPlan.contains("Join"),
+      s"temperatureMix selection is not a pure filter:\n$mixPlan")
+    assert(mixPlan.contains("Filter"),
+      s"temperatureMix lost its bucket filter:\n$mixPlan")
+  }
+
   test("DSIR: count tables partial-aggregate, totals ride broadcasts, " +
       "resample top-k is TakeOrdered — never a full sort shuffle") {
     import org.apache.spark.sql.functions.col
