@@ -111,6 +111,33 @@ class IngestSpec extends SparkSpec {
       .collect().forall(_.getAs[String]("warc_type") === "response"))
   }
 
+  test("WARC property: seeded random payloads — arbitrary unicode, " +
+      "CRLF runs, header-lookalike lines, empty — round-trip " +
+      "byte-exact across 5 seeds") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val alphabet: IndexedSeq[String] = IndexedSeq(
+        "a", "Z", "9", " ", "\r\n", "\n", "\r", "é", "中", "𝄞", "�",
+        "WARC/1.0", "Content-Length: 7", "\r\n\r\n", "\t", "\"", "'")
+      def randText(): String =
+        (0 until rnd.nextInt(60)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      val docs = (0L until 40L).map(i => (i, randText(), s"s${i % 3}"))
+        .toDF("id", "text", "source")
+      val dir = tmpDir()
+      Ingest.writeWarcGz(docs, dir, shards = 3)
+      val back = Ingest.warcFiles(spark, dir + "/*.warc.gz")
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+            .cast("long").as("id"),
+          col("payload").cast("string").as("text"),
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+            .as("source"))
+      assert(rowBag(back) === rowBag(docs), s"seed=$seed")
+    }
+  }
+
   test("WARC salvage: a torn shard yields its well-formed prefix; " +
       "non-WARC bytes yield zero records, never a crash") {
     import spark.implicits._
