@@ -251,6 +251,17 @@ object Curation {
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => r.get(0).toString -> r.getLong(1))
       .sortBy(_._1)
+    // the rates become a per-source CASE chain (pure codegen'd filter,
+    // zero joins — right for the dataset-grain mixing the published
+    // recipes do, dozens of sources). A DATA-driven stratum count can
+    // explode that expression tree (domain-grain: millions) — refuse
+    // loudly instead of building a 100k-deep CASE; that use case wants
+    // a broadcast-join variant on a rates table, not this operator.
+    require(counts.length <= 1000,
+      s"temperatureMix: ${counts.length} distinct sources — the " +
+        "per-source CASE filter is designed for dataset-grain mixing " +
+        "(≤1000 sources); for domain-grain mixing join a rates table " +
+        "instead")
     var z = 0.0
     counts.foreach { case (_, n) => z += w(n) }
     val ppm = counts.map { case (s, n) =>
