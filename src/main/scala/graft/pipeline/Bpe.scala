@@ -128,6 +128,22 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Codepoint-grain split — the grain Spark's `split(w, "")` uses in
+    * the distributed path (measured: UTF8String keeps surrogate pairs
+    * together, while JAVA's `"x".split("")` splits them into UTF-16
+    * halves — relying on it made trainLocal/encodeWord diverge from
+    * distributed training on astral-plane characters). */
+  private def cpSplit(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** UTF-8 bytewise comparison — Spark's StringType `asc` ordering.
     * Java String.compareTo is UTF-16 code-unit order, which disagrees
     * with code-point order for supplementary characters; the local
@@ -157,12 +173,10 @@ object Bpe {
       words0: Array[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
     import scala.collection.mutable
-    // split("") is code-point grain (Java regex never matches inside a
-    // surrogate pair) — the same engine Spark's split(w, "") uses
     val syms = mutable.ArrayBuffer.empty[Array[String]]
     val cnts = mutable.ArrayBuffer.empty[Long]
     words0.foreach { case (w, c) =>
-      syms += (w.split("").filter(_.nonEmpty) :+ Eow)
+      syms += (cpSplit(w) :+ Eow)
       cnts += c
     }
     val stats = mutable.HashMap.empty[(String, String), Long]
@@ -226,10 +240,15 @@ object Bpe {
   }
 
   /** Greedy BPE apply (the reference tokenizer loop): per word, merge
-    * the lowest-rank adjacent pair until none applies. */
+    * the lowest-rank adjacent pair until none applies. Initial symbols
+    * are CODEPOINT grain via split("") — the same grain training's
+    * initSymbols/trainLocal use; the former `word.map(_.toString)`
+    * split surrogate pairs into UTF-16 halves, so a merge learned on
+    * an astral-plane symbol could never fire at apply time (the detok
+    * invariant masked it — halves still concatenate back). */
   private[pipeline] def encodeWord(
       word: String, rank: Map[(String, String), Int]): Seq[String] = {
-    var syms = word.map(_.toString).toVector :+ Eow
+    var syms = cpSplit(word).toVector :+ Eow
     var done = false
     while (!done && syms.length >= 2) {
       var bestRank = Int.MaxValue

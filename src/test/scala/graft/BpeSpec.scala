@@ -66,6 +66,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("astral-plane symbols: train and apply share the codepoint " +
+      "grain, so learned merges fire on surrogate-pair characters") {
+    import spark.implicits._
+    val d = Seq((0L, "𝄞x 𝄞x")).toDF("doc_id", "text")
+    val merges = Bpe.train(d, "text", numMerges = 2)
+    // pairs (𝄞,x) and (x,</w>) tie at 2 — UTF-8 order puts "x"
+    // before 4-byte "𝄞", so (x,</w>) merges first (the distributed
+    // tie-break; asserted identical below)
+    assert(merges === Seq(("x", "</w>"), ("𝄞", "x</w>")))
+    assert(Bpe.train(d, "text", 2, localVocabLimit = -1L) === merges)
+    val row = Bpe.tokenize(d, "doc_id", "text", merges).collect()(0)
+    // one fused token per word — the UTF-16-half split made the
+    // learned merges unmatchable at apply time (detok still passed)
+    assert(row.getAs[Int]("n_tokens") === 2)
+    assert(row.getAs[String]("tokens") === "𝄞x</w> 𝄞x</w>")
+    assert(row.getAs[String]("detok") === "𝄞x 𝄞x")
+  }
+
   test("train: numMerges beyond exhaustion stops at the fixpoint") {
     import spark.implicits._
     val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
