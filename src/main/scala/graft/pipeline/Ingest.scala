@@ -144,15 +144,23 @@ object Ingest {
             }
             if (c == -1 && sb.length == 0) null else sb.toString
           }
+          // Never PREALLOCATE from the untrusted Content-Length header
+          // (the Flac STREAMINFO lesson): a crafted/torn record
+          // claiming 2^31-1 bytes would allocate 2 GB before the first
+          // read. Grow with the bytes that actually arrive — a torn
+          // stream then costs only what it contained.
           def readFully(n: Int): Array[Byte] = {
-            val buf = new Array[Byte](n)
-            var off = 0
-            while (off < n) {
-              val k = in.read(buf, off, n - off)
+            val out = new java.io.ByteArrayOutputStream(
+              math.min(n, 1 << 16))
+            val buf = new Array[Byte](1 << 16)
+            var remaining = n
+            while (remaining > 0) {
+              val k = in.read(buf, 0, math.min(buf.length, remaining))
               if (k < 0) throw new java.io.EOFException("torn record")
-              off += k
+              out.write(buf, 0, k)
+              remaining -= k
             }
-            buf
+            out.toByteArray
           }
           Iterator.continually {
             try {
