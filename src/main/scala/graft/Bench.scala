@@ -347,6 +347,23 @@ object Bench {
           out, shards = 8)
         graft.pipeline.Ingest.warcFiles(spark, out + "/*.warc.gz")
       }),
+      // the complete CommonCrawl intake chain (p118/p119 shape):
+      // HTTP-wrapped WARC export + re-ingest + header/body split +
+      // charset-sieved decode + HTML→text — write inside the timing
+      "http_split" -> (() => {
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_bench_http").getAbsolutePath
+        graft.pipeline.Ingest.writeWarcGz(
+          store.nodes("documents").select(col("id"),
+            concat(lit("<h1>t</h1><p>"), coalesce(col("text"),
+              lit("")), lit(" café</p>")).as("text"), col("source")),
+          out, shards = 8, httpWrap = true)
+        graft.pipeline.Ingest.httpResponses(
+          graft.pipeline.Ingest.warcFiles(spark, out + "/*.warc.gz"))
+          .select(col("target_uri"), col("status"),
+            graft.pipeline.TextAnalysis.stripHtml(col("text"))
+              .as("clean"))
+      }),
       // DSIR importance weights + Gumbel top-k resample (p105 shape)
       // in the paper's hashed-bucket form: two bucket-grain count
       // shuffles + one occurrence-grain score pass + TakeOrdered

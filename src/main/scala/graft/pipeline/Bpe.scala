@@ -45,8 +45,20 @@ object Bpe {
     * driver-side. Natural-language vocabularies plateau (Heaps' law) at
     * a few million distinct words even at 100 TB, so the local path is
     * the common case; the distributed loop remains the safety net for
-    * adversarial corpora (e.g. random-string keys). */
-  val DefaultLocalVocabLimit = 2000000L
+    * adversarial corpora (e.g. random-string keys).
+    *
+    * The local path's driver cost is real (advice r14): each collected
+    * word carries its string, count, symbol list, and entries in the
+    * incremental pair-stats HashMap + pair→word-id index — budget
+    * ~1 KB per distinct word end to end. The default therefore derives
+    * from the driver heap (at most half of `Runtime.maxMemory` at that
+    * budget, capped at 2M — a default-sized 1g driver gets ~500k, a
+    * 4g+ driver the full 2M). Callers passing an explicit
+    * `localVocabLimit` own the corresponding driver-heap requirement:
+    * limit × ~1 KB must fit comfortably alongside everything else on
+    * the driver. */
+  def DefaultLocalVocabLimit: Long =
+    math.min(2000000L, Runtime.getRuntime.maxMemory() / 2048)
 
   /** Train `numMerges` merges. Returns the ordered merge list —
     * (left, right) by rank — which IS the tokenizer artifact a real

@@ -161,19 +161,30 @@ object Curation {
           .cast("long").as("n_tokens"))
   }
 
+  /** Default tracking-parameter blocklist for [[canonicalizeUrl]]:
+    * pure click/campaign trackers only. `ref` is deliberately NOT here
+    * (advice r14): unlike `utm_*`/`fbclid` it is load-bearing on many
+    * real sites (GitHub refs, forum pagination), so dropping it would
+    * collapse distinct pages and canonical-key dedup would delete real
+    * content. `utm_[^=]*` is a regex alternative; entries must use
+    * only Java∩RE2 shared syntax. */
+  val DefaultTrackingParams: Seq[String] =
+    Seq("utm_[^=]*", "fbclid", "gclid", "msclkid", "mc_eid", "igshid")
+
   /** URL canonicalization — the dedup-prep step every crawl pipeline
     * runs before URL-level exact dedup (two fetches of one page must
     * collapse): lowercase scheme+host, drop the scheme's default port,
-    * strip the fragment, drop tracking parameters (`utm_*`, `fbclid`,
-    * `gclid`, `msclkid`, `mc_eid`, `igshid`, `ref`), sort the
-    * remaining query parameters bytewise, normalize an empty path to
-    * `/`. Path case is PRESERVED (RFC 3986 — paths are
-    * case-sensitive); non-absolute inputs pass through untouched.
-    * All built-in codegen'd expressions, regex syntax shared by Java
-    * and RE2 — the 100 TB cost is the scan; compose with
-    * [[graft.pipeline.Dedup.exact]] on the canonical key for the
-    * dedup itself. */
-  def canonicalizeUrl(c: Column): Column = {
+    * strip the fragment, drop tracking parameters
+    * ([[DefaultTrackingParams]] — caller-overridable, since the right
+    * blocklist is site-population-specific), sort the remaining query
+    * parameters bytewise, normalize an empty path to `/`. Path case is
+    * PRESERVED (RFC 3986 — paths are case-sensitive); non-absolute
+    * inputs pass through untouched. All built-in codegen'd
+    * expressions, regex syntax shared by Java and RE2 — the 100 TB
+    * cost is the scan; compose with [[graft.pipeline.Dedup.exact]] on
+    * the canonical key for the dedup itself. */
+  def canonicalizeUrl(c: Column,
+      trackingParams: Seq[String] = DefaultTrackingParams): Column = {
     val u = regexp_replace(trim(coalesce(c, lit(""))), "(?s)#.*$", "")
     val scheme =
       lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -186,9 +197,10 @@ object Curation {
     val path = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val pathNorm = when(path === "", lit("/")).otherwise(path)
+    val tracking = trackingParams.mkString("^(", "|", ")(=|$)")
     val params = filter(split(regexp_extract(u, "\\?(.*)$", 1), "&"),
-      p => p =!= "" && !p.rlike(
-        "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)"))
+      p => p =!= "" &&
+        (if (trackingParams.isEmpty) lit(true) else !p.rlike(tracking)))
     val qNorm = array_join(sort_array(params), "&")
     when(scheme === "", u)
       .otherwise(concat(scheme, lit("://"), authNorm, pathNorm,
@@ -247,9 +259,13 @@ object Curation {
       if (tau == 0.5) math.sqrt(n.toDouble)
       else if (tau == 1.0) n.toDouble
       else math.pow(n.toDouble, tau)
-    val counts = df.groupBy(sourceCol)
+    // null sources group as "" (advice r14): a bare r.get(0).toString
+    // NPE'd on a null group, and even counted, null rows could never
+    // match the CASE chain below — silently excluded from the mix
+    val src = coalesce(col(sourceCol).cast("string"), lit(""))
+    val counts = df.groupBy(src.as("__src"))
       .agg(count(lit(1)).as("__n")).collect()
-      .map(r => r.get(0).toString -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
     // the rates become a per-source CASE chain (pure codegen'd filter,
     // zero joins — right for the dataset-grain mixing the published
@@ -270,7 +286,7 @@ object Curation {
         1000000.0).toLong
     }
     val rate = ppm.foldLeft(lit(0L)) { case (acc, (s, p)) =>
-      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+      when(src === s, lit(p)).otherwise(acc)
     }
     val bucket = pmod(conv(substring(
       md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),

@@ -45,6 +45,14 @@ object Encoding {
     * identical under the mis-decode — nothing to repair). */
   private val MojibakeSignature = "[\\xC2-\\xF4][\\x80-\\xBF]"
 
+  /** True when a Latin-1 byte view is valid UTF-8 (the exact sieve
+    * above; pure ASCII passes). Shared with [[Ingest.httpSplit]]'s
+    * charset salvage — the guarantee is the same one [[repairMojibake]]
+    * relies on: the UTF-8 `decode` behind a true sieve can never see a
+    * malformed sequence, so it can never throw. */
+  private[pipeline] def looksLikeUtf8(latin1View: Column): Column =
+    latin1View.rlike(AllMojibakeSafe)
+
   /** Number of mojibake signature sequences — the per-document signal
     * a curation pass thresholds on (0 for clean ASCII and for genuine
     * accented prose like `déjà vu`, which has no continuation-range

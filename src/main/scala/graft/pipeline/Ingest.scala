@@ -174,7 +174,12 @@ object Ingest {
                 while (line != null && line.nonEmpty) {
                   val i = line.indexOf(':')
                   if (i > 0) {
-                    val k = line.substring(0, i).trim.toLowerCase
+                    // Locale.ROOT: under a Turkish default locale a bare
+                    // toLowerCase turns "WARC-Target-URI" into
+                    // "warc-target-urı" and silently drops every URI
+                    // (advice r14) — same guard Bpe.tokenize carries
+                    val k = line.substring(0, i).trim
+                      .toLowerCase(java.util.Locale.ROOT)
                     val v = line.substring(i + 1).trim
                     k match {
                       case "warc-type"       => warcType = v
@@ -202,13 +207,95 @@ object Ingest {
       }.toDF("_input_file", "warc_type", "target_uri", "payload")
   }
 
+  /** Split HTTP response messages out of a binary payload column —
+    * the step between [[warcFiles]] and text curation: real
+    * CommonCrawl `response` records carry the whole HTTP message
+    * (status line + headers + body), so feeding raw WARC payloads
+    * into [[TextAnalysis.stripHtml]] would tokenize HTTP headers into
+    * the corpus. Adds five columns:
+    *
+    *   - `status` — the status-line code (int; null when the payload
+    *     is not an HTTP message),
+    *   - `content_type` — lowercased media type up to the first `;`
+    *     (null when absent),
+    *   - `charset` — lowercased `charset=` parameter of Content-Type
+    *     (null when undeclared),
+    *   - `body` — the entity bytes after the blank line (the whole
+    *     payload when it is not an HTTP message — salvage semantics,
+    *     so `resource`/non-HTTP records compose through unchanged),
+    *   - `text` — the body decoded to a string: Latin-1-family
+    *     charsets decode as ISO-8859-1; everything else (utf-8,
+    *     us-ascii, undeclared, unknown) routes through the exact
+    *     RFC 3629 sieve ([[Encoding]]) — valid UTF-8 decodes as
+    *     UTF-8, anything malformed falls back to the lossless
+    *     ISO-8859-1 byte view (the CCNet salvage behavior; Spark 4's
+    *     `decode` throws on malformed UTF-8, so the sieve is what
+    *     makes this total). windows-1252 is approximated by
+    *     ISO-8859-1 (the 0x80–0x9F smart-quote block decodes to C1
+    *     controls); exotic charsets (shift_jis, …) take the sieve
+    *     path — a deployment needing them plugs a charset library in
+    *     via mapPartitions downstream of `body`.
+    *
+    * Everything is built-in codegen'd expressions over the lossless
+    * ISO-8859-1 byte↔char view (no UDF): the 100 TB cost is the scan
+    * that was already reading the payloads. Header obs-folding
+    * (RFC 7230 deprecated continuation lines) is not unfolded; the
+    * first Content-Type header wins. */
+  def httpSplit(df: DataFrame, payloadCol: String = "payload")
+      : DataFrame = {
+    // lossless byte→char view: ISO-8859-1 maps every byte 0x00-0xFF
+    // to U+0000-U+00FF, so string ops see exact byte offsets and the
+    // body converts back byte-identically
+    val s = decode(coalesce(col(payloadCol), lit(Array.emptyByteArray)),
+      "ISO-8859-1")
+    val sep = instr(s, "\r\n\r\n")
+    val isHttp = s.rlike("^HTTP/[0-9]") && sep > 0
+    val head = when(isHttp, s.substr(lit(1), sep - 1)).otherwise(lit(""))
+    val statusStr = regexp_extract(head, "^HTTP/[0-9.]+[ \t]+([0-9]{3})", 1)
+    // header lines are each preceded by a CRLF (the status line ends
+    // with one), so the anchor is shared-syntax `\r\n` — no multiline
+    // flag needed, first occurrence wins
+    val ctLine = regexp_extract(head,
+      "(?i)\r\ncontent-type:[ \t]*([^\r\n]+)", 1)
+    val charsetStr =
+      lower(regexp_extract(ctLine, "(?i)charset=\"?([A-Za-z0-9._:-]+)", 1))
+    val bodyS = when(isHttp, s.substr(sep + 4, length(s))).otherwise(s)
+    val latin1Family = charsetStr.isin(
+      "iso-8859-1", "iso8859-1", "iso_8859-1", "latin-1", "latin1",
+      "windows-1252", "cp1252")
+    val text = when(latin1Family, bodyS)
+      .when(Encoding.looksLikeUtf8(bodyS),
+        decode(encode(bodyS, "ISO-8859-1"), "UTF-8"))
+      .otherwise(bodyS)
+    df.withColumns(Map(
+      "status" -> when(statusStr =!= "", statusStr.cast("int")),
+      "content_type" -> when(ctLine =!= "",
+        lower(trim(substring_index(ctLine, ";", 1)))),
+      "charset" -> when(charsetStr =!= "", charsetStr),
+      "body" -> encode(bodyS, "ISO-8859-1"),
+      "text" -> text))
+  }
+
+  /** The [[warcFiles]] → HTTP composition: keep `response` records and
+    * split their HTTP messages ([[httpSplit]]) — the complete
+    * CommonCrawl intake chain is `warcFiles → httpResponses →
+    * stripHtml → dedup`. */
+  def httpResponses(warc: DataFrame): DataFrame =
+    httpSplit(warc.filter(col("warc_type") === "response"))
+
   /** Write `(id, text, source)`-shaped rows as gzipped WARC response
     * records (the fixture / export twin of [[warcFiles]]): `shards`
     * files named `part-NNNNN.warc.gz` under `dir`. The target URI
     * encodes source and id (`http://<source>/<id>`); the body is the
-    * UTF-8 text. Executors write their own shards — no driver
+    * UTF-8 text. With `httpWrap = true` the record payload is a full
+    * HTTP response message (status line + Content-Type/Content-Length
+    * headers + body) and the WARC Content-Type is
+    * `application/http; msgtype=response` — the shape real CommonCrawl
+    * `response` records have, so [[httpResponses]] can be exercised
+    * end to end. Executors write their own shards — no driver
     * funnel. */
-  def writeWarcGz(df: DataFrame, dir: String, shards: Int): Unit = {
+  def writeWarcGz(df: DataFrame, dir: String, shards: Int,
+                  httpWrap: Boolean = false): Unit = {
     require(shards >= 1, "shards must be >= 1")
     require(df.columns.length == 3,
       s"expected (id, text, source) columns, got ${df.columns.toSeq}")
@@ -226,11 +313,28 @@ object Ingest {
         try {
           val crlf = "\r\n".getBytes("US-ASCII")
           it.foreach { r =>
-            val body = r.getString(1).getBytes("UTF-8")
+            // CR/LF never reaches a header line (advice r14): a source
+            // value containing "\r\nContent-Length: 0" would otherwise
+            // inject headers and desync the reader's record framing
+            // (last Content-Length wins), truncating the shard
+            val src = r.getString(2).replaceAll("[\\r\\n]", "")
+            val text = r.getString(1).getBytes("UTF-8")
+            val body =
+              if (!httpWrap) text
+              else {
+                val httpHead = ("HTTP/1.1 200 OK\r\n" +
+                  "Content-Type: text/html; charset=utf-8\r\n" +
+                  s"Content-Length: ${text.length}\r\n" +
+                  "\r\n").getBytes("US-ASCII")
+                httpHead ++ text
+              }
+            val cType =
+              if (httpWrap) "application/http; msgtype=response"
+              else "text/plain"
             val hdr = ("WARC/1.0\r\n" +
               "WARC-Type: response\r\n" +
-              s"WARC-Target-URI: http://${r.getString(2)}/${r.getLong(0)}\r\n" +
-              "Content-Type: text/plain\r\n" +
+              s"WARC-Target-URI: http://$src/${r.getLong(0)}\r\n" +
+              s"Content-Type: $cType\r\n" +
               s"Content-Length: ${body.length}\r\n" +
               "\r\n").getBytes("US-ASCII")
             out.write(hdr); out.write(body)

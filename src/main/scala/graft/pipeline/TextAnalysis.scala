@@ -69,15 +69,48 @@ object TextAnalysis {
       graft.functions.PolyHash(
         org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
+  /** Numeric character references: `&#NNN;` (decimal) and `&#xHH;`
+    * (hex) — real crawl HTML is full of them (advice/verdict r14).
+    * Decodes VALID Unicode scalar values only (1 … 0x10FFFF excluding
+    * the surrogate block); anything else (`&#0;`, `&#xD800;`,
+    * out-of-range) passes through verbatim. Implementation is pure
+    * built-in expressions: split on the reference pattern, decode each
+    * match (codepoint → UTF-32BE bytes → string; Spark has no
+    * codepoint `chr` above 255), and re-interleave with `zip_with` —
+    * one scan, no UDF. Applied BEFORE the named-entity pass so
+    * `&amp;#65;` single-decodes to the literal `&#65;`, matching the
+    * named pass's `&amp;`-last contract. */
+  private[pipeline] val NumEntityRe =
+    "&#([0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});"
+
+  private[pipeline] def decodeNumericEntities(c: Column): Column = {
+    val parts = split(c, NumEntityRe, -1)
+    val ents = regexp_extract_all(c, lit(NumEntityRe), lit(1))
+    def decodeOne(e: Column): Column = {
+      val cp = when(e.rlike("^[xX]"),
+        conv(e.substr(lit(2), length(e)), 16, 10).cast("long"))
+        .otherwise(e.cast("long"))
+      val valid = cp >= 1L && cp <= 0x10FFFFL &&
+        !(cp >= 0xD800L && cp <= 0xDFFFL)
+      when(valid, decode(unhex(lpad(hex(cp), 8, "0")), "UTF-32"))
+        .otherwise(concat(lit("&#"), e, lit(";")))
+    }
+    // split yields n+1 parts for n references; pad the decoded array
+    // to the same length so zip_with never concats against null
+    array_join(zip_with(parts,
+      concat(transform(ents, decodeOne(_)), array(lit(""))),
+      (p, d) => concat(p, d)), "")
+  }
+
   /** HTML → text extraction (the CCNet/RefinedWeb pre-tokenization
     * step): drop script/style/comment blocks WITH their contents (a
     * tag-only strip would leak javascript into the corpus), strip the
-    * remaining tags, decode the six ubiquitous named entities
-    * (`&amp;` LAST, so `&amp;lt;` single-decodes to `&lt;` — the
-    * standard one-pass contract; numeric `&#NNN;` entities are out of
-    * scope and pass through), and normalize whitespace runs. All
-    * built-in codegen'd expressions; the regexes use only syntax both
-    * java.util.regex and RE2 (the DuckDB oracle) share — `(?is)`
+    * remaining tags, decode numeric character references
+    * ([[decodeNumericEntities]]) then the six ubiquitous named
+    * entities (`&amp;` LAST, so `&amp;lt;` single-decodes to `&lt;` —
+    * the standard one-pass contract), and normalize whitespace runs.
+    * All built-in codegen'd expressions; the regexes use only syntax
+    * both java.util.regex and RE2 (the DuckDB oracle) share — `(?is)`
     * inline flags and lazy quantifiers, no backrefs/lookaround. */
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(coalesce(html, lit("")),
@@ -87,7 +120,7 @@ object TextAnalysis {
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (k, v)) =>
+      .foldLeft(decodeNumericEntities(noTags)) { case (c, (k, v)) =>
         org.apache.spark.sql.functions.replace(c, lit(k), lit(v))
       }
     trim(regexp_replace(decoded, "\\s+", " "))

@@ -430,8 +430,11 @@ class CurationSpec extends SparkSpec {
       // non-default port kept; empty-value param kept and sorted
       ("ftp://Host.Net:2121/A?z=1&y=&gclid=g", "ftp://host.net:2121/A?y=&z=1"),
       // ONLY tracking params → no '?' at all
-      ("http://h.com/p?utm_a=1&fbclid=2&ref=3", "http://h.com/p"),
-      // ref as a VALUE is not the tracking key `ref`
+      ("http://h.com/p?utm_a=1&fbclid=2&gclid=3", "http://h.com/p"),
+      // `ref` is load-bearing (GitHub refs, pagination) and NOT in the
+      // default blocklist (advice r14) — it must survive
+      ("http://h.com/p?ref=readme&utm_a=1", "http://h.com/p?ref=readme"),
+      // ref as a SUBSTRING of other keys is untouched either way
       ("http://h.com/p?xref=1&pref=2", "http://h.com/p?pref=2&xref=1"),
       ("relative/path?utm_source=x", "relative/path?utm_source=x"),
       ("", ""),
@@ -444,5 +447,30 @@ class CurationSpec extends SparkSpec {
     cases.zipWithIndex.foreach { case ((_, want), i) =>
       assert(got(i.toLong) === want, s"case $i")
     }
+    // caller-supplied blocklist: site populations differ, so the set
+    // is a parameter — a custom list drops what IT names (here `ref`
+    // and `sid`) and nothing else; the empty list keeps everything
+    val custom = Seq((0L, "http://h.com/p?ref=1&sid=2&utm_a=3&b=4"))
+      .toDF("id", "u")
+    assert(custom.select(Curation.canonicalizeUrl(col("u"),
+        trackingParams = Seq("ref", "sid")).as("c"))
+      .head().getString(0) === "http://h.com/p?b=4&utm_a=3")
+    assert(custom.select(Curation.canonicalizeUrl(col("u"),
+        trackingParams = Nil).as("c"))
+      .head().getString(0) === "http://h.com/p?b=4&ref=1&sid=2&utm_a=3")
+  }
+
+  test("temperatureMix: null sources group as '' and are mixed, " +
+      "never NPE'd or silently excluded") {
+    import spark.implicits._
+    val docs = ((0L until 50L).map(i => (i, "named")) ++
+      (50L until 100L).map(i => (i, null.asInstanceOf[String])))
+      .toDF("doc_id", "source")
+    // full budget at tau=1 → proportional rates hit 100% for BOTH
+    // groups; before the fix this NPE'd on the null group
+    val sel = Curation.temperatureMix(docs, "doc_id", "source",
+      budgetDocs = 100L, tau = 1.0).collect()
+    assert(sel.length === 100)
+    assert(sel.count(_.isNullAt(1)) === 50) // null rows selected too
   }
 }

@@ -170,4 +170,103 @@ class IngestSpec extends SparkSpec {
       "this is not a warc file at all".getBytes("UTF-8"))
     assert(Ingest.warcFiles(spark, junkDir + "/*.warc").count() === 0)
   }
+
+  test("httpSplit: status/content-type/charset parsed, charset-aware " +
+      "body decode with the RFC 3629 sieve fallback, non-HTTP salvage") {
+    import spark.implicits._
+    def b(s: String) = s.getBytes("ISO-8859-1")
+    val rows = Seq(
+      // utf-8 declared + valid bytes → utf-8 decode
+      ("utf8", b("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "charset=utf-8\r\n\r\n<p>cafÃ©</p>")),
+      // latin-1 declared (quoted, mixed case) → byte view
+      ("latin1", b("HTTP/1.0 404 Not Found\r\nContent-Type: " +
+        "TEXT/Plain; charset=\"ISO-8859-1\"\r\n\r\nnot found é")),
+      // utf-8 DECLARED but malformed (lone 0xE9) → latin-1 salvage,
+      // never a MALFORMED_CHARACTER_CODING throw
+      ("lies", b("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+        "charset=utf-8\r\n\r\nbroken é byte")),
+      // undeclared charset, valid utf-8 bytes → sieve routes to utf-8
+      ("sniff", b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "ok Ã©")),
+      // not an HTTP message → whole payload is the body, status null
+      ("raw", b("just resource bytes")),
+      // headers only, empty body
+      ("empty", b("HTTP/1.1 301 Moved\r\nLocation: http://x/\r\n\r\n")),
+      ("nullp", null.asInstanceOf[Array[Byte]]))
+      .toDF("k", "payload")
+    val got = Ingest.httpSplit(rows)
+      .select(col("k"), col("status"), col("content_type"),
+        col("charset"), col("text"), length(col("body")).as("blen"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)),
+          Option(r.getString(2)).orNull, Option(r.getString(3)).orNull,
+          r.getString(4), r.getInt(5))).toMap
+    assert(got("utf8") === ((200, "text/html", "utf-8",
+      "<p>café</p>", 12)))
+    assert(got("latin1") === ((404, "text/plain", "iso-8859-1",
+      "not found é", 11)))
+    assert(got("lies") === ((200, "text/plain", "utf-8",
+      "broken é byte", 13)))
+    assert(got("sniff") === ((200, "text/html", null, "ok é", 5)))
+    assert(got("raw") === ((-1, null, null, "just resource bytes", 19)))
+    assert(got("empty") === ((301, null, null, "", 0)))
+    assert(got("nullp") === ((-1, null, null, "", 0)))
+  }
+
+  test("httpWrap round trip: writeWarcGz(httpWrap) → warcFiles → " +
+      "httpResponses reproduces the text; CR/LF in source can never " +
+      "inject headers or desync framing") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val docs = Seq(
+      (0L, "plain body", "src0"),
+      (1L, "crlf\r\n\r\ninside body", "src1"),
+      (2L, "unicode é中文 𝄞 ok", "src2"),
+      (3L, null.asInstanceOf[String], "src3"),
+      // header-injection attempt: a CRLF-bearing source would write
+      // "WARC-Target-URI: http://evil\r\nContent-Length: 0/4" and
+      // truncate every following record (advice r14) — the writer
+      // strips [\r\n] so framing survives and all 5 records come back
+      (4L, "still here", "evil\r\nContent-Length: 0")
+    ).toDF("id", "text", "source")
+    Ingest.writeWarcGz(docs, dir, shards = 2, httpWrap = true)
+    val back = Ingest.httpResponses(
+      Ingest.warcFiles(spark, dir + "/*.warc.gz"))
+    assert(back.count() === 5)
+    val byId = back.select(
+      regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+        .cast("long").as("id"),
+      col("status"), col("content_type"), col("charset"), col("text"),
+      regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+        .as("source"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getString(3), r.getString(4),
+          r.getString(5)))).toMap
+    assert(byId(0L) === ((200, "text/html", "utf-8", "plain body",
+      "src0")))
+    assert(byId(1L)._4 === "crlf\r\n\r\ninside body") // length-framed
+    assert(byId(2L)._4 === "unicode é中文 𝄞 ok")
+    assert(byId(3L)._4 === "") // null text writes as empty body
+    assert(byId(4L) === ((200, "text/html", "utf-8", "still here",
+      "evilContent-Length: 0"))) // sanitized, record intact
+  }
+
+  test("WARC header keys parse under a Turkish default locale " +
+      "(Locale.ROOT lowercasing — 'URI' must not become 'urı')") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Ingest.writeWarcGz(Seq((7L, "gövde", "kaynak"))
+      .toDF("id", "text", "source"), dir, shards = 1)
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(
+        java.util.Locale.forLanguageTag("tr-TR"))
+      val got = Ingest.warcFiles(spark, dir + "/*.warc.gz").collect()
+      assert(got.length === 1)
+      assert(got.head.getAs[String]("target_uri") ===
+        "http://kaynak/7")
+      assert(got.head.getAs[String]("warc_type") === "response")
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

@@ -176,7 +176,17 @@ class PipelineSpec extends SparkSpec {
         "<tag> & &lt; \"q\" done"),
       (4L, "no markup at all", "no markup at all"),
       (5L, "spaced\n\n\t text", "spaced text"),
-      (6L, null.asInstanceOf[String], ""))
+      (6L, null.asInstanceOf[String], ""),
+      // numeric character references (r14 missing #4): decimal, hex,
+      // astral plane; BMP max decimal boundary
+      (7L, "&#65;&#x42; snow:&#9731; emoji:&#x1F600; max:&#1114111;",
+        "AB snow:☃ emoji:😀 max:􏿿"),
+      // invalid scalar values stay verbatim: NUL, surrogate,
+      // out-of-range decimal and hex
+      (8L, "&#0; &#xD800; &#1114112; &#x110000;",
+        "&#0; &#xD800; &#1114112; &#x110000;"),
+      // &amp;#65; single-decodes to the literal &#65;, never to A
+      (9L, "&amp;#65; and &#38;#66;", "&#65; and &#66;"))
     val got = cases.map { case (i, in, _) => (i, in) }
       .toDF("id", "html")
       .select(col("id"),

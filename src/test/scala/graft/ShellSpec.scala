@@ -796,4 +796,65 @@ class ShellSpec extends SparkSpec {
     assert(ivf.select("q_id", "nn_id", "rank").collect().toSet ===
       ivfApi.select("q_id", "nn_id", "rank").collect().toSet)
   }
+
+  test("PIPELINE SEMDEDUP diagnostics: the cluster-skew probe's " +
+      "warning reaches Shell.diagnostics (not just the driver log) " +
+      "and clears on the next statement") {
+    val store = new GraphStore(spark)
+    val sh = new Shell(store)
+    import spark.implicits._
+    // degenerate: 4 identical vectors land in one cluster → 6 pairs,
+    // over a max_pairs=1 budget → the probe must fire
+    store.attachNodes("skewvecs", (0L until 4L)
+      .map(i => (i, Array(1.0f, 0.0f))).toDF("id", "embedding"), "id")
+    val kept = sh.execute("PIPELINE SEMDEDUP ON skewvecs WITH " +
+      "(clusters = 1, iters = 1, threshold = 0.99, max_pairs = 1);").get
+    assert(kept.collect().map(_.getAs[Long]("id")).toSet === Set(0L))
+    val d = sh.diagnostics
+    assert(d.exists(_.contains("semDedup: largest cluster")),
+      s"expected the skew warning in diagnostics, got $d")
+    assert(d.exists(_.contains("raise nClusters")), d.toString)
+    // results were NOT mutated by the probe (probe-only contract):
+    // 4 vectors, 3 dropped as ≥-threshold duplicates of id 0
+    // a following statement with no warnings clears the channel
+    sh.execute("PIPELINE SEMDEDUP ON skewvecs WITH " +
+      "(clusters = 1, iters = 1, threshold = 0.99);")
+    assert(sh.diagnostics.isEmpty, sh.diagnostics.toString)
+  }
+
+  test("PIPELINE HTTP: splits payloads like the API twin and chains " +
+      "via INTO → TEXT STRIPHTML (the WARC→HTTP→text intake chain)") {
+    val store = new GraphStore(spark)
+    val sh = new Shell(store)
+    import spark.implicits._
+    def b(s: String) = s.getBytes("ISO-8859-1")
+    val payloads = Seq(
+      (0L, b("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "charset=utf-8\r\n\r\n<h1>T</h1><p>body cafÃ©</p>")),
+      (1L, b("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n" +
+        "\r\n<p>gone</p>")),
+      (2L, b("not http at all")))
+    store.attachNodes("warcish", payloads.toDF("id", "payload"), "id")
+    val split = sh.execute(
+      "PIPELINE HTTP ON warcish INTO httpdocs;").get
+    val api = graft.pipeline.Ingest.httpSplit(
+      payloads.toDF("id", "payload"))
+    assert(split.select("id", "status", "content_type", "charset",
+        "text").collect().toSet ===
+      api.select("id", "status", "content_type", "charset", "text")
+        .collect().toSet)
+    // the chain: headers are GONE from the clean text, tags stripped
+    val clean = sh.execute("PIPELINE TEXT STRIPHTML ON httpdocs;").get
+      .select("id", "clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean === Map(0L -> "T body café", 1L -> "gone",
+      2L -> "not http at all"))
+    // custom payload column name binds through the option
+    store.attachNodes("warcish2",
+      payloads.toDF("id", "blob"), "id")
+    val split2 = sh.execute(
+      "PIPELINE HTTP ON warcish2 WITH (payload = \"blob\");").get
+    assert(split2.filter($"id" === 1L).head()
+      .getAs[Int]("status") === 404)
+  }
 }
