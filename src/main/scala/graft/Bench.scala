@@ -406,7 +406,10 @@ object Bench {
       "temperature_mix" -> (() => graft.pipeline.Curation
         .temperatureMix(store.nodes("documents")
           .select(col("id"), col("source")), "id", "source",
-          budgetDocs = 10000L, tau = 0.5))
+          budgetDocs = 10000L, tau = 0.5)),
+      // Gopher rule suite (p121 shape): one codegen'd pass per doc
+      "gopher_quality" -> (() => graft.pipeline.TextAnalysis
+        .gopherSignals(store.nodes("documents"), "id", "text"))
     )
 
     def timeOnce(f: () => DataFrame): Double = {

@@ -1395,6 +1395,50 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_feats"),
           col("sum_tc"), col("sum_sc"))
     }),
+    // p121: the Gopher quality-rule suite (Rae et al. 2021 §A.1.1) —
+    // the integer signal skeleton plus the pass bit with the paper's
+    // thresholds in cross-multiplied integer form (no float division
+    // anywhere, so the bit replays exactly). The fixture decorates
+    // three slices with rule-violating shapes (bullet walls, ellipsis
+    // runs, symbol soup) and the good slice with the required-word
+    // sentence (the pseudo-English corpus carries only 'the' of the
+    // paper's list) so BOTH pass branches carry rows — a
+    // constant-output gate proves nothing (the a23 lesson)
+    "p121_gopher_quality" -> ((s, dir) => {
+      val deco = element_at(array(
+        concat(coalesce(col("text"), lit("")),
+          lit(" and that have with be to of the")),
+        concat(lit("- one\n- two\n- three\n- four\n- five\n"),
+          coalesce(col("text"), lit(""))),
+        concat(coalesce(col("text"), lit("")),
+          lit(" ### ## # … # lots… of# symbols…")),
+        concat(lit("cut short...\nand again…\n"),
+          coalesce(col("text"), lit("")))),
+        (col("id") % 4).cast("int") + 1)
+      graft.pipeline.TextAnalysis.gopherSignals(
+        TpchGraph.store(s, dir).nodes("documents")
+          .select(col("id").as("doc_id"), deco.as("text")),
+        "doc_id", "text")
+    }),
+    // p122: the same from the REPL (PIPELINE TEXT GOPHER)
+    "p122_ql_gopher" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      val deco = element_at(array(
+        concat(coalesce(col("text"), lit("")),
+          lit(" and that have with be to of the")),
+        concat(lit("- one\n- two\n- three\n- four\n- five\n"),
+          coalesce(col("text"), lit(""))),
+        concat(coalesce(col("text"), lit("")),
+          lit(" ### ## # … # lots… of# symbols…")),
+        concat(lit("cut short...\nand again…\n"),
+          coalesce(col("text"), lit("")))),
+        (col("id") % 4).cast("int") + 1)
+      st.attachNodes("gopherdocs", st.nodes("documents")
+        .select(col("id"), deco.as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT GOPHER ON gopherdocs;").get
+        .withColumnRenamed("id", "doc_id")
+    }),
     // p120: DSIR in the paper's HASHED-BUCKET form (the 100 TB shape
     // that caps both count tables at `buckets` rows; previously
     // bench-only — judge r14 #6): features hash xxhash64 % 64 and the
@@ -1931,6 +1975,47 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "LEFT JOIN sc ON d.b = sc.b GROUP BY d.doc_id"
   }
 
+  /** p121/p122 oracle: the Gopher rule signals recomputed from the
+    * same decorated text — whitespace words, trimmed non-empty lines,
+    * the paper's thresholds in the engine's cross-multiplied integer
+    * form. Every sum CAST to BIGINT (the r13 HUGEINT lesson). */
+  private def gopherOracle: String =
+    "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
+      "WHEN 0 THEN coalesce(text, '') || " +
+      "' and that have with be to of the' " +
+      "WHEN 1 THEN '- one\n- two\n- three\n- four\n- five\n' || " +
+      "coalesce(text, '') " +
+      "WHEN 2 THEN coalesce(text, '') || " +
+      "' ### ## # … # lots… of# symbols…' " +
+      "ELSE 'cut short...\nand again…\n' || coalesce(text, '') END " +
+      "AS txt FROM documents), " +
+      "t AS (SELECT doc_id, txt, " +
+      "list_filter(regexp_split_to_array(trim(txt), '\\s+'), " +
+      "x -> x <> '') AS w, " +
+      "list_filter(list_transform(regexp_split_to_array(txt, '\\n'), " +
+      "x -> trim(x)), x -> x <> '') AS ln FROM d), " +
+      "s AS (SELECT doc_id, " +
+      "CAST(len(w) AS BIGINT) AS n_words, " +
+      "CAST(coalesce(list_aggregate(list_transform(w, " +
+      "x -> length(x)), 'sum'), 0) AS BIGINT) AS n_chars, " +
+      "CAST(len(regexp_extract_all(txt, '[#…]')) AS BIGINT) AS n_sym, " +
+      "CAST(len(ln) AS BIGINT) AS n_lines, " +
+      "CAST(len(list_filter(ln, x -> regexp_matches(x, " +
+      "'^[-*•‣▪]'))) AS BIGINT) AS n_bullet, " +
+      "CAST(len(list_filter(ln, x -> regexp_matches(x, " +
+      "'(\\.\\.\\.|…)$'))) AS BIGINT) AS n_ellipsis, " +
+      "CAST(len(list_filter(w, x -> regexp_matches(x, " +
+      "'[A-Za-z]'))) AS BIGINT) AS n_alpha_words, " +
+      "CAST(len(list_filter(['the','be','to','of','and','that'," +
+      "'have','with'], x -> list_contains(list_transform(w, " +
+      "y -> lower(y)), x))) AS BIGINT) AS n_required FROM t) " +
+      "SELECT *, CAST(n_words >= 50 AND n_words <= 100000 AND " +
+      "n_chars >= 3 * n_words AND n_chars <= 10 * n_words AND " +
+      "n_sym * 10 <= n_words AND n_bullet * 10 < n_lines * 9 AND " +
+      "n_ellipsis * 10 <= n_lines * 3 AND " +
+      "n_alpha_words * 5 >= n_words * 4 AND n_required >= 2 AS INT) " +
+      "AS gopher_pass FROM s"
+
   /** p116/p117 oracle: per-source per-million rates recomputed with
     * the engine's deterministic arithmetic, then the md5 buckets. */
   private def temperatureMixOracle: String =
@@ -2459,6 +2544,8 @@ WHERE rank <= 10"""
       dsirOracle("doc_id % 3 = 0", "TRUE"),
     "p120_dsir_buckets" ->
       dsirBucketsOracle("doc_id % 3 = 0", 64),
+    "p121_gopher_quality" -> gopherOracle,
+    "p122_ql_gopher" -> gopherOracle,
     // p114/p115: the expected canonical URLs in closed form
     "p114_canonical_url" -> canonUrlOracle,
     "p115_ql_canonurl" -> canonUrlOracle,

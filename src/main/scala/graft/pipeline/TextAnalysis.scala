@@ -126,6 +126,67 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The Gopher quality-rule word list (Rae et al. 2021, table A1):
+    * a document must contain at least 2 of these to pass. */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-filter rules (Rae et al. 2021 §A.1.1 — the
+    * published heuristic suite MassiveWeb was filtered with; also the
+    * backbone of RefinedWeb/Dolma's rule stacks). Emits the INTEGER
+    * signal skeleton — exactly SQL-replayable, the p91 discipline —
+    * plus `gopher_pass` (0/1) applying the paper's thresholds:
+    *
+    *   - 50 ≤ word count ≤ 100,000
+    *   - 3 ≤ mean word length ≤ 10  (integer form: 3·n ≤ chars ≤ 10·n)
+    *   - symbol-to-word ratio (`#` or `…`) ≤ 0.1  (10·sym ≤ n)
+    *   - < 90% of lines start with a bullet  (10·bullet < 9·lines)
+    *   - ≤ 30% of lines end with an ellipsis  (10·ell ≤ 3·lines)
+    *   - ≥ 80% of words contain an alphabetic char  (5·alpha ≥ 4·n)
+    *   - ≥ 2 of `requiredWords` present (default
+    *     [[GopherRequiredWords]], the paper's English list — a
+    *     language-specific dial; non-English pipelines pass their own)
+    *
+    * Ratio thresholds are applied in cross-multiplied INTEGER form so
+    * the pass bit is bit-reproducible in any engine — no float
+    * division anywhere. Lines are non-empty after trim; words are the
+    * repo-wide whitespace contract. Pure codegen'd projection: the
+    * 100 TB cost is the scan. */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String,
+      requiredWords: Seq[String] = GopherRequiredWords): DataFrame = {
+    require(requiredWords.nonEmpty, "requiredWords must be non-empty")
+    val raw = coalesce(col(textCol), lit(""))
+    val toks = filter(split(trim(raw), "\\s+"), t => t =!= "")
+    val lines = filter(transform(split(raw, "\n"), l => trim(l)),
+      l => l =!= "")
+    val lowToks = transform(toks, t => lower(t))
+    val base = df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_chars"),
+      size(call_function("regexp_extract_all", raw, lit("[#…]"),
+        lit(0))).cast("long").as("n_sym"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("^[-*•‣▪]")))
+        .cast("long").as("n_bullet"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+        .cast("long").as("n_ellipsis"),
+      size(filter(toks, t => t.rlike("[A-Za-z]")))
+        .cast("long").as("n_alpha_words"),
+      size(filter(
+        array(requiredWords.map(lit): _*),
+        w => array_contains(lowToks, w))).cast("long").as("n_required"))
+    base.withColumn("gopher_pass",
+      (col("n_words") >= 50L && col("n_words") <= 100000L &&
+        col("n_chars") >= col("n_words") * 3L &&
+        col("n_chars") <= col("n_words") * 10L &&
+        col("n_sym") * 10L <= col("n_words") &&
+        col("n_bullet") * 10L < col("n_lines") * 9L &&
+        col("n_ellipsis") * 10L <= col("n_lines") * 3L &&
+        col("n_alpha_words") * 5L >= col("n_words") * 4L &&
+        col("n_required") >= 2L).cast("int"))
+  }
+
   /** Email addresses — RE2-compatible (the oracle's DuckDB regex engine)
     * AND java.util.regex-compatible, so both engines see identical
     * matches. */

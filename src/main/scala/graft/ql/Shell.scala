@@ -310,6 +310,7 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("QUALITY") | Some("PII") |
             Some("REPETITION") | Some("FINGERPRINT") |
             Some("LM"))                       => Set("text")
+        case ("TEXT", Some("GOPHER"))         => Set("text", "required")
         case ("TEXT", Some("BOILERPLATE"))    =>
           Set("text", "min_docs", "min_kept")
         case ("TEXT", Some("BPE"))            => Set("text", "merges")
@@ -469,6 +470,16 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("LM")) =>
           // corpus-trained bigram LM scoring (perplexity quality signal)
           graft.pipeline.TextAnalysis.bigramLm(df, id, str("text", "text"))
+        case ("TEXT", Some("GOPHER")) =>
+          // the Gopher quality-rule suite (Rae 2021): integer signals
+          // + the pass bit; `required` overrides the English
+          // required-word list (comma-separated)
+          val req = str("required", "").split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          graft.pipeline.TextAnalysis.gopherSignals(df, id,
+            str("text", "text"),
+            if (req.nonEmpty) req
+            else graft.pipeline.TextAnalysis.GopherRequiredWords)
         case ("TEXT", Some("BPE")) =>
           // BPE train-on-the-fly + tokenize (interactive shape; a
           // production pipeline persists the merge list via the API)

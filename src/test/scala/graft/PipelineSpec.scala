@@ -197,6 +197,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("gopherSignals: every signal hand-checked; the pass bit " +
+      "applies the paper's thresholds in integer form") {
+    import spark.implicits._
+    // 60 words, all alphabetic incl. 'the'+'of', no symbols/bullets
+    val good = (1 to 58).map(i => s"word$i").mkString("the of ", " ", "")
+    val cases = Seq(
+      (0L, good),
+      // bullet wall: 5 of 5 lines are bullets (>= 90%)
+      (1L, (1 to 5).map(i => s"- item $i").mkString("\n")),
+      // ellipsis endings: 2 of 3 lines (> 30%)
+      (2L, "first one...\nsecond one…\nthird stays"),
+      // symbol soup: 8 symbols over 6 words (> 10%)
+      (3L, "a # b # c … d # e ## f #…"),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+    val got = graft.pipeline.TextAnalysis.gopherSignals(
+      cases.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_sym"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_bullet"), r.getAs[Long]("n_ellipsis"),
+          r.getAs[Long]("n_alpha_words"), r.getAs[Long]("n_required"),
+          r.getAs[Int]("gopher_pass")))).toMap
+    // good: 60 words; chars = 3+2 + len("word1..9")*9 + len(..10..58)*49
+    assert(got(0L) === ((60L, 5L + 5L * 9L + 6L * 49L, 0L, 1L, 0L, 0L,
+      60L, 2L, 1)))
+    // bullets: 15 words, 5 lines all bullets → fails the 90% rule
+    // (and the 50-word floor); only 'item' per line is alphabetic
+    assert(got(1L) === ((15L, 30L, 0L, 5L, 5L, 0L, 5L, 0L, 0)))
+    assert(got(2L)._6 === 2L) // two ellipsis-terminated lines
+    assert(got(2L)._4 === 3L)
+    assert(got(2L)._9 === 0)
+    val s3 = got(3L)
+    assert(s3._3 === 8L && s3._1 === 12L && s3._9 === 0,
+      s"symbol case: $s3")
+    assert(got(4L) === ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0)))
+    assert(got(5L) === got(4L))
+    // the required-word list is a language dial: a custom list flips
+    // n_required (and the pass bit's last conjunct) for the same text
+    val custom = graft.pipeline.TextAnalysis.gopherSignals(
+      cases.toDF("id", "text"), "id", "text",
+      requiredWords = Seq("word1", "word2", "item"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("n_required")).toMap
+    assert(custom(0L) === 2L && custom(1L) === 1L)
+  }
+
   test("bigramLm: counts hand-checked, logprob follows the smoothing " +
       "formula, sub-2-token docs drop") {
     import spark.implicits._
