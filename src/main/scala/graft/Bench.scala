@@ -409,7 +409,25 @@ object Bench {
           budgetDocs = 10000L, tau = 0.5)),
       // Gopher rule suite (p121 shape): one codegen'd pass per doc
       "gopher_quality" -> (() => graft.pipeline.TextAnalysis
-        .gopherSignals(store.nodes("documents"), "id", "text"))
+        .gopherSignals(store.nodes("documents"), "id", "text")),
+      // r15 wave: WET ingest round trip (p123 shape — write inside
+      // the timing, like warc_ingest), the C4 rule suite, native NFC
+      // normalization, and keep-first cross-doc line dedup
+      "wet_ingest" -> (() => {
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_bench_wet").getAbsolutePath
+        graft.pipeline.Ingest.writeWetGz(
+          store.nodes("documents").select("id", "text", "source"),
+          out, shards = 8)
+        graft.pipeline.Ingest.wetFiles(spark, out + "/*.wet.gz")
+      }),
+      "c4_clean" -> (() => graft.pipeline.TextAnalysis.c4Clean(
+        store.nodes("documents"), "id", "text")),
+      "nfc_normalize" -> (() => store.nodes("documents")
+        .select(col("id"), graft.pipeline.TextAnalysis
+          .normalizeUnicode(col("text")).as("normalized"))),
+      "dedup_lines" -> (() => graft.pipeline.Curation.dedupLines(
+        store.nodes("documents"), "id", "text"))
     )
 
     def timeOnce(f: () => DataFrame): Double = {

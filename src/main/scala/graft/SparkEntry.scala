@@ -1453,6 +1453,92 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_feats"),
           col("sum_tc"), col("sum_sc"))
     }),
+    // p123: WET ingestion — CommonCrawl's extracted-text sibling of
+    // WARC (same ISO 28500 container, `conversion` records with UTF-8
+    // text/plain payloads): the documents table is exported as 4
+    // gzipped WET shards (each opening with the warcinfo record real
+    // shards carry) and re-ingested; the non-ASCII decoration keeps
+    // the RFC 3629 sieve's UTF-8 decode path on the line
+    "p123_wet_ingest" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id"),
+          concat(coalesce(col("text"), lit("")), lit(" café 中文"))
+            .as("text"),
+          col("source"))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_wet_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      Ingest.writeWetGz(docs, out, shards = 4)
+      Ingest.wetFiles(s, out + "/*.wet.gz")
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("text"),
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+            .as("source"))
+    }),
+    // p124: the C4 cleaning rules (Raffel et al. 2020 §2.2) — four
+    // fixture slices: a clean three-sentence page (pass), a page whose
+    // decoration lines each trip one LINE rule (short / no terminal
+    // punct / javascript / policy phrase → page fails the 3-sentence
+    // floor), a lorem-ipsum page and a curly-brace page (line-clean
+    // but page-failing). The oracle re-applies every rule in DuckDB
+    "p124_c4_clean" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.c4Clean(
+        TpchGraph.store(s, dir).nodes("documents")
+          .select(col("id").as("doc_id"), c4Deco.as("text")),
+        "doc_id", "text")),
+    // p125: the same from the REPL (PIPELINE TEXT C4)
+    "p125_ql_c4" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("c4docs", st.nodes("documents")
+        .select(col("id"), c4Deco.as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT C4 ON c4docs;").get
+        .withColumnRenamed("id", "doc_id")
+    }),
+    // p126: Unicode NFC normalization (UAX #15) — the native
+    // codegen'd expression vs DuckDB's utf8proc `nfc_normalize`: two
+    // INDEPENDENT implementations of the same published algorithm.
+    // The decoration carries combining sequences (e+U+0301,
+    // A+U+030A), the U+212B ANGSTROM SIGN singleton, and the U+FB01
+    // ligature that must SURVIVE NFC (it only folds under NFKC)
+    "p126_nfc_normalize" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          graft.pipeline.TextAnalysis.normalizeUnicode(nfcDeco, "NFC")
+            .as("normalized"))),
+    // p127: the same from the REPL (PIPELINE TEXT NORMALIZE)
+    "p127_ql_normalize" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("nfcdocs", st.nodes("documents")
+        .select(col("id"), nfcDeco.as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT NORMALIZE ON nfcdocs;").get
+        .select(col("id").as("doc_id"), col("normalized"))
+    }),
+    // p128: keep-first cross-document line dedup (the CCNet paragraph
+    // dedup — ONE occurrence survives corpus-wide, in (doc id, line
+    // position) order; BOILERPLATE's drop-all twin). The fixture
+    // gives every document a cross-doc shared line (id % 7), its own
+    // text line, and a guaranteed-unique line; the oracle replays
+    // keep-first over line STRINGS (the engine dedups on xxhash64 —
+    // CCNet's own 64-bit-hash contract; a collision is 2^-64/pair)
+    "p128_dedup_lines" -> ((s, dir) =>
+      graft.pipeline.Curation.dedupLines(
+        TpchGraph.store(s, dir).nodes("documents")
+          .select(col("id").as("doc_id"), lineDeco.as("text")),
+        "doc_id", "text")),
+    // p129: the same from the REPL (PIPELINE DEDUP LINES)
+    "p129_ql_dedup_lines" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("linedocs", st.nodes("documents")
+        .select(col("id"), lineDeco.as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE DEDUP LINES ON linedocs;").get
+        .withColumnRenamed("id", "doc_id")
+    }),
     // p97: the EXR decode from the REPL — must reproduce p96's oracle
     // bit for bit through the real lexer/parser/shell
     "p97_ql_media_exr" -> ((s, dir) => {
@@ -1979,6 +2065,106 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
     * same decorated text — whitespace words, trimmed non-empty lines,
     * the paper's thresholds in the engine's cross-multiplied integer
     * form. Every sum CAST to BIGINT (the r13 HUGEINT lesson). */
+  /** p124/p125 fixture: a clean three-sentence page (every line passes
+    * every C4 line rule). */
+  private val C4Good: String =
+    "This is a good sentence one.\n" +
+      "Here is another good sentence two!\n" +
+      "And a third full sentence here?"
+
+  /** p124/p125 fixture: four C4-rule slices per id (pass / line-rule
+    * violations / lorem-ipsum page / curly-brace page). */
+  private def c4Deco: org.apache.spark.sql.Column = element_at(array(
+    concat(lit(C4Good + "\n"), coalesce(col("text"), lit(""))),
+    concat(coalesce(col("text"), lit("")),
+      lit("\nPlease enable javascript to continue reading." +
+        "\nWe updated our privacy policy today folks." +
+        "\nTiny line.\nno terminal punct here at all")),
+    lit(C4Good + "\nThe lorem ipsum block was pasted here."),
+    lit(C4Good + "\ncode { brace")),
+    (col("id") % 4).cast("int") + 1)
+
+  /** p124/p125 oracle: every C4 rule re-applied in DuckDB. */
+  private def c4Oracle: String =
+    "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
+      s"WHEN 0 THEN '$C4Good' || chr(10) || coalesce(text, '') " +
+      "WHEN 1 THEN coalesce(text, '') || " +
+      "'\nPlease enable javascript to continue reading." +
+      "\nWe updated our privacy policy today folks." +
+      "\nTiny line.\nno terminal punct here at all' " +
+      s"WHEN 2 THEN '$C4Good\nThe lorem ipsum block was pasted here.' " +
+      s"ELSE '$C4Good\ncode { brace' END AS txt FROM documents), " +
+      "t AS (SELECT doc_id, txt, " +
+      "list_filter(list_transform(string_split(txt, chr(10)), " +
+      "x -> trim(x)), l -> regexp_matches(l, '[.?!\"]$') AND " +
+      "len(list_filter(regexp_split_to_array(l, '\\s+'), " +
+      "w -> w <> '')) >= 5 AND " +
+      "NOT regexp_matches(lower(l), '\\bjavascript\\b') AND " +
+      "NOT (contains(lower(l), 'terms of use') OR " +
+      "contains(lower(l), 'privacy policy') OR " +
+      "contains(lower(l), 'cookie policy') OR " +
+      "contains(lower(l), 'uses cookies') OR " +
+      "contains(lower(l), 'use of cookies') OR " +
+      "contains(lower(l), 'use cookies'))) AS kept FROM d), " +
+      "s AS (SELECT doc_id, txt, " +
+      "coalesce(array_to_string(kept, chr(10)), '') AS clean, " +
+      "CAST(len(kept) AS BIGINT) AS n_lines_kept FROM t) " +
+      "SELECT doc_id, clean, n_lines_kept, " +
+      "CAST(len(regexp_extract_all(clean, '[.?!]')) AS BIGINT) " +
+      "AS n_sentences, " +
+      "CAST(len(regexp_extract_all(clean, '[.?!]')) >= 3 AND " +
+      "NOT contains(lower(txt), 'lorem ipsum') AND " +
+      "NOT contains(txt, '{') AS INT) AS c4_pass FROM s"
+
+  /** p126/p127 fixture: combining sequences (e+U+0301, A+U+030A), the
+    * U+212B ANGSTROM singleton, the U+FB01 ligature NFC must keep,
+    * and already-composed text that must pass through. */
+  private def nfcDeco: org.apache.spark.sql.Column =
+    concat(coalesce(col("text"), lit("")),
+      lit(" e\u0301 A\u030A \u212B \uFB01 caf\u00E9"))
+
+  /** p126/p127 oracle: DuckDB's utf8proc NFC over the same
+    * decoration (combining marks built with chr() so no toolchain can
+    * re-normalize the SQL text itself). */
+  private def nfcOracle: String =
+    "SELECT doc_id, nfc_normalize(coalesce(text, '') || ' e' || " +
+      "chr(769) || ' A' || chr(778) || ' ' || chr(8491) || ' ' || " +
+      "chr(64257) || ' caf' || chr(233) || '') AS normalized FROM documents"
+
+  /** p128/p129 fixture: a cross-document shared line (id % 7), the
+    * document's own text, and a guaranteed-unique line. */
+  private def lineDeco: org.apache.spark.sql.Column = concat_ws("\n",
+    concat(lit("shared-"), (col("id") % 7).cast("string")),
+    coalesce(col("text"), lit("")),
+    concat(lit("uniq-"), col("id").cast("string")))
+
+  /** p128/p129 oracle: keep-first line dedup replayed over line
+    * strings (row_number in (doc_id, pos) order; blank lines are
+    * structure). */
+  private def dedupLinesOracle: String =
+    "WITH d AS (SELECT doc_id, 'shared-' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || chr(10) || " +
+      "coalesce(text, '') || chr(10) || 'uniq-' || " +
+      "CAST(doc_id AS VARCHAR) AS txt FROM documents), " +
+      "m AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM d), " +
+      "l AS (SELECT doc_id, unnest(ls) AS line, " +
+      "generate_subscripts(ls, 1) AS pos FROM m), " +
+      "nb AS (SELECT doc_id, pos, row_number() OVER " +
+      "(PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l " +
+      "WHERE trim(line) <> ''), " +
+      "rem AS (SELECT doc_id, pos FROM nb WHERE rn > 1), " +
+      "k AS (SELECT l.doc_id, l.pos, l.line FROM l LEFT JOIN rem " +
+      "ON l.doc_id = rem.doc_id AND l.pos = rem.pos " +
+      "WHERE rem.doc_id IS NULL), " +
+      "agg AS (SELECT doc_id, coalesce(string_agg(line, chr(10) " +
+      "ORDER BY pos), '') AS clean_text, count(*) AS n_kept " +
+      "FROM k GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, len(ls) AS n FROM m) " +
+      "SELECT a.doc_id, a.clean_text, " +
+      "CAST(a.n_kept AS BIGINT) AS n_kept, " +
+      "CAST(t.n - a.n_kept AS BIGINT) AS n_removed " +
+      "FROM agg a JOIN tot t USING (doc_id)"
+
   private def gopherOracle: String =
     "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
       "WHEN 0 THEN coalesce(text, '') || " +
@@ -2546,6 +2732,18 @@ WHERE rank <= 10"""
       dsirBucketsOracle("doc_id % 3 = 0", 64),
     "p121_gopher_quality" -> gopherOracle,
     "p122_ql_gopher" -> gopherOracle,
+    // p123: the WET round trip — the decorated text must survive the
+    // UTF-8 write + sieve-guarded decode byte for byte
+    "p123_wet_ingest" ->
+      ("SELECT doc_id, coalesce(text, '') || ' caf' || chr(233) || " +
+        "' ' || chr(20013) || chr(25991) AS text, source " +
+        "FROM documents"),
+    "p124_c4_clean" -> c4Oracle,
+    "p125_ql_c4" -> c4Oracle,
+    "p126_nfc_normalize" -> nfcOracle,
+    "p127_ql_normalize" -> nfcOracle,
+    "p128_dedup_lines" -> dedupLinesOracle,
+    "p129_ql_dedup_lines" -> dedupLinesOracle,
     // p114/p115: the expected canonical URLs in closed form
     "p114_canonical_url" -> canonUrlOracle,
     "p115_ql_canonurl" -> canonUrlOracle,

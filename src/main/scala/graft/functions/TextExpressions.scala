@@ -176,6 +176,63 @@ object TextStats {
   }
 }
 
+/** Unicode normalization (UAX #15) as a native codegen'd expression —
+  * `java.text.Normalizer` under whole-stage codegen, with an
+  * `isNormalized` fast path so already-normalized text (the
+  * overwhelmingly-common ASCII row) returns the input `UTF8String`
+  * without allocating. A Scala UDF here would break codegen and box
+  * every row; Spark has no built-in normalizer (SPARK-whichever never
+  * landed), so this is the (b)-tier custom-Expression case.
+  *
+  * `form` is validated at construction: NFC / NFD / NFKC / NFKD.
+  * NFC is oracle-gated against DuckDB's utf8proc `nfc_normalize`.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(UnicodeNormalize.Forms.contains(form),
+    s"unknown normalization form '$form' — one of " +
+      UnicodeNormalize.Forms.mkString(", "))
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"UnicodeNormalize expects a string, got " +
+        child.dataType.catalogString)
+
+  @transient private lazy val nform =
+    java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.compute(input.asInstanceOf[UTF8String], nform)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("nform", nform,
+      "java.text.Normalizer.Form")
+    defineCodeGen(ctx, ev, c =>
+      s"${UnicodeNormalize.getClass.getName.stripSuffix("$")}" +
+        s".compute($c, $formRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val Forms: Seq[String] = Seq("NFC", "NFD", "NFKC", "NFKD")
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, form: java.text.Normalizer.Form)
+      : UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, form))
+  }
+}
+
 object PolyHash {
   val Mod = 1000000007L
 

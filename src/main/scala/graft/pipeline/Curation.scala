@@ -789,8 +789,21 @@ object Curation {
           .select("__h")
         within.unionByName(assisted)
     }
-    val hits = lines.join(boiler, Seq("__h"), "left_semi")
-      .groupBy("__id")
+    val removals = lines.join(boiler, Seq("__h"), "left_semi")
+      .select("__id", "__pos")
+    cutLinePositions(base, removals, idCol, minKeptLines)
+  }
+
+  /** Shared tail of the line-cutting family ([[removeBoilerplate]],
+    * [[dedupLines]]): given `base = (__id, __ls line-array)` and
+    * `removals = (__id, __pos)` rows naming the lines to cut, rebuild
+    * each document's text without them. Only POSITIONS cross the
+    * doc-grain shuffle — the text stays with the document row and is
+    * re-sliced in place (the text-never-shuffles discipline). */
+  private def cutLinePositions(base: DataFrame, removals: DataFrame,
+                               idCol: String,
+                               minKeptLines: Long): DataFrame = {
+    val hits = removals.groupBy("__id")
       .agg(sort_array(collect_list(col("__pos").cast("long")))
         .as("__bp"))
     def bp = coalesce(col("__bp"), emptyPositions)
@@ -813,5 +826,54 @@ object Curation {
         size(col("__kept")).cast("long").as("n_kept"),
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
       .filter(col("n_kept") >= minKeptLines)
+  }
+
+  /** Keep-first cross-document line dedup — the CCNet paragraph
+    * deduplication (Wenzek et al. 2020 §3.2: hash every paragraph,
+    * keep ONE occurrence corpus-wide, drop the rest). The complement
+    * of [[removeBoilerplate]], which drops ALL occurrences of frequent
+    * lines: boilerplate removal kills navigation chrome; keep-first
+    * dedup keeps exactly one copy of repeated content so the corpus
+    * retains it without over-weighting it.
+    *
+    * A non-blank line's occurrences are ordered by `(document id,
+    * line position)` ascending; the first is kept, every other is cut.
+    * Within-document repeats dedup too (CCNet's behavior — the hash
+    * table is global). Blank lines are structure, never deduped.
+    * Output per surviving document: `clean_text`, `n_kept`,
+    * `n_removed` (the [[removeBoilerplate]] schema, so the two chain
+    * interchangeably); documents with fewer than `minKeptLines` kept
+    * lines drop.
+    *
+    * Lines cross the dedup shuffle as xxhash64 longs, never as text
+    * (CCNet itself dedups on a 64-bit paragraph hash — a collision
+    * drops a real line, at the published 2^-64-per-pair rate). 100 TB
+    * shape: one map-side-combined min-aggregate at line-hash grain
+    * (the winner table, ≪ corpus), one line-grain join against it,
+    * and the doc-grain position collect; document text never crosses
+    * a shuffle. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minKeptLines: Long = 1L): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val base = df.select(col(idCol).as("__id"),
+        when(length(t) === 0, array().cast("array<string>"))
+          .otherwise(split(t, "\n", -1)).as("__ls"))
+      .transform(graft.core.Materialize(_))
+    val lines = base.select(col("__id"),
+        posexplode(col("__ls")).as(Seq("__pos", "__l")))
+      .filter(trim(col("__l")) =!= "")
+      .select(col("__id"), col("__pos"), xxhash64(col("__l")).as("__h"))
+    // the keep-first winner per line hash: min (id, pos) — struct
+    // ordering is lexicographic, so this is the first occurrence in
+    // (document id, position) order
+    val winners = lines
+      .groupBy("__h")
+      .agg(min(struct(col("__id").cast("long").as("__wid"),
+        col("__pos").cast("long").as("__wpos"))).as("__w"))
+    val removals = lines.join(winners, Seq("__h"))
+      .filter(col("__id").cast("long") =!= col("__w")("__wid") ||
+        col("__pos").cast("long") =!= col("__w")("__wpos"))
+      .select("__id", "__pos")
+    cutLinePositions(base, removals, idCol, minKeptLines)
   }
 }

@@ -283,6 +283,83 @@ object Ingest {
   def httpResponses(warc: DataFrame): DataFrame =
     httpSplit(warc.filter(col("warc_type") === "response"))
 
+  /** Read a glob of WET shards (`.wet` / `.wet.gz` — CommonCrawl's
+    * extracted-text sibling of WARC: the same ISO 28500 container,
+    * whose `conversion` records carry the page text as a UTF-8
+    * `text/plain` payload). One row per conversion record:
+    * `(_input_file, target_uri, text)` — the leading `warcinfo`
+    * record every real WET shard starts with is skipped by type.
+    *
+    * The payload SHOULD be UTF-8 but real shards carry stragglers, so
+    * the decode routes through the exact RFC 3629 sieve
+    * ([[Encoding]]): valid UTF-8 decodes as UTF-8, anything malformed
+    * falls back to the lossless ISO-8859-1 byte view (the same
+    * salvage contract as [[httpSplit]]; Spark 4's `decode` throws on
+    * malformed UTF-8, so the sieve is what makes this total).
+    *
+    * 100 TB shape: identical to [[warcFiles]] — one task per shard,
+    * streaming gzip, one record in memory; the decode is built-in
+    * codegen'd expressions on top. */
+  def wetFiles(spark: SparkSession, glob: String): DataFrame = {
+    val latin1View = decode(col("payload"), "ISO-8859-1")
+    warcFiles(spark, glob)
+      .filter(col("warc_type") === "conversion")
+      .select(col("_input_file"), col("target_uri"),
+        when(Encoding.looksLikeUtf8(latin1View),
+          decode(col("payload"), "UTF-8"))
+          .otherwise(latin1View).as("text"))
+  }
+
+  /** Write `(id, text, source)`-shaped rows as gzipped WET shards
+    * (the fixture / export twin of [[wetFiles]]): `shards` files named
+    * `part-NNNNN.warc.wet.gz` under `dir`, each opening with the
+    * `warcinfo` record real CommonCrawl WET shards carry (so the
+    * reader's type filter is exercised), followed by one `conversion`
+    * record per row with a UTF-8 `text/plain` payload. Executors
+    * write their own shards — no driver funnel. */
+  def writeWetGz(df: DataFrame, dir: String, shards: Int): Unit = {
+    require(shards >= 1, "shards must be >= 1")
+    require(df.columns.length == 3,
+      s"expected (id, text, source) columns, got ${df.columns.toSeq}")
+    val Seq(idC, textC, srcC) = df.columns.toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(idC).cast("long"), coalesce(col(textC), lit(""))
+        .cast("string"), col(srcC).cast("string"))
+      .repartition(shards).rdd.foreachPartition { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(
+          f"$dir%s/part-$part%05d.warc.wet.gz")
+        val fs = path.getFileSystem(conf.value)
+        val out = new GZIPOutputStream(fs.create(path, true))
+        try {
+          val crlf = "\r\n".getBytes("US-ASCII")
+          val info = ("software: graft\r\n" +
+            "format: WARC File Format 1.0\r\n").getBytes("UTF-8")
+          val infoHdr = ("WARC/1.0\r\n" +
+            "WARC-Type: warcinfo\r\n" +
+            "Content-Type: application/warc-fields\r\n" +
+            s"Content-Length: ${info.length}\r\n" +
+            "\r\n").getBytes("US-ASCII")
+          out.write(infoHdr); out.write(info)
+          out.write(crlf); out.write(crlf)
+          it.foreach { r =>
+            // same header-injection guard as writeWarcGz (advice r14)
+            val src = r.getString(2).replaceAll("[\\r\\n]", "")
+            val body = r.getString(1).getBytes("UTF-8")
+            val hdr = ("WARC/1.0\r\n" +
+              "WARC-Type: conversion\r\n" +
+              s"WARC-Target-URI: http://$src/${r.getLong(0)}\r\n" +
+              "Content-Type: text/plain\r\n" +
+              s"Content-Length: ${body.length}\r\n" +
+              "\r\n").getBytes("US-ASCII")
+            out.write(hdr); out.write(body)
+            out.write(crlf); out.write(crlf)
+          }
+        } finally out.close()
+      }
+  }
+
   /** Write `(id, text, source)`-shaped rows as gzipped WARC response
     * records (the fixture / export twin of [[warcFiles]]): `shards`
     * files named `part-NNNNN.warc.gz` under `dir`. The target URI

@@ -187,6 +187,83 @@ object TextAnalysis {
         col("n_required") >= 2L).cast("int"))
   }
 
+  /** The C4 line-level policy phrases (Raffel et al. 2020 §2.2, as
+    * published in the TensorFlow-datasets `c4_utils` reference
+    * implementation): a line containing any of these is dropped. */
+  val C4PolicyPhrases: Seq[String] = Seq(
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies")
+
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2 — the heuristic
+    * suite the Colossal Clean Crawled Corpus was built with; with
+    * [[gopherSignals]] the other canonical published rule stack).
+    * Line-level: keep lines that end in a terminal punctuation mark
+    * (`.?!"` — the reference implementation's `_END_MARKS`), carry at
+    * least 5 whitespace words, contain neither the word `javascript`
+    * nor a [[C4PolicyPhrases]] policy phrase. Page-level signals over
+    * the result: `clean` (kept lines joined with `\n`), `n_lines_kept`,
+    * `n_sentences` (terminal-punctuation count over the kept text — a
+    * deterministic proxy for the paper's NLTK sentence count, which is
+    * not reproducible across engines), and `c4_pass` applying the
+    * paper's page rules: ≥ 3 sentences, no `lorem ipsum`, no curly
+    * brace `{` (code pages), and no `badWords` token (the paper's
+    * blocklist is a parameter — its published list is an English
+    * dial; empty disables the rule, token-grain case-insensitive).
+    *
+    * Page-level containment rules test the RAW page (the paper drops
+    * the page when the phrase appears anywhere, kept line or not).
+    * Pure codegen'd projection — one scan, no shuffle, no UDF; every
+    * signal is integer/string arithmetic so the gate replays exactly. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      badWords: Seq[String] = Nil): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    val trimmedLines = transform(split(raw, "\n", -1), l => trim(l))
+    def lineKeeps(l: Column): Column = {
+      val low = lower(l)
+      l.rlike("[.?!\"]$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+        !low.rlike("\\bjavascript\\b") &&
+        !C4PolicyPhrases.map(p => low.contains(lit(p)))
+          .reduce(_ || _)
+    }
+    val kept = filter(trimmedLines, lineKeeps(_))
+    val clean = array_join(kept, "\n")
+    val lowRaw = lower(raw)
+    val badHit =
+      if (badWords.isEmpty) lit(false)
+      else exists(split(lowRaw, "\\s+"),
+        t => t.isInCollection(badWords.map(_.toLowerCase(
+          java.util.Locale.ROOT))))
+    val pageBad = lowRaw.contains("lorem ipsum") ||
+      raw.contains("{") || badHit
+    df.select(
+        col(idCol),
+        clean.as("clean"),
+        size(kept).cast("long").as("n_lines_kept"),
+        size(call_function("regexp_extract_all", clean, lit("[.?!]"),
+          lit(0))).cast("long").as("n_sentences"),
+        pageBad.as("__pagebad"))
+      .withColumn("c4_pass",
+        (col("n_sentences") >= 3L && !col("__pagebad")).cast("int"))
+      .drop("__pagebad")
+  }
+
+  /** Unicode normalization (NFC by default) — the canonical-form step
+    * a dedup/fingerprint pipeline runs first: `café` composed and
+    * `café` decomposed (e + U+0301) are the same text but different
+    * codepoints, so exact/MinHash dedup misses the pair without it.
+    * Implemented as a native codegen'd Catalyst expression
+    * ([[graft.functions.UnicodeNormalize]] — `java.text.Normalizer`
+    * with an `isNormalized` fast path, so the overwhelmingly-common
+    * already-normalized ASCII row allocates nothing); forms NFC / NFD
+    * / NFKC / NFKD. One scan, no shuffle; NFC is gated against
+    * DuckDB's `nfc_normalize` (utf8proc) — two independent
+    * implementations of UAX #15. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), form))
+
   /** Email addresses — RE2-compatible (the oracle's DuckDB regex engine)
     * AND java.util.regex-compatible, so both engines see identical
     * matches. */

@@ -268,11 +268,12 @@ final class Shell(store: GraphStore,
       val df = store.nodes(label)
       def unknownStmt(): Nothing = throw new IllegalArgumentException(
         s"unknown PIPELINE statement: $family ${variant.getOrElse("")} — " +
-          "families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH), " +
+          "families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH|" +
+          "LINES), " +
           "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), SEMDEDUP, PROFILE, " +
           "DECONTAMINATE, PACK, SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|" +
           "FINGERPRINT|PII|BPE|REPETITION|BOILERPLATE|LM|FIXENCODING|" +
-          "STRIPHTML), HTTP, CHUNK, URL, MIX, DSIR, " +
+          "STRIPHTML|GOPHER|C4|NORMALIZE), HTTP, CHUNK, URL, MIX, DSIR, " +
           "MEDIA (IMAGE|AUDIO|EXR|FRAMES)")
       // an unknown (or misspelled) option key must fail loudly, never
       // silently run with a default — the review-r12 rule: a user who
@@ -290,6 +291,7 @@ final class Shell(store: GraphStore,
         case ("DEDUP", Some("COSINE"))        => Set("vec", "threshold")
         case ("DEDUP", Some("COSINE_LSH"))    =>
           Set("vec", "threshold", "planes", "tables")
+        case ("DEDUP", Some("LINES"))         => Set("text", "min_kept")
         case ("SPANS", None)                  => Set("text", "k", "min_count")
         case ("SPANS", Some("REMOVE"))        =>
           Set("text", "k", "min_count", "min_kept")
@@ -311,6 +313,8 @@ final class Shell(store: GraphStore,
             Some("REPETITION") | Some("FINGERPRINT") |
             Some("LM"))                       => Set("text")
         case ("TEXT", Some("GOPHER"))         => Set("text", "required")
+        case ("TEXT", Some("C4"))             => Set("text", "badwords")
+        case ("TEXT", Some("NORMALIZE"))      => Set("text", "form")
         case ("TEXT", Some("BOILERPLATE"))    =>
           Set("text", "min_docs", "min_kept")
         case ("TEXT", Some("BPE"))            => Set("text", "merges")
@@ -375,6 +379,11 @@ final class Shell(store: GraphStore,
           graft.pipeline.Dedup.cosinePairsLsh(df, id,
             str("vec", "embedding"), threshold = dbl("threshold", 0.9),
             planes = int("planes", 12), tables = int("tables", 1))
+        case ("DEDUP", Some("LINES")) =>
+          // keep-first cross-document line dedup (CCNet paragraph
+          // dedup — keeps ONE occurrence; BOILERPLATE drops all)
+          graft.pipeline.Curation.dedupLines(df, id,
+            str("text", "text"), minKeptLines = lng("min_kept", 1L))
         case ("SPANS", None) =>
           graft.pipeline.Dedup.duplicatedSpans(df, id,
             str("text", "text"), k = int("k", 8),
@@ -497,6 +506,20 @@ final class Shell(store: GraphStore,
           // dropped, tags stripped, named entities decoded)
           df.select(col(id), graft.pipeline.TextAnalysis.stripHtml(
             col(str("text", "text"))).as("clean"))
+        case ("TEXT", Some("C4")) =>
+          // the C4 cleaning rules (Raffel 2020): line filters + page
+          // signals + the pass bit; `badwords` (comma-separated)
+          // enables the paper's blocklist rule
+          graft.pipeline.TextAnalysis.c4Clean(df, id,
+            str("text", "text"),
+            str("badwords", "").split(',').map(_.trim)
+              .filter(_.nonEmpty).toSeq)
+        case ("TEXT", Some("NORMALIZE")) =>
+          // Unicode normalization (UAX #15) — NFC/NFD/NFKC/NFKD
+          df.select(col(id),
+            graft.pipeline.TextAnalysis.normalizeUnicode(
+              col(str("text", "text")), str("form", "NFC"))
+              .as("normalized"))
         case ("CHUNK", None) =>
           // fixed-budget token windows with overlap (doc-grain in,
           // CHUNK-grain out — ids repeat, so not INTO-able)
@@ -574,7 +597,8 @@ final class Shell(store: GraphStore,
       // node table; they refuse loudly instead of attaching garbage.
       into.foreach { lbl =>
         val docGrain = (family, variant) match {
-          case ("DEDUP", Some("EXACT") | None) | ("SPANS", Some("REMOVE")) |
+          case ("DEDUP", Some("EXACT") | Some("LINES") | None) |
+               ("SPANS", Some("REMOVE")) |
                ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
                ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
                ("SEMDEDUP", None) | ("DSIR", None) | ("URL", None) |
@@ -586,9 +610,9 @@ final class Shell(store: GraphStore,
         require(docGrain,
           s"PIPELINE $family ${variant.getOrElse("")} INTO: output is " +
             "not document-grain (no unique node id); INTO supports " +
-            "DEDUP EXACT, SPANS REMOVE, SHARDS, SEMDEDUP, DECONTAMINATE, " +
-            "PACK, SAMPLE, CLUSTERS, TEXT *, HTTP, URL, MIX, DSIR, " +
-            "MEDIA IMAGE|AUDIO|EXR")
+            "DEDUP EXACT|LINES, SPANS REMOVE, SHARDS, SEMDEDUP, " +
+            "DECONTAMINATE, PACK, SAMPLE, CLUSTERS, TEXT *, HTTP, URL, " +
+            "MIX, DSIR, MEDIA IMAGE|AUDIO|EXR")
         store.attachNodes(lbl, result,
           if (result.columns.contains(id)) id else "id")
       }

@@ -269,4 +269,53 @@ class IngestSpec extends SparkSpec {
       assert(got.head.getAs[String]("warc_type") === "response")
     } finally java.util.Locale.setDefault(prev)
   }
+
+  test("WET round trip: writeWetGz → wetFiles — warcinfo skipped, " +
+      "UTF-8 text decodes, URI round-trips") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val docs = Seq(
+      (0L, "plain text line", "src0"),
+      (1L, "unicode é中文 𝄞 ok", "src1"),
+      (2L, "", "src2"),
+      (3L, "crlf\r\n\r\ninside stays", "src3")
+    ).toDF("id", "text", "source")
+    Ingest.writeWetGz(docs, dir, shards = 2)
+    assert(new File(dir).listFiles().count(_.getName.endsWith(
+      ".warc.wet.gz")) === 2)
+    val back = Ingest.wetFiles(spark, dir + "/*.wet.gz")
+      .select(
+        regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+          .cast("long").as("id"),
+        col("text"),
+        regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+          .as("source"))
+    assert(rowBag(back) === rowBag(docs))
+    // the warcinfo header record every shard opens with is type-
+    // filtered out, but IS present in the raw record stream
+    val raw = Ingest.warcFiles(spark, dir + "/*.wet.gz")
+    assert(raw.filter(col("warc_type") === "warcinfo").count() === 2)
+    assert(raw.count() === 6)
+  }
+
+  test("WET salvage: a conversion record whose payload is NOT valid " +
+      "UTF-8 falls back to the lossless Latin-1 byte view") {
+    val dir = tmpDir()
+    val bytes = Array[Byte]('a', 'b', 0xE9.toByte, 'c') // bare Latin-1 é
+    val rec = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(rec)
+    val hdr = ("WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://x/9\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${bytes.length}\r\n" +
+      "\r\n").getBytes("US-ASCII")
+    gz.write(hdr); gz.write(bytes)
+    gz.write("\r\n\r\n".getBytes("US-ASCII")); gz.close()
+    Files.write(new File(dir, "part-00000.warc.wet.gz").toPath,
+      rec.toByteArray)
+    val got = Ingest.wetFiles(spark, dir + "/*.wet.gz").collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("text") === "ab\u00e9c")
+  }
 }

@@ -646,4 +646,103 @@ class PipelineSpec extends SparkSpec {
         r.getAs[Long]("pos"))).toSet
     assert(again === rows.toSet)
   }
+
+  test("c4Clean: line rules (terminal punct, 5 words, javascript, " +
+      "policy phrases) and page rules (sentences, lorem ipsum, curly, " +
+      "badwords) hand-checked") {
+    import spark.implicits._
+    val good = "This is a good sentence one.\n" +
+      "Here is another good sentence two!\n" +
+      "And a third full sentence here?"
+    val cases = Seq(
+      (0L, good),
+      // line drops: too few words / no terminal punct / javascript /
+      // policy phrase — one good line survives but page fails (< 3
+      // sentences)
+      (1L, "Too short.\n" +
+        "this line has no terminal punctuation at all\n" +
+        "Please enable javascript to view this page.\n" +
+        "We updated our privacy policy effective today.\n" +
+        "Only this line is a keeper sentence."),
+      // page fails on lorem ipsum even though lines pass
+      (2L, good + "\nThe lorem ipsum block was pasted here once."),
+      // page fails on a curly brace ANYWHERE (even a dropped line)
+      (3L, good + "\nfunction f() {"),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+    val got = graft.pipeline.TextAnalysis.c4Clean(
+      cases.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean"), r.getAs[Long]("n_lines_kept"),
+          r.getAs[Long]("n_sentences"), r.getAs[Int]("c4_pass")))).toMap
+    assert(got(0L) === ((good, 3L, 3L, 1)))
+    assert(got(1L) ===
+      (("Only this line is a keeper sentence.", 1L, 1L, 0)))
+    assert(got(2L)._4 === 0 && got(2L)._2 === 4L)
+    assert(got(3L)._4 === 0 && got(3L)._1 === good)
+    assert(got(4L) === (("", 0L, 0L, 0)))
+    assert(got(5L) === got(4L))
+    // the badwords blocklist is a parameter: token-grain,
+    // case-insensitive, raw-page scope
+    val flagged = graft.pipeline.TextAnalysis.c4Clean(
+      Seq((0L, good + "\nBADWORD here in a dropped line")).toDF(
+        "id", "text"), "id", "text", badWords = Seq("badword"))
+      .collect().head
+    assert(flagged.getAs[Int]("c4_pass") === 0)
+    assert(flagged.getAs[String]("clean") === good)
+  }
+
+  test("dedupLines: keep-first across documents in (id, pos) order; " +
+      "within-doc repeats dedup; blank lines survive; boilerplate " +
+      "schema") {
+    import spark.implicits._
+    val d = Seq(
+      (2L, "shared line\nuniq two\nshared line"),
+      (1L, "uniq one\n\nshared line"),
+      (3L, "shared line\nonly here")
+    ).toDF("id", "text")
+    val got = graft.pipeline.Curation.dedupLines(d, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed")))).toMap
+    // doc 1 wins "shared line" (lowest id); blank line is structure
+    assert(got(1L) === (("uniq one\n\nshared line", 3L, 0L)))
+    // doc 2 loses both copies (cross-doc AND the within-doc repeat)
+    assert(got(2L) === (("uniq two", 1L, 2L)))
+    assert(got(3L) === (("only here", 1L, 1L)))
+    // minKeptLines floors: a doc reduced below the floor drops
+    val floored = graft.pipeline.Curation.dedupLines(
+      Seq((1L, "same\nsame"), (2L, "same")).toDF("id", "text"),
+      "id", "text", minKeptLines = 1L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(floored === Set(1L)) // doc 2's only line lost to doc 1
+  }
+
+  test("normalizeUnicode: NFC composes and folds singletons, NFD " +
+      "decomposes, NFKC folds compatibility chars; ASCII unchanged; " +
+      "null in null out; bad form refuses") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "e\u0301 A\u0308"),  // decomposed e+acute, A+diaeresis
+      (1L, "\u212B"),            // ANGSTROM SIGN -> NFC singleton
+      (2L, "\uFB01 plain ascii"), // fi-ligature survives NFC
+      (3L, null.asInstanceOf[String]))
+    def norm(form: String) = d.toDF("id", "text").select(col("id"),
+      graft.pipeline.TextAnalysis.normalizeUnicode(col("text"), form)
+        .as("n")).collect().map(r =>
+        r.getAs[Long]("id") -> r.getAs[String]("n")).toMap
+    val nfc = norm("NFC")
+    assert(nfc(0L) === "\u00E9 \u00C4")
+    assert(nfc(1L) === "\u00C5")
+    assert(nfc(2L) === "\uFB01 plain ascii")
+    assert(nfc(3L) === null)
+    assert(norm("NFKC")(2L) === "fi plain ascii")
+    assert(norm("NFD")(0L) === "e\u0301 A\u0308")
+    // interpreted eval agrees with codegen
+    assert(graft.functions.UnicodeNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal("e\u0301"),
+      "NFC").eval(null).toString === "\u00E9")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TextAnalysis.normalizeUnicode(col("text"), "NFX")
+    }
+  }
 }

@@ -857,4 +857,51 @@ class ShellSpec extends SparkSpec {
     assert(split2.filter($"id" === 1L).head()
       .getAs[Int]("status") === 404)
   }
+
+  test("PIPELINE TEXT C4 / TEXT NORMALIZE / DEDUP LINES: QL twins " +
+      "match the API, options bind, unknown options refuse") {
+    val store = new GraphStore(spark)
+    val sh = new Shell(store)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "This is a good sentence one.\nHere is a second good one!\n" +
+        "And here is the third sentence.\nshared line"),
+      (2L, "shared line\nOnly this good sentence here survives fine."))
+      .toDF("id", "text")
+    store.attachNodes("c4d", docs, "id")
+    val c4 = sh.execute("PIPELINE TEXT C4 ON c4d;").get
+    val c4api = graft.pipeline.TextAnalysis.c4Clean(docs, "id", "text")
+    assert(rowBag(c4) === rowBag(c4api))
+    // badwords option binds (token-grain, case-insensitive)
+    val flagged = sh.execute(
+      "PIPELINE TEXT C4 ON c4d WITH (badwords = \"shared\");").get
+      .select("id", "c4_pass").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(flagged === Map(1L -> 0, 2L -> 0))
+    // NORMALIZE: NFC default; form option binds (NFKC folds the
+    // ligature); bad form refuses naming the forms
+    store.attachNodes("nfcd",
+      Seq((1L, "é ﬁ")).toDF("id", "text"), "id")
+    assert(sh.execute("PIPELINE TEXT NORMALIZE ON nfcd;").get
+      .head().getString(1) === "é ﬁ")
+    assert(sh.execute(
+      "PIPELINE TEXT NORMALIZE ON nfcd WITH (form = \"NFKC\");").get
+      .head().getString(1) === "é fi")
+    val badForm = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE TEXT NORMALIZE ON nfcd WITH (form = \"NO\");")
+    }
+    assert(badForm.getMessage.contains("NFKC"))
+    // DEDUP LINES: keep-first, chains via INTO
+    val dl = sh.execute("PIPELINE DEDUP LINES ON c4d INTO dlout;").get
+    val dlapi = graft.pipeline.Curation.dedupLines(docs, "id", "text")
+    assert(rowBag(dl) === rowBag(dlapi))
+    assert(dl.filter($"id" === 2L).head().getAs[String]("clean_text")
+      === "Only this good sentence here survives fine.")
+    assert(store.nodes("dlout").count() === 2)
+    // unknown option refuses naming the accepted keys
+    val bad = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE DEDUP LINES ON c4d WITH (mink = 2);")
+    }
+    assert(bad.getMessage.contains("min_kept"))
+  }
 }
