@@ -427,7 +427,21 @@ object Bench {
         .select(col("id"), graft.pipeline.TextAnalysis
           .normalizeUnicode(col("text")).as("normalized"))),
       "dedup_lines" -> (() => graft.pipeline.Curation.dedupLines(
-        store.nodes("documents"), "id", "text"))
+        store.nodes("documents"), "id", "text")),
+      // Gopher repetition suite (p133 shape): per-doc array signals +
+      // one hashed-gram count shuffle for the top-n-gram winners
+      "gopher_rep" -> (() => graft.pipeline.TextAnalysis
+        .gopherRepetition(store.nodes("documents"), "id", "text")),
+      // URL blocklist filter (p131 shape): suffix explode + broadcast
+      // semi join + anti join back; 1000-domain blocklist
+      "url_filter" -> (() => {
+        val raw = concat(lit("http://h"), pmod(col("id"), lit(2000)),
+          lit(".example.com/"), col("id"))
+        graft.pipeline.Curation.filterBlockedHosts(
+          store.nodes("documents").select(col("id"), raw.as("url")),
+          "id", "url",
+          (0 until 1000).map(i => s"h$i.example.com"))
+      })
     )
 
     def timeOnce(f: () => DataFrame): Double = {

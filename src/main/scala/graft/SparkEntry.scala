@@ -1539,6 +1539,71 @@ object SparkEntry {
         .execute("PIPELINE DEDUP LINES ON linedocs;").get
         .withColumnRenamed("id", "doc_id")
     }),
+    // p130: WAT ingestion — CommonCrawl's metadata sibling (same ISO
+    // 28500 container, `metadata` records with a JSON envelope): the
+    // documents table round-trips through writeWatGz → watFiles with
+    // a caller schema, and from_json must surface the envelope fields
+    "p130_wat_ingest" -> ((s, dir) => {
+      val docs = TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id"), col("text"), col("source"))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_wat_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      Ingest.writeWatGz(docs, out, shards = 4)
+      Ingest.watFiles(s, out + "/*.wat.gz",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType))))
+        .select(regexp_extract(col("url"), "/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+          col("url"), col("length"), col("source"))
+    }),
+    // p131: URL host-blocklist filter (the UT1/RefinedWeb domain
+    // filter) — exact host, subdomain, NON-match at a non-label
+    // boundary (notads.*), and a clean host; the oracle states the
+    // surviving rows in closed form
+    "p131_url_filter" -> ((s, dir) =>
+      graft.pipeline.Curation.filterBlockedHosts(
+        TpchGraph.store(s, dir).nodes("documents")
+          .select(col("id").as("doc_id"), urlFilterDeco.as("url")),
+        "doc_id", "url", Seq("ads.blocked.example"))),
+    // p132: the same from the REPL (PIPELINE URL WITH block) — the
+    // inputs are pre-canonical so the canonicalize step is identity
+    // and both gates share one oracle
+    "p132_ql_url_filter" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("blockdocs", st.nodes("documents")
+        .select(col("id"), urlFilterDeco.as("url")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE URL ON blockdocs WITH (url = \"url\", " +
+          "block = \"ads.blocked.example\");").get
+        .select(col("id").as("doc_id"), col("url"))
+    }),
+    // p133: the Gopher REPETITION suite (Rae et al. 2021 table A1) —
+    // integer duplicate-line/paragraph skeleton + top-{2,3,4}-gram
+    // signals + the pass bit in cross-multiplied integer form. The
+    // fixture decorates three slices with rule-violating shapes (a
+    // repeated line, a repeated paragraph, a dominant 2-gram) and
+    // leaves the fourth clean so both pass branches carry rows
+    "p133_gopher_rep" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.gopherRepetition(
+        TpchGraph.store(s, dir).nodes("documents")
+          .select(col("id").as("doc_id"), gopherRepDeco.as("text")),
+        "doc_id", "text")),
+    // p134: the same from the REPL (PIPELINE TEXT GOPHERREP)
+    "p134_ql_gopher_rep" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("repdocs", st.nodes("documents")
+        .select(col("id"), gopherRepDeco.as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT GOPHERREP ON repdocs;").get
+        .withColumnRenamed("id", "doc_id")
+    }),
     // p97: the EXR decode from the REPL — must reproduce p96's oracle
     // bit for bit through the real lexer/parser/shell
     "p97_ql_media_exr" -> ((s, dir) => {
@@ -2165,6 +2230,119 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "CAST(t.n - a.n_kept AS BIGINT) AS n_removed " +
       "FROM agg a JOIN tot t USING (doc_id)"
 
+  /** p131/p132 fixture: four host shapes — blocked exact, blocked
+    * subdomain, NON-match at a non-label boundary, clean. Inputs are
+    * pre-canonical (lowercase host, path present) so the QL twin's
+    * canonicalize step is identity. */
+  private def urlFilterDeco: org.apache.spark.sql.Column =
+    element_at(array(
+      concat(lit("http://ads.blocked.example/"), col("id")),
+      concat(lit("https://sub.ads.blocked.example/"), col("id")),
+      concat(lit("http://notads.blocked.example/"), col("id")),
+      concat(lit("https://ok.example/"), col("id"))),
+      (col("id") % 4).cast("int") + 1)
+
+  /** p131/p132 oracle: the surviving rows in closed form. */
+  private def urlFilterOracle: String =
+    "SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
+      "WHEN 2 THEN 'http://notads.blocked.example/' || doc_id " +
+      "ELSE 'https://ok.example/' || doc_id END AS url " +
+      "FROM documents WHERE CAST(doc_id % 4 AS INT) IN (2, 3)"
+
+  /** p133/p134 fixture: a repeated line, a repeated paragraph, a
+    * dominant 2-gram, and a clean slice. */
+  private def gopherRepDeco: org.apache.spark.sql.Column =
+    element_at(array(
+      concat(coalesce(col("text"), lit("")),
+        lit("\nrepeat me now\nrepeat me now\nrepeat me now")),
+      concat(lit("pp qq rr\n\npp qq rr\n\n"),
+        coalesce(col("text"), lit(""))),
+      concat(coalesce(col("text"), lit("")),
+        lit(" spam spam spam spam spam spam spam spam")),
+      coalesce(col("text"), lit(""))),
+      (col("id") % 4).cast("int") + 1)
+
+  /** p133/p134 oracle: every repetition signal re-derived in DuckDB
+    * (prototyped standalone; the top-n-gram winner is (count, length)
+    * lexicographic max, so ties cannot diverge). */
+  private def gopherRepOracle: String =
+    "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
+      "WHEN 0 THEN coalesce(text, '') || " +
+      "'\nrepeat me now\nrepeat me now\nrepeat me now' " +
+      "WHEN 1 THEN 'pp qq rr\n\npp qq rr\n\n' || coalesce(text, '') " +
+      "WHEN 2 THEN coalesce(text, '') || " +
+      "' spam spam spam spam spam spam spam spam' " +
+      "ELSE coalesce(text, '') END AS txt FROM documents), " +
+      "b AS (SELECT doc_id, txt, length(txt) AS n_chars, " +
+      "list_filter(list_transform(string_split(txt, chr(10)), " +
+      "x -> trim(x)), x -> x <> '') AS ln, " +
+      "list_filter(list_transform(string_split(txt, " +
+      "chr(10) || chr(10)), x -> trim(x)), x -> x <> '') AS pa, " +
+      "list_filter(regexp_split_to_array(trim(txt), '\\s+'), " +
+      "x -> x <> '') AS w FROM d), " +
+      "s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, " +
+      "CAST(len(ln) AS BIGINT) AS n_lines, " +
+      "CAST(len(ln) - len(list_distinct(ln)) AS BIGINT) " +
+      "AS n_dup_lines, " +
+      "CAST(coalesce(list_aggregate(list_transform(ln, " +
+      "x -> length(x)), 'sum'), 0) AS BIGINT) AS chars_lines, " +
+      "CAST(coalesce(list_aggregate(list_transform(ln, " +
+      "x -> length(x)), 'sum'), 0) - " +
+      "coalesce(list_aggregate(list_transform(list_distinct(ln), " +
+      "x -> length(x)), 'sum'), 0) AS BIGINT) AS chars_dup_lines, " +
+      "CAST(len(pa) AS BIGINT) AS n_paras, " +
+      "CAST(len(pa) - len(list_distinct(pa)) AS BIGINT) " +
+      "AS n_dup_paras, " +
+      "CAST(coalesce(list_aggregate(list_transform(pa, " +
+      "x -> length(x)), 'sum'), 0) AS BIGINT) AS chars_paras, " +
+      "CAST(coalesce(list_aggregate(list_transform(pa, " +
+      "x -> length(x)), 'sum'), 0) - " +
+      "coalesce(list_aggregate(list_transform(list_distinct(pa), " +
+      "x -> length(x)), 'sum'), 0) AS BIGINT) AS chars_dup_paras, " +
+      "w FROM b), " +
+      "gs AS (SELECT doc_id, n, w, " +
+      "unnest(range(greatest(len(w) - n + 1, 0))) AS j " +
+      "FROM (SELECT doc_id, w, unnest([2, 3, 4]) AS n FROM s)), " +
+      "g AS (SELECT doc_id, n, " +
+      "array_to_string(w[j + 1 : j + n], ' ') AS gram FROM gs), " +
+      "c AS (SELECT doc_id, n, gram, count(*) AS cnt, " +
+      "length(gram) AS glen FROM g GROUP BY doc_id, n, gram), " +
+      "r AS (SELECT doc_id, n, cnt, glen, row_number() OVER " +
+      "(PARTITION BY doc_id, n ORDER BY cnt DESC, glen DESC) AS rn " +
+      "FROM c), " +
+      "t AS (SELECT doc_id, " +
+      "CAST(coalesce(max(CASE WHEN n = 2 THEN cnt END), 0) AS BIGINT) " +
+      "AS top2_cnt, " +
+      "CAST(coalesce(max(CASE WHEN n = 2 THEN glen END), 0) AS BIGINT) " +
+      "AS top2_len, " +
+      "CAST(coalesce(max(CASE WHEN n = 3 THEN cnt END), 0) AS BIGINT) " +
+      "AS top3_cnt, " +
+      "CAST(coalesce(max(CASE WHEN n = 3 THEN glen END), 0) AS BIGINT) " +
+      "AS top3_len, " +
+      "CAST(coalesce(max(CASE WHEN n = 4 THEN cnt END), 0) AS BIGINT) " +
+      "AS top4_cnt, " +
+      "CAST(coalesce(max(CASE WHEN n = 4 THEN glen END), 0) AS BIGINT) " +
+      "AS top4_len FROM r WHERE rn = 1 GROUP BY doc_id) " +
+      "SELECT s.doc_id, n_chars, n_lines, n_dup_lines, chars_lines, " +
+      "chars_dup_lines, n_paras, n_dup_paras, chars_paras, " +
+      "chars_dup_paras, " +
+      "coalesce(top2_cnt, 0) AS top2_cnt, " +
+      "coalesce(top2_len, 0) AS top2_len, " +
+      "coalesce(top3_cnt, 0) AS top3_cnt, " +
+      "coalesce(top3_len, 0) AS top3_len, " +
+      "coalesce(top4_cnt, 0) AS top4_cnt, " +
+      "coalesce(top4_len, 0) AS top4_len, " +
+      "CAST(n_dup_lines * 10 <= n_lines * 3 AND " +
+      "n_dup_paras * 10 <= n_paras * 3 AND " +
+      "chars_dup_lines * 5 <= chars_lines AND " +
+      "chars_dup_paras * 5 <= chars_paras AND " +
+      "coalesce(top2_cnt, 0) * coalesce(top2_len, 0) * 5 <= n_chars " +
+      "AND coalesce(top3_cnt, 0) * coalesce(top3_len, 0) * 50 <= " +
+      "n_chars * 9 AND " +
+      "coalesce(top4_cnt, 0) * coalesce(top4_len, 0) * 25 <= " +
+      "n_chars * 4 AS INT) AS rep_pass " +
+      "FROM s LEFT JOIN t USING (doc_id)"
+
   private def gopherOracle: String =
     "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
       "WHEN 0 THEN coalesce(text, '') || " +
@@ -2744,6 +2922,16 @@ WHERE rank <= 10"""
     "p127_ql_normalize" -> nfcOracle,
     "p128_dedup_lines" -> dedupLinesOracle,
     "p129_ql_dedup_lines" -> dedupLinesOracle,
+    // p130: the WAT round trip — envelope fields in closed form
+    "p130_wat_ingest" ->
+      ("SELECT doc_id, 'http://' || source || '/' || " +
+        "CAST(doc_id AS VARCHAR) AS url, " +
+        "CAST(length(coalesce(text, '')) AS BIGINT) AS length, " +
+        "source FROM documents"),
+    "p131_url_filter" -> urlFilterOracle,
+    "p132_ql_url_filter" -> urlFilterOracle,
+    "p133_gopher_rep" -> gopherRepOracle,
+    "p134_ql_gopher_rep" -> gopherRepOracle,
     // p114/p115: the expected canonical URLs in closed form
     "p114_canonical_url" -> canonUrlOracle,
     "p115_ql_canonurl" -> canonUrlOracle,

@@ -208,6 +208,47 @@ object Curation {
           .otherwise(concat(lit("?"), qNorm))))
   }
 
+  /** URL host-blocklist filter — the UT1-style domain filter every
+    * crawl pipeline runs (RefinedWeb §3.1, C4's badword analogue at
+    * the domain grain): drop rows whose URL host IS a blocked domain
+    * or any SUBDOMAIN of one (label-boundary suffix match —
+    * `ads.example.com` blocks `x.ads.example.com` but never
+    * `notads.example.com`). Host extraction follows
+    * [[canonicalizeUrl]]'s authority grammar: lowercased, userinfo
+    * and port stripped; a schemeless value never matches (kept).
+    *
+    * 100 TB shape: the host's ≤ ~10 label-suffixes explode to one
+    * short row each, hash-SEMI-join against the broadcast blocklist
+    * table (blocklists are config-grain — UT1 is ~4M lines, still
+    * broadcastable), and the blocked ids anti-join back. No
+    * blocklist-sized literal ever enters the plan (a 4M-entry CASE
+    * chain would kill codegen), and the text columns never shuffle —
+    * only (id, suffix) pairs do. */
+  def filterBlockedHosts(df: DataFrame, idCol: String, urlCol: String,
+                         blockedDomains: Seq[String]): DataFrame = {
+    if (blockedDomains.isEmpty) return df
+    val spark = df.sparkSession
+    import spark.implicits._
+    val block = broadcast(
+      blockedDomains.map(_.toLowerCase(java.util.Locale.ROOT))
+        .distinct.toDF("__dom"))
+    val u = trim(coalesce(col(urlCol), lit("")))
+    val auth =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(auth, "^[^@]*@", ""),
+      ":[0-9]*$", "")
+    val labels = filter(split(host, "\\."), l => l =!= "")
+    val suffixes = transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+    val blockedIds = df
+      .select(col(idCol).as("__bid"),
+        explode(when(size(labels) > 0, suffixes)
+          .otherwise(array().cast("array<string>"))).as("__dom"))
+      .join(block, Seq("__dom"), "left_semi")
+      .select(col("__bid").as(idCol)).distinct()
+    df.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum percentage of
     * rows, selected by the same md5-id-hash buckets as
     * [[Corpus.assignSplits]] — so the sample is stable as the corpus

@@ -310,6 +310,79 @@ object Ingest {
           .otherwise(latin1View).as("text"))
   }
 
+  /** Read a glob of WAT shards (`.wat` / `.wat.gz` — CommonCrawl's
+    * metadata sibling of WARC: the same ISO 28500 container, whose
+    * `metadata` records carry a JSON envelope per crawled page) into
+    * one row per metadata record: `(_input_file, target_uri)` plus
+    * the caller's `schema` fields parsed from the JSON payload with
+    * `from_json` (codegen'd; a corrupt envelope yields null fields —
+    * the [[jsonlFiles]] monitoring posture, count them). Pass the
+    * slice of the envelope you need as `schema` — WAT envelopes are
+    * deeply nested and `from_json` prunes to the requested fields,
+    * so unrequested subtrees cost nothing.
+    *
+    * 100 TB shape: [[warcFiles]]'s (one task per shard, streaming
+    * gzip, one record in memory) + a codegen'd JSON projection. */
+  def watFiles(spark: SparkSession, glob: String,
+               schema: StructType): DataFrame = {
+    val latin1View = decode(col("payload"), "ISO-8859-1")
+    val json = when(Encoding.looksLikeUtf8(latin1View),
+      decode(col("payload"), "UTF-8")).otherwise(latin1View)
+    warcFiles(spark, glob)
+      .filter(col("warc_type") === "metadata")
+      .select(col("_input_file") +: col("target_uri") +:
+        schema.fields.toSeq.map(f =>
+          from_json(json, schema)(f.name).as(f.name)): _*)
+  }
+
+  /** Write `(id, text, source)`-shaped rows as gzipped WAT shards
+    * (the fixture / export twin of [[watFiles]]): one `metadata`
+    * record per row whose JSON envelope carries the CommonCrawl-style
+    * `Envelope.WARC-Header-Metadata.WARC-Target-URI` plus flat
+    * `url` / `length` / `source` fields. Executors write their own
+    * shards — no driver funnel. */
+  def writeWatGz(df: DataFrame, dir: String, shards: Int): Unit = {
+    require(shards >= 1, "shards must be >= 1")
+    require(df.columns.length == 3,
+      s"expected (id, text, source) columns, got ${df.columns.toSeq}")
+    val Seq(idC, textC, srcC) = df.columns.toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(idC).cast("long"),
+        to_json(struct(
+          concat(lit("http://"),
+            regexp_replace(coalesce(col(srcC), lit("")).cast("string"),
+              "[\\r\\n]", ""),
+            lit("/"), col(idC).cast("string")).as("url"),
+          length(coalesce(col(textC), lit("")).cast("string"))
+            .as("length"),
+          coalesce(col(srcC), lit("")).cast("string").as("source")))
+          .as("__json"),
+        regexp_replace(coalesce(col(srcC), lit("")).cast("string"),
+          "[\\r\\n]", "").as("__src"))
+      .repartition(shards).rdd.foreachPartition { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(
+          f"$dir%s/part-$part%05d.warc.wat.gz")
+        val fs = path.getFileSystem(conf.value)
+        val out = new GZIPOutputStream(fs.create(path, true))
+        try {
+          val crlf = "\r\n".getBytes("US-ASCII")
+          it.foreach { r =>
+            val body = r.getString(1).getBytes("UTF-8")
+            val hdr = ("WARC/1.0\r\n" +
+              "WARC-Type: metadata\r\n" +
+              s"WARC-Target-URI: http://${r.getString(2)}/${r.getLong(0)}\r\n" +
+              "Content-Type: application/json\r\n" +
+              s"Content-Length: ${body.length}\r\n" +
+              "\r\n").getBytes("US-ASCII")
+            out.write(hdr); out.write(body)
+            out.write(crlf); out.write(crlf)
+          }
+        } finally out.close()
+      }
+  }
+
   /** Write `(id, text, source)`-shaped rows as gzipped WET shards
     * (the fixture / export twin of [[wetFiles]]): `shards` files named
     * `part-NNNNN.warc.wet.gz` under `dir`, each opening with the

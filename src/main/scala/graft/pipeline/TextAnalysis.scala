@@ -264,6 +264,128 @@ object TextAnalysis {
       graft.functions.UnicodeNormalize(
         org.apache.spark.sql.graft.ColumnBridge.expression(c), form))
 
+  /** The Gopher REPETITION-filter suite (Rae et al. 2021 §A.1.1,
+    * table A1 — the within-document repetition rules MassiveWeb was
+    * filtered with, alongside the quality rules of [[gopherSignals]]).
+    * Emits the integer signal skeleton per document:
+    *
+    *   - `n_chars` — codepoints of the raw text,
+    *   - `n_lines` / `n_dup_lines` — non-blank trimmed lines, and
+    *     occurrences beyond each line's first (the duplicate-line
+    *     count),
+    *   - `chars_lines` / `chars_dup_lines` — their codepoint totals
+    *     (`chars_dup_lines = chars_lines − Σ len(distinct lines)`),
+    *   - the paragraph twins (`\n\n`-separated blocks),
+    *   - `top{2,3,4}_cnt` / `top{2,3,4}_len` — the occurrence count
+    *     and codepoint length of the document's most frequent word
+    *     {2,3,4}-gram (count ties break to the LONGEST gram — the
+    *     conservative worst-case char fraction; 0/0 when the document
+    *     has fewer than n words),
+    *
+    * plus `rep_pass` applying the paper's thresholds in
+    * cross-multiplied INTEGER form (exact in any engine):
+    * duplicate-line fraction ≤ 0.30, duplicate-paragraph ≤ 0.30,
+    * duplicate-line-chars ≤ 0.20, duplicate-paragraph-chars ≤ 0.20,
+    * top-2-gram char fraction ≤ 0.20, top-3-gram ≤ 0.18, top-4-gram
+    * ≤ 0.16 (numerator `top_cnt · top_len`, denominator `n_chars`).
+    * The paper's duplicate-5..10-gram COVERAGE fractions (characters
+    * inside any repeated n-gram, overlaps counted once) are out of
+    * scope — coverage union is not expressible as an exact
+    * cross-engine skeleton; the seven rules above are the
+    * published-threshold core.
+    *
+    * 100 TB shape: the line/paragraph signals are a pure codegen'd
+    * projection (array_distinct over per-doc arrays — no shuffle).
+    * The top-n-gram signals add ONE map-side-combined count shuffle
+    * at (doc, n, gram-hash) grain plus a per-(doc, n) max — gram
+    * STRINGS never shuffle, only xxhash64 longs (a collision merges
+    * two gram classes, the hashed-gram discipline); the winner's
+    * length travels as an integer alongside the hash. */
+  def gopherRepetition(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    def nonBlank(c: Column): Column =
+      filter(transform(c, l => trim(l)), l => l =!= "")
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => a + length(x))
+    val lines = nonBlank(split(raw, "\n", -1))
+    val paras = nonBlank(split(raw, "\n\n", -1))
+    val toks = filter(split(trim(raw), "\\s+"), t => t =!= "")
+    // (id, signals, token array) pinned BEFORE the explode (the
+    // minhashLsh lesson) so the gram side re-derives cheaply
+    val base = df.select(
+        col(idCol).as("__id"),
+        length(raw).cast("long").as("n_chars"),
+        size(lines).cast("long").as("n_lines"),
+        (size(lines) - size(array_distinct(lines))).cast("long")
+          .as("n_dup_lines"),
+        charSum(lines).as("chars_lines"),
+        (charSum(lines) - charSum(array_distinct(lines)))
+          .as("chars_dup_lines"),
+        size(paras).cast("long").as("n_paras"),
+        (size(paras) - size(array_distinct(paras))).cast("long")
+          .as("n_dup_paras"),
+        charSum(paras).as("chars_paras"),
+        (charSum(paras) - charSum(array_distinct(paras)))
+          .as("chars_dup_paras"),
+        toks.as("__toks"))
+      .transform(graft.core.Materialize(_))
+    // one exploded stream for all three n's: (id, n, gram-hash,
+    // gram-len); the count shuffle carries longs only. Docs with
+    // fewer than n words contribute a typed EMPTY array for that n
+    // (a `sequence(1, 0)` would DESCEND, not stop — Spark semantics)
+    val noGrams = filter(array(struct(lit(0).as("n"),
+      lit(0L).as("gh"), lit(0L).as("glen"))), _ => lit(false))
+    val grams = base.select(col("__id"),
+        explode(flatten(transform(array(lit(2), lit(3), lit(4)), n =>
+          when(size(col("__toks")) >= n,
+            transform(sequence(lit(1), size(col("__toks")) - n + 1),
+              i => {
+                val g = array_join(slice(col("__toks"), i, n), " ")
+                struct(n.as("n"), xxhash64(g).as("gh"),
+                  length(g).cast("long").as("glen"))
+              })).otherwise(noGrams)))).as("__g"))
+      .select(col("__id"), col("__g")("n").as("__n"),
+        col("__g")("gh").as("__gh"), col("__g")("glen").as("__glen"))
+    // winner per (doc, n) = lexicographic max over (count, length) —
+    // deterministic WITHOUT naming the winning gram, so the oracle
+    // needs no string-hash mirror and a (count, length) tie between
+    // two different grams cannot produce divergent output
+    val top = grams
+      .groupBy("__id", "__n", "__gh")
+      .agg(count(lit(1)).as("__cnt"), max(col("__glen")).as("__glen"))
+      .groupBy("__id", "__n")
+      .agg(max(struct(col("__cnt"), col("__glen"))).as("__w"))
+      .groupBy("__id")
+      .agg(
+        coalesce(max(when(col("__n") === 2, col("__w")("__cnt"))),
+          lit(0L)).as("top2_cnt"),
+        coalesce(max(when(col("__n") === 2, col("__w")("__glen"))),
+          lit(0L)).as("top2_len"),
+        coalesce(max(when(col("__n") === 3, col("__w")("__cnt"))),
+          lit(0L)).as("top3_cnt"),
+        coalesce(max(when(col("__n") === 3, col("__w")("__glen"))),
+          lit(0L)).as("top3_len"),
+        coalesce(max(when(col("__n") === 4, col("__w")("__cnt"))),
+          lit(0L)).as("top4_cnt"),
+        coalesce(max(when(col("__n") === 4, col("__w")("__glen"))),
+          lit(0L)).as("top4_len"))
+    base.drop("__toks").join(top, Seq("__id"), "left")
+      .na.fill(0L, Seq("top2_cnt", "top2_len", "top3_cnt", "top3_len",
+        "top4_cnt", "top4_len"))
+      .withColumn("rep_pass",
+        (col("n_dup_lines") * 10L <= col("n_lines") * 3L &&
+          col("n_dup_paras") * 10L <= col("n_paras") * 3L &&
+          col("chars_dup_lines") * 5L <= col("chars_lines") &&
+          col("chars_dup_paras") * 5L <= col("chars_paras") &&
+          col("top2_cnt") * col("top2_len") * 5L <= col("n_chars") &&
+          col("top3_cnt") * col("top3_len") * 50L <=
+            col("n_chars") * 9L &&
+          col("top4_cnt") * col("top4_len") * 25L <=
+            col("n_chars") * 4L).cast("int"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Email addresses — RE2-compatible (the oracle's DuckDB regex engine)
     * AND java.util.regex-compatible, so both engines see identical
     * matches. */

@@ -273,7 +273,8 @@ final class Shell(store: GraphStore,
           "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), SEMDEDUP, PROFILE, " +
           "DECONTAMINATE, PACK, SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|" +
           "FINGERPRINT|PII|BPE|REPETITION|BOILERPLATE|LM|FIXENCODING|" +
-          "STRIPHTML|GOPHER|C4|NORMALIZE), HTTP, CHUNK, URL, MIX, DSIR, " +
+          "STRIPHTML|GOPHER|GOPHERREP|C4|NORMALIZE), HTTP, CHUNK, URL, " +
+          "MIX, DSIR, " +
           "MEDIA (IMAGE|AUDIO|EXR|FRAMES)")
       // an unknown (or misspelled) option key must fail loudly, never
       // silently run with a default — the review-r12 rule: a user who
@@ -315,6 +316,7 @@ final class Shell(store: GraphStore,
         case ("TEXT", Some("GOPHER"))         => Set("text", "required")
         case ("TEXT", Some("C4"))             => Set("text", "badwords")
         case ("TEXT", Some("NORMALIZE"))      => Set("text", "form")
+        case ("TEXT", Some("GOPHERREP"))      => Set("text")
         case ("TEXT", Some("BOILERPLATE"))    =>
           Set("text", "min_docs", "min_kept")
         case ("TEXT", Some("BPE"))            => Set("text", "merges")
@@ -324,7 +326,7 @@ final class Shell(store: GraphStore,
           Set("text", "k", "seed", "buckets")
         case ("CHUNK", None)                  =>
           Set("text", "budget", "overlap")
-        case ("URL", None)                    => Set("url")
+        case ("URL", None)                    => Set("url", "block")
         case ("MIX", None)                    =>
           Set("by", "budget", "tau")
         case ("SEMDEDUP", None)               =>
@@ -520,6 +522,12 @@ final class Shell(store: GraphStore,
             graft.pipeline.TextAnalysis.normalizeUnicode(
               col(str("text", "text")), str("form", "NFC"))
               .as("normalized"))
+        case ("TEXT", Some("GOPHERREP")) =>
+          // the Gopher REPETITION-filter suite (Rae 2021): integer
+          // line/paragraph duplicate signals + top-n-gram signals +
+          // the pass bit with the paper's thresholds
+          graft.pipeline.TextAnalysis.gopherRepetition(df, id,
+            str("text", "text"))
         case ("CHUNK", None) =>
           // fixed-budget token windows with overlap (doc-grain in,
           // CHUNK-grain out — ids repeat, so not INTO-able)
@@ -528,9 +536,17 @@ final class Shell(store: GraphStore,
             overlap = int("overlap", 0))
         case ("URL", None) =>
           // canonicalize a URL column (doc-grain; dedup via a chained
-          // PIPELINE DEDUP EXACT on the canonical key)
-          df.select(col(id), graft.pipeline.Curation.canonicalizeUrl(
-            col(str("url", "url"))).as("url"))
+          // PIPELINE DEDUP EXACT on the canonical key); `block` (a
+          // comma-separated domain list) additionally drops rows whose
+          // host is a blocked domain or any subdomain of one
+          val canon = df.select(col(id),
+            graft.pipeline.Curation.canonicalizeUrl(
+              col(str("url", "url"))).as("url"))
+          val blocked = str("block", "").split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          if (blocked.isEmpty) canon
+          else graft.pipeline.Curation.filterBlockedHosts(
+            canon, id, "url", blocked)
         case ("MIX", None) =>
           // temperature-scaled source mixing (GPT-3/PaLM data mixing)
           graft.pipeline.Curation.temperatureMix(df, id,

@@ -318,4 +318,30 @@ class IngestSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got.head.getAs[String]("text") === "ab\u00e9c")
   }
+
+  test("WAT round trip: writeWatGz → watFiles — metadata records, " +
+      "JSON envelope fields parse through the caller's schema") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val docs = Seq(
+      (0L, "short", "src0"),
+      (1L, "unicode é中文", "src1"),
+      (2L, "", "src2")
+    ).toDF("id", "text", "source")
+    Ingest.writeWatGz(docs, dir, shards = 2)
+    val schema = StructType(Seq(
+      StructField("url", StringType),
+      StructField("length", LongType),
+      StructField("source", StringType)))
+    val back = Ingest.watFiles(spark, dir + "/*.wat.gz", schema)
+    val rows = back.collect().map(r =>
+      (r.getAs[String]("url"), r.getAs[Long]("length"),
+        r.getAs[String]("source"))).toSet
+    assert(rows === Set(
+      ("http://src0/0", 5L, "src0"),
+      ("http://src1/1", 11L, "src1"),
+      ("http://src2/2", 0L, "src2")))
+    // target_uri from the WARC header agrees with the envelope url
+    assert(back.filter(col("target_uri") =!= col("url")).count() === 0)
+  }
 }

@@ -745,4 +745,66 @@ class PipelineSpec extends SparkSpec {
       graft.pipeline.TextAnalysis.normalizeUnicode(col("text"), "NFX")
     }
   }
+
+  test("gopherRepetition: duplicate line/paragraph skeleton and " +
+      "top-n-gram signals hand-checked; pass bit applies the paper's " +
+      "thresholds in integer form") {
+    import spark.implicits._
+    val longText = (1 to 30).map(i => s"word${i}x").mkString(" ") + "."
+    val cases = Seq(
+      (0L, "a b\na b\nc d"),          // dup line; "a b" top 2-gram x2
+      (1L, "para one\n\npara one"),   // dup paragraph (and line)
+      (2L, longText),                 // all distinct → passes
+      (3L, ""), (4L, null.asInstanceOf[String]))
+    val got = graft.pipeline.TextAnalysis.gopherRepetition(
+      cases.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val r0 = got(0L)
+    assert(r0.getAs[Long]("n_lines") === 3L)
+    assert(r0.getAs[Long]("n_dup_lines") === 1L)
+    assert(r0.getAs[Long]("chars_lines") === 9L)
+    assert(r0.getAs[Long]("chars_dup_lines") === 3L)
+    assert(r0.getAs[Long]("n_paras") === 1L)
+    assert(r0.getAs[Long]("top2_cnt") === 2L)
+    assert(r0.getAs[Long]("top2_len") === 3L)
+    // 3-grams all count 1, tie → LONGEST (all len 5 here)
+    assert(r0.getAs[Long]("top3_cnt") === 1L)
+    assert(r0.getAs[Long]("top3_len") === 5L)
+    // dup-line fraction 1/3 > 0.30 → fail
+    assert(r0.getAs[Int]("rep_pass") === 0)
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_paras") === 2L)
+    assert(r1.getAs[Long]("n_dup_paras") === 1L)
+    assert(r1.getAs[Long]("n_dup_lines") === 1L)
+    assert(r1.getAs[Int]("rep_pass") === 0)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_dup_lines") === 0L)
+    assert(r2.getAs[Int]("rep_pass") === 1)
+    // empty and null: all-zero skeleton, vacuous pass
+    Seq(3L, 4L).foreach { i =>
+      assert(got(i).getAs[Long]("n_lines") === 0L)
+      assert(got(i).getAs[Long]("top2_cnt") === 0L)
+      assert(got(i).getAs[Int]("rep_pass") === 1)
+    }
+  }
+
+  test("filterBlockedHosts: label-boundary suffix match, userinfo/" +
+      "port/case stripped, schemeless and null kept, empty list no-op") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "http://ads.example.com/x"),          // exact → blocked
+      (1L, "https://x.ads.example.com/y"),       // subdomain → blocked
+      (2L, "http://notads.example.com/z"),       // NOT a suffix match
+      (3L, "http://example.com/"),               // parent domain kept
+      (4L, "ftp://user:p@ADS.Example.COM:21/q"), // userinfo+port+case
+      (5L, "no-scheme-at-all"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "url")
+    val kept = graft.pipeline.Curation.filterBlockedHosts(
+      d, "id", "url", Seq("ads.example.com"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 5L, 6L))
+    assert(graft.pipeline.Curation.filterBlockedHosts(
+      d, "id", "url", Nil).count() === 7L)
+  }
 }

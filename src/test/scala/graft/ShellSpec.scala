@@ -904,4 +904,28 @@ class ShellSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("min_kept"))
   }
+
+  test("PIPELINE TEXT GOPHERREP and URL block option: QL twins match " +
+      "the API; blocked subdomains drop through the canonical step") {
+    val store = new GraphStore(spark)
+    val sh = new Shell(store)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dup line\ndup line\nunique one here"),
+      (2L, "all distinct lines\nno repeats at all"))
+      .toDF("id", "text")
+    store.attachNodes("repd", docs, "id")
+    assert(rowBag(sh.execute("PIPELINE TEXT GOPHERREP ON repd;").get)
+      === rowBag(graft.pipeline.TextAnalysis.gopherRepetition(
+        docs, "id", "text")))
+    val urls = Seq(
+      (1L, "HTTP://Ads.Tracker.NET:80/a?utm_source=x"),
+      (2L, "https://ok.example/b"))
+      .toDF("id", "url")
+    store.attachNodes("urld", urls, "id")
+    val kept = sh.execute("PIPELINE URL ON urld WITH (url = \"url\", " +
+      "block = \"tracker.net\");").get.collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(kept.head.getString(1) === "https://ok.example/b")
+  }
 }
