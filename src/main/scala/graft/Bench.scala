@@ -432,6 +432,10 @@ object Bench {
       // one hashed-gram count shuffle for the top-n-gram winners
       "gopher_rep" -> (() => graft.pipeline.TextAnalysis
         .gopherRepetition(store.nodes("documents"), "id", "text")),
+      // C4 sentence-span dedup (p135 shape): sentence-hash slices +
+      // span-hash-grain winner table + position cut
+      "sentence_spans" -> (() => graft.pipeline.Curation
+        .dedupSentenceSpans(store.nodes("documents"), "id", "text")),
       // URL blocklist filter (p131 shape): suffix explode + broadcast
       // semi join + anti join back; 1000-domain blocklist
       "url_filter" -> (() => {

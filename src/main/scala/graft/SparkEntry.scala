@@ -1604,6 +1604,25 @@ object SparkEntry {
         .execute("PIPELINE TEXT GOPHERREP ON repdocs;").get
         .withColumnRenamed("id", "doc_id")
     }),
+    // p135: keep-first 3-sentence-span dedup (C4's final step,
+    // Raffel 2020 §2.2 "all but one of any three-sentence span") —
+    // two fixture slices share a 3-sentence prefix (the global first
+    // occurrence keeps it, every other loses those sentences; a doc
+    // reduced to nothing drops), the third slice is undecorated
+    "p135_sentence_spans" -> ((s, dir) =>
+      graft.pipeline.Curation.dedupSentenceSpans(
+        TpchGraph.store(s, dir).nodes("documents")
+          .select(col("id").as("doc_id"), sentSpanDeco.as("text")),
+        "doc_id", "text")),
+    // p136: the same from the REPL (PIPELINE SPANS SENTENCES)
+    "p136_ql_sentence_spans" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("sentdocs", st.nodes("documents")
+        .select(col("id"), sentSpanDeco.as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE SPANS SENTENCES ON sentdocs;").get
+        .withColumnRenamed("id", "doc_id")
+    }),
     // p97: the EXR decode from the REPL — must reproduce p96's oracle
     // bit for bit through the real lexer/parser/shell
     "p97_ql_media_exr" -> ((s, dir) => {
@@ -2343,6 +2362,57 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "n_chars * 4 AS INT) AS rep_pass " +
       "FROM s LEFT JOIN t USING (doc_id)"
 
+  /** p135/p136 fixture: two slices share a 3-sentence prefix (slice 0
+    * appends the document text, slice 1 a unique tail sentence), the
+    * third is the bare text. */
+  private def sentSpanDeco: org.apache.spark.sql.Column =
+    element_at(array(
+      concat(lit("Alpha beta gamma. Delta epsilon zeta! " +
+        "Eta theta iota? "), coalesce(col("text"), lit(""))),
+      concat(lit("Alpha beta gamma. Delta epsilon zeta! " +
+        "Eta theta iota? Unique tail "), col("id").cast("string"),
+        lit(" ends.")),
+      coalesce(col("text"), lit(""))),
+      (col("id") % 3).cast("int") + 1)
+
+  /** p135/p136 oracle: keep-first 3-sentence-span dedup replayed over
+    * sentence STRINGS — the same U+0001-marker split contract (RE2
+    * `\1` group ref; chr(31) joins spans unambiguously), row_number
+    * in (doc_id, start) order, loser spans expand to their three
+    * positions, coverage unions via DISTINCT. */
+  private def sentSpanOracle: String =
+    "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) " +
+      "WHEN 0 THEN 'Alpha beta gamma. Delta epsilon zeta! " +
+      "Eta theta iota? ' || coalesce(text, '') " +
+      "WHEN 1 THEN 'Alpha beta gamma. Delta epsilon zeta! " +
+      "Eta theta iota? Unique tail ' || CAST(doc_id AS VARCHAR) || " +
+      "' ends.' ELSE coalesce(text, '') END AS txt FROM documents), " +
+      "m AS (SELECT doc_id, list_filter(list_transform(string_split(" +
+      "regexp_replace(txt, '([.?!])\\s+', '\\1' || chr(1), 'g'), " +
+      "chr(1)), x -> trim(x)), x -> x <> '') AS ss FROM d), " +
+      "sp AS (SELECT doc_id, j, " +
+      "array_to_string(ss[j + 1 : j + 3], chr(31)) AS span " +
+      "FROM (SELECT doc_id, ss, " +
+      "unnest(range(greatest(len(ss) - 2, 0))) AS j FROM m)), " +
+      "w AS (SELECT doc_id, j, row_number() OVER (PARTITION BY span " +
+      "ORDER BY doc_id, j) AS rn FROM sp), " +
+      "rem AS (SELECT DISTINCT doc_id, j + x AS p FROM " +
+      "(SELECT doc_id, j FROM w WHERE rn > 1) lose, " +
+      "(SELECT unnest(range(3)) AS x) off), " +
+      "l AS (SELECT doc_id, unnest(ss) AS sent, " +
+      "generate_subscripts(ss, 1) - 1 AS p FROM m), " +
+      "k AS (SELECT l.doc_id, l.p, l.sent FROM l LEFT JOIN rem " +
+      "ON l.doc_id = rem.doc_id AND l.p = rem.p " +
+      "WHERE rem.doc_id IS NULL), " +
+      "agg AS (SELECT doc_id, coalesce(string_agg(sent, ' ' " +
+      "ORDER BY p), '') AS clean_text, count(*) AS n_kept " +
+      "FROM k GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, len(ss) AS n FROM m) " +
+      "SELECT a.doc_id, a.clean_text, " +
+      "CAST(a.n_kept AS BIGINT) AS n_kept, " +
+      "CAST(t.n - a.n_kept AS BIGINT) AS n_removed " +
+      "FROM agg a JOIN tot t USING (doc_id)"
+
   private def gopherOracle: String =
     "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
       "WHEN 0 THEN coalesce(text, '') || " +
@@ -2932,6 +3002,8 @@ WHERE rank <= 10"""
     "p132_ql_url_filter" -> urlFilterOracle,
     "p133_gopher_rep" -> gopherRepOracle,
     "p134_ql_gopher_rep" -> gopherRepOracle,
+    "p135_sentence_spans" -> sentSpanOracle,
+    "p136_ql_sentence_spans" -> sentSpanOracle,
     // p114/p115: the expected canonical URLs in closed form
     "p114_canonical_url" -> canonUrlOracle,
     "p115_ql_canonurl" -> canonUrlOracle,

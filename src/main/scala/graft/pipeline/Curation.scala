@@ -836,14 +836,16 @@ object Curation {
   }
 
   /** Shared tail of the line-cutting family ([[removeBoilerplate]],
-    * [[dedupLines]]): given `base = (__id, __ls line-array)` and
-    * `removals = (__id, __pos)` rows naming the lines to cut, rebuild
-    * each document's text without them. Only POSITIONS cross the
-    * doc-grain shuffle — the text stays with the document row and is
-    * re-sliced in place (the text-never-shuffles discipline). */
+    * [[dedupLines]], [[dedupSentenceSpans]]): given `base = (__id,
+    * __ls segment-array)` and `removals = (__id, __pos)` rows naming
+    * the segments to cut, rebuild each document's text without them
+    * (joined with `sep`). Only POSITIONS cross the doc-grain shuffle —
+    * the text stays with the document row and is re-sliced in place
+    * (the text-never-shuffles discipline). */
   private def cutLinePositions(base: DataFrame, removals: DataFrame,
                                idCol: String,
-                               minKeptLines: Long): DataFrame = {
+                               minKeptLines: Long,
+                               sep: String = "\n"): DataFrame = {
     val hits = removals.groupBy("__id")
       .agg(sort_array(collect_list(col("__pos").cast("long")))
         .as("__bp"))
@@ -863,7 +865,7 @@ object Curation {
             greatest(lit(0L), gapEnd - gapStart + 1L).cast("int"))
         })).as("__kept"))
       .select(col("__id").as(idCol),
-        concat_ws("\n", col("__kept")).as("clean_text"),
+        concat_ws(sep, col("__kept")).as("clean_text"),
         size(col("__kept")).cast("long").as("n_kept"),
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
       .filter(col("n_kept") >= minKeptLines)
@@ -916,5 +918,70 @@ object Curation {
         col("__pos").cast("long") =!= col("__w")("__wpos"))
       .select("__id", "__pos")
     cutLinePositions(base, removals, idCol, minKeptLines)
+  }
+
+  /** The sentence-split contract shared with the oracle: a sentence
+    * ends at `[.?!]` followed by whitespace (the final fragment needs
+    * no terminal mark); segments are trimmed and blanks dropped. The
+    * split interposes the U+0001 marker - both regex engines
+    * (java.util.regex with `$1`, RE2 with a backslash-1 group ref)
+    * can produce it, and lookbehind (which RE2 lacks) is never
+    * needed. */
+  private def splitSentences(raw: Column): Column =
+    filter(transform(
+      split(regexp_replace(raw, "([.?!])\\s+", "$1\u0001"), "\u0001"),
+      s => trim(s)), s => s =!= "")
+
+  /** Keep-first `k`-sentence-span dedup - C4's final deduplication
+    * step (Raffel et al. 2020 section 2.2: "we discarded all but one
+    * of any three-sentence span occurring more than once in the data
+    * set"). Documents split into sentences (terminal `[.?!]` +
+    * whitespace); every k-sentence sliding window is hashed; a span's
+    * first occurrence in (document id, start position) order
+    * survives, and every other occurrence has its k sentences cut
+    * (within-document repeats included - the hash table is global,
+    * and overlapping duplicate windows union their positions). Output
+    * per surviving document: `clean_text` (kept sentences joined with
+    * one space - original inter-sentence whitespace is normalized, as
+    * in the reference implementation), `n_kept`, `n_removed`;
+    * documents below `minKeptSentences` drop.
+    *
+    * 100 TB shape: sentences hash once per document; span hashes
+    * derive from k-slices of the sentence-hash array (the
+    * [[graft.pipeline.Dedup]] hashedGrams discipline - only 8-byte
+    * keys cross the wire, a collision can only MERGE two span
+    * classes); the winner table is span-hash grain
+    * (map-side-combined min aggregate); removal positions are
+    * (id, pos) pairs and the text never shuffles - reassembly
+    * re-slices the sentence array in place ([[cutLinePositions]]). */
+  def dedupSentenceSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3,
+                         minKeptSentences: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val raw = coalesce(col(textCol), lit(""))
+    val base = df.select(col(idCol).as("__id"),
+        splitSentences(raw).as("__ls"))
+      .transform(graft.core.Materialize(_))
+    val spans = base
+      .select(col("__id"),
+        transform(col("__ls"), s => xxhash64(s)).as("__sh"))
+      .select(col("__id"),
+        when(size(col("__sh")) >= k,
+          transform(sequence(lit(0), size(col("__sh")) - k),
+            i => xxhash64(slice(col("__sh"), i + 1, lit(k)))))
+          .otherwise(array().cast("array<bigint>")).as("__sp"))
+      .transform(graft.core.Materialize(_))
+      .select(col("__id"), posexplode(col("__sp")).as(Seq("__pos", "__h")))
+    val winners = spans.groupBy("__h")
+      .agg(min(struct(col("__id").cast("long").as("__wid"),
+        col("__pos").cast("long").as("__wpos"))).as("__w"))
+    val removals = spans.join(winners, Seq("__h"))
+      .filter(col("__id").cast("long") =!= col("__w")("__wid") ||
+        col("__pos").cast("long") =!= col("__w")("__wpos"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1)))
+          .as("__pos"))
+      .distinct()
+    cutLinePositions(base, removals, idCol, minKeptSentences, sep = " ")
   }
 }

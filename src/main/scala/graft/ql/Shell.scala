@@ -270,7 +270,8 @@ final class Shell(store: GraphStore,
         s"unknown PIPELINE statement: $family ${variant.getOrElse("")} — " +
           "families: DEDUP (EXACT|MINHASH|SIMHASH|COSINE|COSINE_LSH|" +
           "LINES), " +
-          "SPANS ([REMOVE]), SHARDS, ANN ([IVF]), SEMDEDUP, PROFILE, " +
+          "SPANS ([REMOVE|SENTENCES]), SHARDS, ANN ([IVF]), SEMDEDUP, " +
+          "PROFILE, " +
           "DECONTAMINATE, PACK, SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|" +
           "FINGERPRINT|PII|BPE|REPETITION|BOILERPLATE|LM|FIXENCODING|" +
           "STRIPHTML|GOPHER|GOPHERREP|C4|NORMALIZE), HTTP, CHUNK, URL, " +
@@ -296,6 +297,8 @@ final class Shell(store: GraphStore,
         case ("SPANS", None)                  => Set("text", "k", "min_count")
         case ("SPANS", Some("REMOVE"))        =>
           Set("text", "k", "min_count", "min_kept")
+        case ("SPANS", Some("SENTENCES"))     =>
+          Set("text", "k", "min_kept")
         case ("SHARDS", None)                 => Set("n")
         case ("ANN", None)                    => Set("vec", "k")
         case ("ANN", Some("IVF"))             =>
@@ -394,6 +397,11 @@ final class Shell(store: GraphStore,
           graft.pipeline.Dedup.removeSpans(df, id, str("text", "text"),
             k = int("k", 8), minCount = lng("min_count", 2L),
             minKeptTokens = lng("min_kept", 1L))
+        case ("SPANS", Some("SENTENCES")) =>
+          // keep-first k-sentence-span dedup (C4's final step)
+          graft.pipeline.Curation.dedupSentenceSpans(df, id,
+            str("text", "text"), k = int("k", 3),
+            minKeptSentences = lng("min_kept", 1L))
         case ("SHARDS", None) =>
           graft.pipeline.Curation.shuffleShards(df, id, int("n", 16))
         case ("ANN", None) =>
@@ -614,7 +622,7 @@ final class Shell(store: GraphStore,
       into.foreach { lbl =>
         val docGrain = (family, variant) match {
           case ("DEDUP", Some("EXACT") | Some("LINES") | None) |
-               ("SPANS", Some("REMOVE")) |
+               ("SPANS", Some("REMOVE") | Some("SENTENCES")) |
                ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
                ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
                ("SEMDEDUP", None) | ("DSIR", None) | ("URL", None) |

@@ -807,4 +807,29 @@ class PipelineSpec extends SparkSpec {
     assert(graft.pipeline.Curation.filterBlockedHosts(
       d, "id", "url", Nil).count() === 7L)
   }
+
+  test("dedupSentenceSpans: keep-first 3-sentence spans corpus-wide; " +
+      "within-doc repeats cut; overlap unions; floor drops emptied docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A one. B two. C three. X unique."),
+      (2L, "A one. B two. C three. Y other."),
+      (3L, "Z only here."),
+      (4L, "S a. S b. S c. S a. S b. S c."),
+      (5L, "A one. B two. C three.")
+    ).toDF("id", "text")
+    val got = graft.pipeline.Curation.dedupSentenceSpans(
+      d, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed")))).toMap
+    // doc 1 wins the shared span; doc 2 loses sentences 0-2
+    assert(got(1L) === (("A one. B two. C three. X unique.", 4L, 0L)))
+    assert(got(2L) === (("Y other.", 1L, 3L)))
+    assert(got(3L) === (("Z only here.", 1L, 0L)))
+    // within-doc repeat: the second occurrence of the span cuts
+    assert(got(4L) === (("S a. S b. S c.", 3L, 3L)))
+    // doc 5 is ONLY the losing span: emptied, floored out
+    assert(!got.contains(5L))
+  }
 }
