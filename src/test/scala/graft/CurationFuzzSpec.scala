@@ -65,4 +65,52 @@ class CurationFuzzSpec extends SparkSpec {
     assert(Curation.chunkDocuments(docs, "id", "text",
       budget = 5, overlap = 2).count() >= 0)
   }
+
+  test("r15 wave: c4Clean / gopherSignals / gopherRepetition / " +
+      "dedupLines / dedupSentenceSpans / normalizeUnicode / " +
+      "filterBlockedHosts are total over 400 seeded adversarial " +
+      "strings; count invariants hold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1515)
+    def randText(): String =
+      (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0L until 400L).map(i => (i, randText()))
+      .toDF("id", "text")
+      .transform(graft.core.Materialize(_, eager = true))
+    val c4 = TextAnalysis.c4Clean(docs, "id", "text")
+    assert(c4.count() === 400)
+    assert(c4.filter(col("clean").isNull || col("c4_pass").isNull)
+      .count() === 0)
+    val gq = TextAnalysis.gopherSignals(docs, "id", "text")
+    assert(gq.count() === 400)
+    val gr = TextAnalysis.gopherRepetition(docs, "id", "text")
+    assert(gr.count() === 400)
+    // skeleton sanity: dup counts never exceed totals, never negative
+    assert(gr.filter(col("n_dup_lines") < 0 ||
+      col("n_dup_lines") > col("n_lines") ||
+      col("chars_dup_lines") < 0 ||
+      col("chars_dup_lines") > col("chars_lines") ||
+      col("n_dup_paras") > col("n_paras")).count() === 0)
+    val dl = Curation.dedupLines(docs, "id", "text",
+      minKeptLines = 0L)
+    assert(dl.count() === 400) // floor 0: every doc survives
+    assert(dl.filter(col("n_kept") < 0 || col("n_removed") < 0)
+      .count() === 0)
+    val ds = Curation.dedupSentenceSpans(docs, "id", "text",
+      minKeptSentences = 0L)
+    assert(ds.count() === 400)
+    assert(ds.filter(col("n_kept") < 0 || col("n_removed") < 0)
+      .count() === 0)
+    val nf = docs.select(
+      TextAnalysis.normalizeUnicode(col("text"), "NFC").as("nfc"),
+      TextAnalysis.normalizeUnicode(col("text"), "NFKD").as("nfkd"))
+    assert(nf.filter(col("nfc").isNull || col("nfkd").isNull)
+      .count() === 0)
+    // blocklist filter: adversarial non-URLs are all KEPT (no match),
+    // and the op never throws on them
+    assert(Curation.filterBlockedHosts(docs.withColumnRenamed(
+      "text", "url"), "id", "url", Seq("ads.example.com"))
+      .count() <= 400)
+  }
 }

@@ -480,4 +480,81 @@ class PlanAuditSpec extends SparkSpec {
     assert(!planK.contains("Sort ") || planK.contains("TakeOrdered"),
       s"resample pays a full sort:\n$planK")
   }
+
+  test("r15 scan-shaped ops (c4Clean, gopherSignals, nfc normalize) " +
+      "are zero-exchange projections") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val docs = store.nodes("documents")
+    Seq(
+      "c4Clean" -> graft.pipeline.TextAnalysis.c4Clean(
+        docs, "id", "text"),
+      "gopherSignals" -> graft.pipeline.TextAnalysis.gopherSignals(
+        docs, "id", "text"),
+      "normalizeUnicode" -> docs.select(
+        graft.pipeline.TextAnalysis.normalizeUnicode(
+          org.apache.spark.sql.functions.col("text")))
+    ).foreach { case (name, df) =>
+      val plan = physical(df)
+      assert(!plan.contains("Exchange"),
+        s"$name should be a pure projection but shuffles:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$name regressed to a window:\n$plan")
+    }
+  }
+
+  test("dedupLines / dedupSentenceSpans: hash-grain winner table, " +
+      "position-only shuffles, gap-slice rebuild — no window, no " +
+      "nested loop") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val docs = store.nodes("documents")
+    Seq(
+      "dedupLines" -> graft.pipeline.Curation.dedupLines(
+        docs, "id", "text"),
+      "dedupSentenceSpans" -> graft.pipeline.Curation
+        .dedupSentenceSpans(docs, "id", "text")
+    ).foreach { case (name, df) =>
+      val plan = physical(df)
+      assert(!plan.contains("Window"),
+        s"$name regressed to a window:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to a nested loop:\n$plan")
+      // winner min-aggregate must combine map-side
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name winner table lacks partial aggregation:\n$plan")
+    }
+  }
+
+  test("gopherRepetition: one hashed-gram count shuffle, partial " +
+      "aggregation, no string tie-break window beyond the (cnt, len) " +
+      "max") {
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val plan = physical(graft.pipeline.TextAnalysis.gopherRepetition(
+      store.nodes("documents"), "id", "text"))
+    assert(!plan.contains("Window"),
+      s"top-n-gram winner regressed to a window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"gram counts lack partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"gram pipeline has a cartesian:\n$plan")
+  }
+
+  test("filterBlockedHosts: blocklist rides a BROADCAST hash semi " +
+      "join — never a literal CASE chain, never a nested loop") {
+    import org.apache.spark.sql.functions._
+    val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
+    val df = graft.pipeline.Curation.filterBlockedHosts(
+      store.nodes("documents").select(col("id"),
+        concat(lit("http://h"), pmod(col("id"), lit(50)),
+          lit(".example.com/"), col("id")).as("url")),
+      "id", "url", (0 until 25).map(i => s"h$i.example.com"))
+    val plan = physical(df)
+    assert(plan.contains("BroadcastExchange"),
+      s"blocklist is not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"suffix match fell back to a nested loop:\n$plan")
+    assert(plan.contains("LeftSemi") || plan.contains("LeftAnti"),
+      s"blocked-id membership is not a semi/anti join:\n$plan")
+  }
 }
