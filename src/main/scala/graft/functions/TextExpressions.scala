@@ -233,6 +233,136 @@ object UnicodeNormalize {
   }
 }
 
+/** Fused per-document top-n-gram statistics — `(top{n}_cnt,
+  * top{n}_len)` for each requested word n-gram size, in ONE native
+  * pass under whole-stage codegen. Replaces the HOF gram-struct
+  * build + (doc, n, gram-hash) count SHUFFLE in
+  * [[graft.pipeline.TextAnalysis.gopherRepetition]]: the most
+  * frequent n-gram of a document is a WITHIN-document property, so a
+  * per-row hash map computes it without anything crossing the wire —
+  * the 100x-rung bench had the shuffled HOF form at 82 s where this
+  * pass rides the scan.
+  *
+  * Semantics replicate the shuffled form EXACTLY (pinned by the
+  * hand-checked spec and the p133/p134 DuckDB hash gates):
+  * tokens are maximal non-whitespace runs (regex `\s` class); the
+  * gram length is the codepoint length of the space-joined gram
+  * (token codepoints + n-1); the winner per n is the lexicographic
+  * max of (count, max length) — grams compare by 64-bit hash, so a
+  * collision can only MERGE two gram classes (count sums, length
+  * maxes), the repo-wide hashed-gram contract, here scoped to a
+  * single document (collision odds ~(distinct grams)^2/2^64 per
+  * doc). Documents with fewer than n words emit (0, 0). Per-row
+  * transient memory is O(distinct grams) map cells — the same order
+  * as the document itself.
+  */
+case class GramTopStats(child: Expression, ns: Seq[Int])
+    extends UnaryExpression {
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes $ns")
+
+  override def dataType: DataType = StructType(ns.flatMap(n => Seq(
+    StructField(s"top${n}_cnt", LongType, nullable = false),
+    StructField(s"top${n}_len", LongType, nullable = false))))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"GramTopStats expects a string, got ${child.dataType.catalogString}")
+
+  @transient private lazy val nsArr: Array[Int] = ns.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    GramTopStats.compute(input.asInstanceOf[UTF8String], nsArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("nsArr", nsArr, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} =
+         |  ${GramTopStats.getClass.getName.stripSuffix("$")}.compute(
+         |    $c, $nsRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object GramTopStats {
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  def compute(s: UTF8String, ns: Array[Int]): InternalRow = {
+    val str = s.toString
+    // tokenize once: per-token 64-bit polynomial hash + codepoint len
+    var tokH = new Array[Long](16)
+    var tokL = new Array[Int](16)
+    var m = 0
+    var i = 0
+    while (i < str.length) {
+      if (!isRegexWs(str.charAt(i))) {
+        var h = 1125899906842597L
+        var cps = 0
+        var j = i
+        while (j < str.length && !isRegexWs(str.charAt(j))) {
+          val c = str.charAt(j)
+          h = h * 31L + c
+          if (!Character.isLowSurrogate(c)) cps += 1
+          j += 1
+        }
+        if (m == tokH.length) {
+          tokH = java.util.Arrays.copyOf(tokH, m * 2)
+          tokL = java.util.Arrays.copyOf(tokL, m * 2)
+        }
+        tokH(m) = h; tokL(m) = cps; m += 1
+        i = j
+      } else i += 1
+    }
+    val out = new Array[Any](ns.length * 2)
+    var k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      var bestCnt = 0L
+      var bestLen = 0L
+      if (m >= n) {
+        // cell = [count, max glen] per gram-hash class
+        val map = new java.util.HashMap[java.lang.Long, Array[Long]]()
+        var p = 0
+        while (p <= m - n) {
+          var gh = -3750763034362895579L // FNV-1a 64 offset basis
+          var glen = (n - 1).toLong
+          var q = 0
+          while (q < n) {
+            gh = (gh ^ tokH(p + q)) * 1099511628211L
+            glen += tokL(p + q)
+            q += 1
+          }
+          val cell = map.get(gh)
+          if (cell == null) map.put(gh, Array(1L, glen))
+          else {
+            cell(0) += 1L
+            if (glen > cell(1)) cell(1) = glen
+          }
+          p += 1
+        }
+        val it = map.values().iterator()
+        while (it.hasNext) {
+          val cell = it.next()
+          if (cell(0) > bestCnt ||
+            (cell(0) == bestCnt && cell(1) > bestLen)) {
+            bestCnt = cell(0); bestLen = cell(1)
+          }
+        }
+      }
+      out(k * 2) = bestCnt
+      out(k * 2 + 1) = bestLen
+      k += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
+
 object PolyHash {
   val Mod = 1000000007L
 

@@ -294,25 +294,32 @@ object TextAnalysis {
     * cross-engine skeleton; the seven rules above are the
     * published-threshold core.
     *
-    * 100 TB shape: the line/paragraph signals are a pure codegen'd
-    * projection (array_distinct over per-doc arrays — no shuffle).
-    * The top-n-gram signals add ONE map-side-combined count shuffle
-    * at (doc, n, gram-hash) grain plus a per-(doc, n) max — gram
-    * STRINGS never shuffle, only xxhash64 longs (a collision merges
-    * two gram classes, the hashed-gram discipline); the winner's
-    * length travels as an integer alongside the hash. */
+    * 100 TB shape: ZERO-shuffle — the entire operator is one
+    * projection. The line/paragraph signals are per-doc array
+    * expressions; the top-n-gram winners come from
+    * [[graft.functions.GramTopStats]], a fused native pass (the most
+    * frequent n-gram is a WITHIN-document property, so the per-row
+    * hash map replaces what was a corpus-wide (doc, n, gram-hash)
+    * count shuffle — measured 82 s → scan-speed at the 100× rung).
+    * Gram classes compare by 64-bit hash (collision merges, the
+    * hashed-gram discipline, here scoped per document). */
   def gopherRepetition(df: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val raw = coalesce(col(textCol), lit(""))
     def nonBlank(c: Column): Column =
       filter(transform(c, l => trim(l)), l => l =!= "")
+    // Σ len(segment) == len(separator-less join) — one native pass
+    // instead of a per-element interpreted `aggregate` fold (the HOF
+    // runs on CodegenFallback; measured on the bench as the base
+    // projection's dominant cost)
     def charSum(arr: Column): Column =
-      aggregate(arr, lit(0L), (a, x) => a + length(x))
+      length(array_join(arr, "")).cast("long")
     val lines = nonBlank(split(raw, "\n", -1))
     val paras = nonBlank(split(raw, "\n\n", -1))
-    val toks = filter(split(trim(raw), "\\s+"), t => t =!= "")
-    // (id, signals, token array) pinned BEFORE the explode (the
-    // minhashLsh lesson) so the gram side re-derives cheaply
+    val topGrams = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.GramTopStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(raw),
+        Seq(2, 3, 4)))
     val base = df.select(
         col(idCol).as("__id"),
         length(raw).cast("long").as("n_chars"),
@@ -328,51 +335,15 @@ object TextAnalysis {
         charSum(paras).as("chars_paras"),
         (charSum(paras) - charSum(array_distinct(paras)))
           .as("chars_dup_paras"),
-        toks.as("__toks"))
-      .transform(graft.core.Materialize(_))
-    // one exploded stream for all three n's: (id, n, gram-hash,
-    // gram-len); the count shuffle carries longs only. Docs with
-    // fewer than n words contribute a typed EMPTY array for that n
-    // (a `sequence(1, 0)` would DESCEND, not stop — Spark semantics)
-    val noGrams = filter(array(struct(lit(0).as("n"),
-      lit(0L).as("gh"), lit(0L).as("glen"))), _ => lit(false))
-    val grams = base.select(col("__id"),
-        explode(flatten(transform(array(lit(2), lit(3), lit(4)), n =>
-          when(size(col("__toks")) >= n,
-            transform(sequence(lit(1), size(col("__toks")) - n + 1),
-              i => {
-                val g = array_join(slice(col("__toks"), i, n), " ")
-                struct(n.as("n"), xxhash64(g).as("gh"),
-                  length(g).cast("long").as("glen"))
-              })).otherwise(noGrams)))).as("__g"))
-      .select(col("__id"), col("__g")("n").as("__n"),
-        col("__g")("gh").as("__gh"), col("__g")("glen").as("__glen"))
-    // winner per (doc, n) = lexicographic max over (count, length) —
-    // deterministic WITHOUT naming the winning gram, so the oracle
-    // needs no string-hash mirror and a (count, length) tie between
-    // two different grams cannot produce divergent output
-    val top = grams
-      .groupBy("__id", "__n", "__gh")
-      .agg(count(lit(1)).as("__cnt"), max(col("__glen")).as("__glen"))
-      .groupBy("__id", "__n")
-      .agg(max(struct(col("__cnt"), col("__glen"))).as("__w"))
-      .groupBy("__id")
-      .agg(
-        coalesce(max(when(col("__n") === 2, col("__w")("__cnt"))),
-          lit(0L)).as("top2_cnt"),
-        coalesce(max(when(col("__n") === 2, col("__w")("__glen"))),
-          lit(0L)).as("top2_len"),
-        coalesce(max(when(col("__n") === 3, col("__w")("__cnt"))),
-          lit(0L)).as("top3_cnt"),
-        coalesce(max(when(col("__n") === 3, col("__w")("__glen"))),
-          lit(0L)).as("top3_len"),
-        coalesce(max(when(col("__n") === 4, col("__w")("__cnt"))),
-          lit(0L)).as("top4_cnt"),
-        coalesce(max(when(col("__n") === 4, col("__w")("__glen"))),
-          lit(0L)).as("top4_len"))
-    base.drop("__toks").join(top, Seq("__id"), "left")
-      .na.fill(0L, Seq("top2_cnt", "top2_len", "top3_cnt", "top3_len",
-        "top4_cnt", "top4_len"))
+        topGrams.as("__tg"))
+    base
+      .withColumn("top2_cnt", col("__tg")("top2_cnt"))
+      .withColumn("top2_len", col("__tg")("top2_len"))
+      .withColumn("top3_cnt", col("__tg")("top3_cnt"))
+      .withColumn("top3_len", col("__tg")("top3_len"))
+      .withColumn("top4_cnt", col("__tg")("top4_cnt"))
+      .withColumn("top4_len", col("__tg")("top4_len"))
+      .drop("__tg")
       .withColumn("rep_pass",
         (col("n_dup_lines") * 10L <= col("n_lines") * 3L &&
           col("n_dup_paras") * 10L <= col("n_paras") * 3L &&

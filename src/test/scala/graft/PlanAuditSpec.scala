@@ -525,18 +525,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("gopherRepetition: one hashed-gram count shuffle, partial " +
-      "aggregation, no string tie-break window beyond the (cnt, len) " +
-      "max") {
+  test("gopherRepetition is a ZERO-exchange projection — the fused " +
+      "GramTopStats pass replaced the (doc, n, gram-hash) count " +
+      "shuffle") {
     val store = TpchGraph.store(spark, "/root/testdata/sf0.001")
     val plan = physical(graft.pipeline.TextAnalysis.gopherRepetition(
       store.nodes("documents"), "id", "text"))
+    assert(!plan.contains("Exchange"),
+      s"gopherRepetition shuffles — the within-doc top-gram went " +
+        s"back on the wire:\n$plan")
     assert(!plan.contains("Window"),
       s"top-n-gram winner regressed to a window:\n$plan")
-    assert("HashAggregate".r.findAllIn(plan).size >= 4,
-      s"gram counts lack partial aggregation:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"gram pipeline has a cartesian:\n$plan")
   }
 
   test("filterBlockedHosts: blocklist rides a BROADCAST hash semi " +

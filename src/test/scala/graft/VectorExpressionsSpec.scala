@@ -215,4 +215,47 @@ class VectorExpressionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions()(ext) // must not throw
   }
+
+  test("GramTopStats matches the exploded groupBy formulation on " +
+      "seeded random docs (counts and lengths per n)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(77)
+    val words = IndexedSeq("a", "bb", "ccc", "dd中", "e", "ff", "𝄞g")
+    def doc(): String = (0 until rnd.nextInt(30)).map(_ =>
+      words(rnd.nextInt(words.length))).mkString(" ") +
+      (if (rnd.nextBoolean()) "\n extra  spaced\tline" else "")
+    val docs = (0L until 100L).map(i => (i, doc())).toDF("id", "text")
+    val fused = docs.select(col("id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.GramTopStats(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            coalesce(col("text"), lit(""))), Seq(2, 3))).as("g"))
+      .select(col("id"), col("g")("top2_cnt"), col("g")("top2_len"),
+        col("g")("top3_cnt"), col("g")("top3_len"))
+    // reference: explicit gram strings, exploded and counted
+    val toks = filter(split(trim(coalesce(col("text"), lit(""))),
+      "\\s+"), t => t =!= "")
+    def ref(n: Int) = docs.select(col("id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("w")) - n + 1),
+        i => array_join(slice(col("w"), i, lit(n)), " "))).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(max(struct(col("cnt"),
+        length(col("gram")).cast("long"))).as("w"))
+      .select(col("id"), col("w")("cnt").as(s"top${n}_cnt"),
+        col("w")(s"col2").as(s"top${n}_len"))
+    val r2 = ref(2).collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    val r3 = ref(3).collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    fused.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2)) ===
+        r2.getOrElse(id, (0L, 0L)), s"n=2 doc $id")
+      assert((r.getLong(3), r.getLong(4)) ===
+        r3.getOrElse(id, (0L, 0L)), s"n=3 doc $id")
+    }
+  }
 }
