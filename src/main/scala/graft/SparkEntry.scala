@@ -467,6 +467,26 @@ object SparkEntry {
     "s28_stream_dedup" -> ((s, dir) =>
       EventStreams.dedupStream(TpchGraph.store(s, dir).nodes("events"),
         Seq("userid", "etype")).select("userid", "etype")),
+    // ---- stream-stream keyed interval join, batch twin (the
+    // streaming-legal time-bounded join: equi-key + two-sided
+    // event-time bound so both state stores evict past the watermark;
+    // the MemoryStream path is pinned in PipelineSpec — this gate
+    // hard-checks the join semantics against DuckDB). Corpus ts is
+    // µs-aligned (checked: epoch_ns % 1000 = 0 for every row), so the
+    // µs conversion is lossless and both engines compare equal
+    // instants
+    "s29_interval_join" -> ((s, dir) => {
+      val ev = TpchGraph.store(s, dir).nodes("events")
+        .withColumn("ts",
+          timestamp_micros((col("ts") / 1000L).cast("long")))
+      val l = ev.filter(col("etype") === "purchase")
+        .select(col("id").as("lid"), col("userid").as("uid"), col("ts"))
+      val r = ev.filter(col("etype") === "click")
+        .select(col("id").as("rid"), col("userid").as("r_uid"),
+          col("ts").as("r_ts"))
+      EventStreams.intervalJoin(l, r, "uid", "r_uid", "r_ts", "1 hour")
+        .select(col("lid"), col("rid"))
+    }),
     // ---- as-of join: newest same-user click at or before each purchase
     // (one shuffle+sort, never a per-left range scan)
     "q51_asof_join" -> ((s, dir) => {
@@ -2808,6 +2828,13 @@ WHERE rank <= 10"""
         ", ',') AS qvec FROM e"),
     "s28_stream_dedup" ->
       "SELECT DISTINCT user_id AS userid, event_type AS etype FROM events",
+    // s29: the interval join replayed as plain SQL — each purchase
+    // pairs with same-user clicks in [ts, ts + 1h)
+    "s29_interval_join" ->
+      ("SELECT l.event_id AS lid, r.event_id AS rid FROM events l " +
+        "JOIN events r ON l.user_id = r.user_id " +
+        "AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 1 HOUR " +
+        "WHERE l.event_type = 'purchase' AND r.event_type = 'click'"),
     // DuckDB has no BLOB substring; the corpus is pure ASCII (checked:
     // octet_length(blob) == length(text) for every row), so VARCHAR
     // character slicing IS the byte slicing and md5 agrees byte-for-byte

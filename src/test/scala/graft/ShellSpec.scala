@@ -928,4 +928,30 @@ class ShellSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSeq === Seq(2L))
     assert(kept.head.getString(1) === "https://ok.example/b")
   }
+
+  test("PIPELINE SPANS SENTENCES: QL twin matches the API, k and " +
+      "min_kept bind, chains via INTO") {
+    val store = new GraphStore(spark)
+    val sh = new Shell(store)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A one. B two. C three. X unique."),
+      (2L, "A one. B two. C three. Y other."))
+      .toDF("id", "text")
+    store.attachNodes("sents", docs, "id")
+    val out = sh.execute(
+      "PIPELINE SPANS SENTENCES ON sents INTO sentout;").get
+    assert(rowBag(out) === rowBag(
+      graft.pipeline.Curation.dedupSentenceSpans(docs, "id", "text")))
+    assert(store.nodes("sentout").count() === 2)
+    // k = 2: the shared 2-sentence prefix also dedups
+    val k2 = sh.execute(
+      "PIPELINE SPANS SENTENCES ON sents WITH (k = 2);").get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(k2(2L) === "Y other.")
+    // min_kept = 5 floors every doc out
+    assert(sh.execute(
+      "PIPELINE SPANS SENTENCES ON sents WITH (min_kept = 5);").get
+      .count() === 0)
+  }
 }
