@@ -229,9 +229,22 @@ object Curation {
     if (blockedDomains.isEmpty) return df
     val spark = df.sparkSession
     import spark.implicits._
-    val block = broadcast(
+    filterBlockedHosts(df, idCol, urlCol,
       blockedDomains.map(_.toLowerCase(java.util.Locale.ROOT))
-        .distinct.toDF("__dom"))
+        .distinct.toDF("domain"))
+  }
+
+  /** [[filterBlockedHosts]] with the blocklist as a DataFrame (one
+    * `domain` column, already lowercased) — the form a production
+    * deployment uses: real blocklists (UT1 is ~4M lines) live in
+    * files/tables, not driver Seqs; a Seq would serialize into the
+    * plan as a LocalRelation on every run. */
+  def filterBlockedHosts(df: DataFrame, idCol: String, urlCol: String,
+                         blocked: DataFrame): DataFrame = {
+    require(blocked.columns.contains("domain"),
+      s"blocklist needs a 'domain' column, got " +
+        blocked.columns.mkString(", "))
+    val block = broadcast(blocked.select(col("domain").as("__dom")))
     val u = trim(coalesce(col(urlCol), lit("")))
     val auth =
       lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
@@ -908,14 +921,17 @@ object Curation {
       .select(col("__id"), col("__pos"), xxhash64(col("__l")).as("__h"))
     // the keep-first winner per line hash: min (id, pos) — struct
     // ordering is lexicographic, so this is the first occurrence in
-    // (document id, position) order
+    // (document id, position) order. The id keeps ITS OWN type (long,
+    // string — any orderable): a cast-to-long here would null out
+    // string ids and the null-propagating removal filter would then
+    // silently dedup NOTHING (review r15)
     val winners = lines
       .groupBy("__h")
-      .agg(min(struct(col("__id").cast("long").as("__wid"),
-        col("__pos").cast("long").as("__wpos"))).as("__w"))
+      .agg(min(struct(col("__id").as("__wid"),
+        col("__pos").as("__wpos"))).as("__w"))
     val removals = lines.join(winners, Seq("__h"))
-      .filter(col("__id").cast("long") =!= col("__w")("__wid") ||
-        col("__pos").cast("long") =!= col("__w")("__wpos"))
+      .filter(col("__id") =!= col("__w")("__wid") ||
+        col("__pos") =!= col("__w")("__wpos"))
       .select("__id", "__pos")
     cutLinePositions(base, removals, idCol, minKeptLines)
   }
@@ -972,12 +988,14 @@ object Curation {
           .otherwise(array().cast("array<bigint>")).as("__sp"))
       .transform(graft.core.Materialize(_))
       .select(col("__id"), posexplode(col("__sp")).as(Seq("__pos", "__h")))
+    // same no-cast winner contract as dedupLines (a cast-to-long
+    // nulls string ids and the removal filter silently no-ops)
     val winners = spans.groupBy("__h")
-      .agg(min(struct(col("__id").cast("long").as("__wid"),
-        col("__pos").cast("long").as("__wpos"))).as("__w"))
+      .agg(min(struct(col("__id").as("__wid"),
+        col("__pos").as("__wpos"))).as("__w"))
     val removals = spans.join(winners, Seq("__h"))
-      .filter(col("__id").cast("long") =!= col("__w")("__wid") ||
-        col("__pos").cast("long") =!= col("__w")("__wpos"))
+      .filter(col("__id") =!= col("__w")("__wid") ||
+        col("__pos") =!= col("__w")("__wpos"))
       .select(col("__id"),
         explode(sequence(col("__pos"), col("__pos") + (k - 1)))
           .as("__pos"))

@@ -328,11 +328,15 @@ object Ingest {
     val latin1View = decode(col("payload"), "ISO-8859-1")
     val json = when(Encoding.looksLikeUtf8(latin1View),
       decode(col("payload"), "UTF-8")).otherwise(latin1View)
+    // parse ONCE per record, then project fields (the jsonlFiles
+    // shape — a per-field from_json would re-parse the envelope
+    // schema.fields.length times)
     warcFiles(spark, glob)
       .filter(col("warc_type") === "metadata")
+      .select(col("_input_file"), col("target_uri"),
+        from_json(json, schema).as("__r"))
       .select(col("_input_file") +: col("target_uri") +:
-        schema.fields.toSeq.map(f =>
-          from_json(json, schema)(f.name).as(f.name)): _*)
+        schema.fields.toSeq.map(f => col("__r")(f.name).as(f.name)): _*)
   }
 
   /** Write `(id, text, source)`-shaped rows as gzipped WAT shards

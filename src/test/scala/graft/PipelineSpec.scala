@@ -832,4 +832,34 @@ class PipelineSpec extends SparkSpec {
     // doc 5 is ONLY the losing span: emptied, floored out
     assert(!got.contains(5L))
   }
+
+  test("dedupLines / dedupSentenceSpans keep-first works for STRING " +
+      "ids too (the cast-to-long null trap); blocklist accepts a " +
+      "DataFrame") {
+    import spark.implicits._
+    val d = Seq(
+      ("docB", "shared line\nuniq b"),
+      ("docA", "shared line\nuniq a")).toDF("id", "text")
+    val got = graft.pipeline.Curation.dedupLines(d, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // 'docA' < 'docB' lexicographically: docA keeps the shared line
+    assert(got("docA") === "shared line\nuniq a")
+    assert(got("docB") === "uniq b")
+    val sp = Seq(
+      ("z2", "A one. B two. C three. Y other."),
+      ("a1", "A one. B two. C three. X unique."))
+      .toDF("id", "text")
+    val spOut = graft.pipeline.Curation.dedupSentenceSpans(
+      sp, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(spOut("a1") === "A one. B two. C three. X unique.")
+    assert(spOut("z2") === "Y other.")
+    // blocklist as a DataFrame (the production form)
+    val urls = Seq((1L, "http://ads.example.com/x"),
+      (2L, "http://ok.example/y")).toDF("id", "url")
+    val kept = graft.pipeline.Curation.filterBlockedHosts(urls,
+      "id", "url", Seq("ads.example.com").toDF("domain"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+  }
 }
