@@ -447,7 +447,7 @@ object SparkEntry {
     // ---- tumbling-window aggregation (batch path of the streaming op)
     "s26_window_agg" -> ((s, dir) => {
       val ev = TpchGraph.store(s, dir).nodes("events")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       EventStreams.windowedStats(ev).select("win_start", "etype", "n")
     }),
     // ---- CUBE: all grouping-set combinations
@@ -478,7 +478,7 @@ object SparkEntry {
     "s29_interval_join" -> ((s, dir) => {
       val ev = TpchGraph.store(s, dir).nodes("events")
         .withColumn("ts",
-          timestamp_micros((col("ts") / 1000L).cast("long")))
+          timestamp_micros(expr("ts div 1000")))
       val l = ev.filter(col("etype") === "purchase")
         .select(col("id").as("lid"), col("userid").as("uid"), col("ts"))
       val r = ev.filter(col("etype") === "click")
@@ -1571,17 +1571,26 @@ object SparkEntry {
         "graft_wat_" + Integer.toHexString(dir.hashCode))
         .getAbsolutePath
       Ingest.writeWatGz(docs, out, shards = 4)
-      Ingest.watFiles(s, out + "/*.wat.gz",
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("url",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("length",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("source",
-            org.apache.spark.sql.types.StringType))))
-        .select(regexp_extract(col("url"), "/(\\d+)$", 1)
+      // the schema prunes INTO the nested CommonCrawl envelope —
+      // exactly the from_json path watFiles advertises
+      import org.apache.spark.sql.types.{LongType, StringType,
+        StructField, StructType}
+      val watSchema = StructType(Seq(
+        StructField("Envelope", StructType(Seq(
+          StructField("WARC-Header-Metadata", StructType(Seq(
+            StructField("WARC-Target-URI", StringType)))),
+          StructField("Payload-Metadata", StructType(Seq(
+            StructField("Actual-Content-Length", LongType))))))),
+        StructField("source", StringType)))
+      val uri = col("Envelope")("WARC-Header-Metadata")(
+        "WARC-Target-URI")
+      Ingest.watFiles(s, out + "/*.wat.gz", watSchema)
+        .select(regexp_extract(uri, "/(\\d+)$", 1)
           .cast("long").as("doc_id"),
-          col("url"), col("length"), col("source"))
+          uri.as("url"),
+          col("Envelope")("Payload-Metadata")("Actual-Content-Length")
+            .as("length"),
+          col("source"))
     }),
     // p131: URL host-blocklist filter (the UT1/RefinedWeb domain
     // filter) — exact host, subdomain, NON-match at a non-label

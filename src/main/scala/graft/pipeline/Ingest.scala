@@ -341,10 +341,14 @@ object Ingest {
 
   /** Write `(id, text, source)`-shaped rows as gzipped WAT shards
     * (the fixture / export twin of [[watFiles]]): one `metadata`
-    * record per row whose JSON envelope carries the CommonCrawl-style
-    * `Envelope.WARC-Header-Metadata.WARC-Target-URI` plus flat
-    * `url` / `length` / `source` fields. Executors write their own
-    * shards — no driver funnel. */
+    * record per row whose JSON envelope is genuinely NESTED in the
+    * CommonCrawl shape —
+    * `Envelope.WARC-Header-Metadata.WARC-Target-URI`,
+    * `Envelope.Payload-Metadata.Actual-Content-Length` — plus a flat
+    * `source` field, so [[watFiles]]' schema-pruned nested `from_json`
+    * path is exercised for real (review r15: the first version wrote
+    * a flat object the doc comment didn't match). Executors write
+    * their own shards — no driver funnel. */
   def writeWatGz(df: DataFrame, dir: String, shards: Int): Unit = {
     require(shards >= 1, "shards must be >= 1")
     require(df.columns.length == 3,
@@ -352,18 +356,20 @@ object Ingest {
     val Seq(idC, textC, srcC) = df.columns.toSeq
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    val cleanSrc = regexp_replace(
+      coalesce(col(srcC), lit("")).cast("string"), "[\\r\\n]", "")
     df.select(col(idC).cast("long"),
         to_json(struct(
-          concat(lit("http://"),
-            regexp_replace(coalesce(col(srcC), lit("")).cast("string"),
-              "[\\r\\n]", ""),
-            lit("/"), col(idC).cast("string")).as("url"),
-          length(coalesce(col(textC), lit("")).cast("string"))
-            .as("length"),
+          struct(
+            struct(concat(lit("http://"), cleanSrc, lit("/"),
+              col(idC).cast("string")).as("WARC-Target-URI"))
+              .as("WARC-Header-Metadata"),
+            struct(length(coalesce(col(textC), lit("")).cast("string"))
+              .as("Actual-Content-Length")).as("Payload-Metadata"))
+            .as("Envelope"),
           coalesce(col(srcC), lit("")).cast("string").as("source")))
           .as("__json"),
-        regexp_replace(coalesce(col(srcC), lit("")).cast("string"),
-          "[\\r\\n]", "").as("__src"))
+        cleanSrc.as("__src"))
       .repartition(shards).rdd.foreachPartition { it =>
         val part = org.apache.spark.TaskContext.getPartitionId()
         val path = new org.apache.hadoop.fs.Path(
@@ -402,7 +408,10 @@ object Ingest {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col(idC).cast("long"), coalesce(col(textC), lit(""))
-        .cast("string"), col(srcC).cast("string"))
+        .cast("string"),
+        // coalesced: a null source must not NPE the executor's
+        // replaceAll (review r15 — writeWatGz already coalesced)
+        coalesce(col(srcC).cast("string"), lit("")))
       .repartition(shards).rdd.foreachPartition { it =>
         val part = org.apache.spark.TaskContext.getPartitionId()
         val path = new org.apache.hadoop.fs.Path(
@@ -457,7 +466,10 @@ object Ingest {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col(idC).cast("long"), coalesce(col(textC), lit(""))
-        .cast("string"), col(srcC).cast("string"))
+        .cast("string"),
+        // coalesced: a null source must not NPE the executor's
+        // replaceAll (review r15 — writeWatGz already coalesced)
+        coalesce(col(srcC).cast("string"), lit("")))
       .repartition(shards).rdd.foreachPartition { it =>
         val part = org.apache.spark.TaskContext.getPartitionId()
         val path = new org.apache.hadoop.fs.Path(

@@ -83,7 +83,16 @@ object TextAnalysis {
   private[pipeline] val NumEntityRe =
     "&#([0-9]{1,7}|[xX][0-9A-Fa-f]{1,6});"
 
-  private[pipeline] def decodeNumericEntities(c: Column): Column = {
+  /** `partTransform` is applied to the text BETWEEN numeric
+    * references BEFORE the decoded characters are re-interleaved —
+    * this is what makes the combined numeric+named decode ONE pass: a
+    * numeric-decoded `&` (from `&#38;`) can never be re-consumed by a
+    * named-entity replace, because the named replaces only ever see
+    * the original inter-reference text (review r15: `&#38;lt;` must
+    * yield the literal `&lt;`, not `<`; a named entity cannot span a
+    * numeric reference, so per-part decoding loses nothing). */
+  private[pipeline] def decodeNumericEntities(
+      c: Column, partTransform: Column => Column = identity): Column = {
     val parts = split(c, NumEntityRe, -1)
     val ents = regexp_extract_all(c, lit(NumEntityRe), lit(1))
     def decodeOne(e: Column): Column = {
@@ -97,7 +106,7 @@ object TextAnalysis {
     }
     // split yields n+1 parts for n references; pad the decoded array
     // to the same length so zip_with never concats against null
-    array_join(zip_with(parts,
+    array_join(zip_with(transform(parts, p => partTransform(p)),
       concat(transform(ents, decodeOne(_)), array(lit(""))),
       (p, d) => concat(p, d)), "")
   }
@@ -117,12 +126,15 @@ object TextAnalysis {
       "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
-    val decoded = Seq(
+    // named entities decode PER inter-reference part inside the
+    // numeric pass (one-pass contract — see decodeNumericEntities)
+    def named(c: Column): Column = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(decodeNumericEntities(noTags)) { case (c, (k, v)) =>
-        org.apache.spark.sql.functions.replace(c, lit(k), lit(v))
+      .foldLeft(c) { case (acc, (k, v)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(k), lit(v))
       }
+    val decoded = decodeNumericEntities(noTags, named)
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
@@ -155,6 +167,11 @@ object TextAnalysis {
   def gopherSignals(df: DataFrame, idCol: String, textCol: String,
       requiredWords: Seq[String] = GopherRequiredWords): DataFrame = {
     require(requiredWords.nonEmpty, "requiredWords must be non-empty")
+    // matched against LOWERCASED tokens — a caller passing "The"
+    // would otherwise silently never match (review r15), the same
+    // normalization c4Clean applies to badWords
+    val reqLower = requiredWords
+      .map(_.toLowerCase(java.util.Locale.ROOT))
     val raw = coalesce(col(textCol), lit(""))
     val toks = filter(split(trim(raw), "\\s+"), t => t =!= "")
     val lines = filter(transform(split(raw, "\n"), l => trim(l)),
@@ -163,7 +180,10 @@ object TextAnalysis {
     val base = df.select(
       col(idCol),
       size(toks).cast("long").as("n_words"),
-      aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_chars"),
+      // Σ len(token) == len(separator-less join) — one native pass,
+      // not a per-element interpreted aggregate() fold (the
+      // gopherRepetition charSum lesson, same diff)
+      length(array_join(toks, "")).cast("long").as("n_chars"),
       size(call_function("regexp_extract_all", raw, lit("[#…]"),
         lit(0))).cast("long").as("n_sym"),
       size(lines).cast("long").as("n_lines"),
@@ -174,7 +194,7 @@ object TextAnalysis {
       size(filter(toks, t => t.rlike("[A-Za-z]")))
         .cast("long").as("n_alpha_words"),
       size(filter(
-        array(requiredWords.map(lit): _*),
+        array(reqLower.map(lit): _*),
         w => array_contains(lowToks, w))).cast("long").as("n_required"))
     base.withColumn("gopher_pass",
       (col("n_words") >= 50L && col("n_words") <= 100000L &&

@@ -329,11 +329,21 @@ class IngestSpec extends SparkSpec {
       (2L, "", "src2")
     ).toDF("id", "text", "source")
     Ingest.writeWatGz(docs, dir, shards = 2)
+    // schema prunes INTO the nested CommonCrawl envelope
     val schema = StructType(Seq(
-      StructField("url", StringType),
-      StructField("length", LongType),
+      StructField("Envelope", StructType(Seq(
+        StructField("WARC-Header-Metadata", StructType(Seq(
+          StructField("WARC-Target-URI", StringType)))),
+        StructField("Payload-Metadata", StructType(Seq(
+          StructField("Actual-Content-Length", LongType))))))),
       StructField("source", StringType)))
     val back = Ingest.watFiles(spark, dir + "/*.wat.gz", schema)
+      .select(col("target_uri"),
+        col("Envelope")("WARC-Header-Metadata")("WARC-Target-URI")
+          .as("url"),
+        col("Envelope")("Payload-Metadata")("Actual-Content-Length")
+          .as("length"),
+        col("source"))
     val rows = back.collect().map(r =>
       (r.getAs[String]("url"), r.getAs[Long]("length"),
         r.getAs[String]("source"))).toSet

@@ -186,7 +186,10 @@ class PipelineSpec extends SparkSpec {
       (8L, "&#0; &#xD800; &#1114112; &#x110000;",
         "&#0; &#xD800; &#1114112; &#x110000;"),
       // &amp;#65; single-decodes to the literal &#65;, never to A
-      (9L, "&amp;#65; and &#38;#66;", "&#65; and &#66;"))
+      (9L, "&amp;#65; and &#38;#66;", "&#65; and &#66;"),
+      // a numeric-decoded & must NOT feed the named pass (one-pass
+      // contract, review r15): &#38;lt; is the literal &lt;, not <
+      (10L, "&#38;lt; &#38;amp; &#38;gt;x", "&lt; &amp; &gt;x"))
     val got = cases.map { case (i, in, _) => (i, in) }
       .toDF("id", "html")
       .select(col("id"),

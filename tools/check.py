@@ -76,6 +76,23 @@ def main(sf_dir, out_dir, subset=None):
               f"side to an ICU-contextual lower (DuckOracleSql "
               f"boundary note)")
         n_fail += 1
+    # Whitespace-class canary (review r15): Java's regex \s includes
+    # U+000B (vertical tab), RE2's does not — every '\s+'-tokenizing
+    # oracle replay (word counts, sentence splits, token contracts)
+    # diverges on a corpus containing VT. Fail loudly up front.
+    try:
+        vt = con.execute(
+            "SELECT count(*) FROM documents WHERE "
+            "contains(text, chr(11))").fetchone()[0]
+    except Exception:  # synthetic fixture without a text column
+        vt = 0
+    if vt:
+        print(f"FAIL __ws_canary__: {vt} document(s) contain U+000B "
+              f"(vertical tab) — Java \\s matches it, RE2 \\s does "
+              f"not, so the '\\s+' token/sentence oracles cannot "
+              f"replay this corpus; strip VT at ingest or port the "
+              f"oracle regexes to an explicit class")
+        n_fail += 1
     # Every book entry is stamped with a run id so books merged across
     # one-per-process subset invocations can prove each entry came from
     # the current binary — a stale pass:true from an earlier build is
