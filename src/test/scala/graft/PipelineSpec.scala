@@ -865,4 +865,24 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(2L))
   }
+
+  test("dedupLines is idempotent: after keep-first, every surviving " +
+      "non-blank line is corpus-unique, so a second pass removes " +
+      "nothing (seeded random corpus)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    val pool = (1 to 12).map(i => s"line pool $i")
+    def doc(): String = (0 until 1 + rnd.nextInt(6)).map(_ =>
+      if (rnd.nextInt(4) == 0) "" else pool(rnd.nextInt(pool.length)))
+      .mkString("\n")
+    val d = (0L until 60L).map(i => (i, doc())).toDF("id", "text")
+    val once = graft.pipeline.Curation.dedupLines(d, "id", "text",
+      minKeptLines = 0L)
+    val twice = graft.pipeline.Curation.dedupLines(
+      once.withColumnRenamed("clean_text", "text")
+        .select("id", "text"), "id", "text", minKeptLines = 0L)
+    assert(twice.filter(col("n_removed") > 0).count() === 0)
+    assert(rowBag(twice.select(col("id"), col("clean_text"))) ===
+      rowBag(once.select(col("id"), col("clean_text"))))
+  }
 }
