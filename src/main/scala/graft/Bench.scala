@@ -432,6 +432,19 @@ object Bench {
       // one hashed-gram count shuffle for the top-n-gram winners
       "gopher_rep" -> (() => graft.pipeline.TextAnalysis
         .gopherRepetition(store.nodes("documents"), "id", "text")),
+      // RFC 9309 robots evaluation (p137 shape): native parse+match
+      // per row, pure projection
+      "robots_eval" -> (() => {
+        val rules = lit("User-agent: *\nDisallow: /\n\n" +
+          "User-agent: graftbot\nAllow: /docs/\nDisallow: /*.pdf$\n" +
+          "Disallow: /private/\n")
+        val path = concat(lit("/docs/"), col("source"), lit("/"),
+          col("id").cast("string"),
+          when(col("id") % 3 === 0, ".pdf").otherwise(".html"))
+        store.nodes("documents").select(col("id"),
+          graft.pipeline.TextAnalysis.robotsAllowed(rules, path,
+            "graftbot").as("allowed"))
+      }),
       // C4 sentence-span dedup (p135 shape): sentence-hash slices +
       // span-hash-grain winner table + position cut
       "sentence_spans" -> (() => graft.pipeline.Curation

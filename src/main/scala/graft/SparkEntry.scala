@@ -1652,6 +1652,27 @@ object SparkEntry {
         .execute("PIPELINE SPANS SENTENCES ON sentdocs;").get
         .withColumnRenamed("id", "doc_id")
     }),
+    // p137: RFC 9309 robots.txt evaluation — six fixture slices pin
+    // prefix disallow (hit + miss), exact-group-beats-* with a
+    // longest-match Allow, the blanket Disallow /, and the
+    // wildcard+anchor pattern (hit + anchored miss). Closed-form
+    // oracle (states the expected bit, never re-runs the matcher)
+    "p137_robots" -> ((s, dir) =>
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          graft.pipeline.TextAnalysis.robotsAllowed(
+            robotsRulesDeco, robotsPathDeco, "graftbot")
+            .cast("int").as("allowed"))),
+    // p138: the same from the REPL (PIPELINE ROBOTS)
+    "p138_ql_robots" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("robotdocs", st.nodes("documents")
+        .select(col("id"), robotsRulesDeco.as("rules"),
+          robotsPathDeco.as("path")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE ROBOTS ON robotdocs;").get
+        .select(col("id").as("doc_id"), col("allowed"))
+    }),
     // p97: the EXR decode from the REPL — must reproduce p96's oracle
     // bit for bit through the real lexer/parser/shell
     "p97_ql_media_exr" -> ((s, dir) => {
@@ -2442,6 +2463,34 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "CAST(t.n - a.n_kept AS BIGINT) AS n_removed " +
       "FROM agg a JOIN tot t USING (doc_id)"
 
+  /** p137/p138 fixture: three robots bodies × hit/miss paths. */
+  private def robotsRulesDeco: org.apache.spark.sql.Column =
+    element_at(array(
+      lit("User-agent: *\nDisallow: /private/\n"),
+      lit("User-agent: *\nDisallow: /private/\n"),
+      lit("User-agent: *\nDisallow: /\n\n" +
+        "User-agent: graftbot\nAllow: /docs/\nDisallow: /\n"),
+      lit("User-agent: *\nDisallow: /\n\n" +
+        "User-agent: graftbot\nAllow: /docs/\nDisallow: /\n"),
+      lit("User-agent: *\nDisallow: /*.pdf$\n"),
+      lit("User-agent: *\nDisallow: /*.pdf$\n")),
+      (col("id") % 6).cast("int") + 1)
+
+  private def robotsPathDeco: org.apache.spark.sql.Column =
+    element_at(array(
+      concat(lit("/private/"), col("id").cast("string")),
+      concat(lit("/public/"), col("id").cast("string")),
+      concat(lit("/docs/"), col("id").cast("string")),
+      concat(lit("/other/"), col("id").cast("string")),
+      concat(lit("/f"), col("id").cast("string"), lit(".pdf")),
+      concat(lit("/f"), col("id").cast("string"), lit(".pdfx"))),
+      (col("id") % 6).cast("int") + 1)
+
+  /** p137/p138 oracle: the expected bit in closed form. */
+  private def robotsOracle: String =
+    "SELECT doc_id, CASE WHEN CAST(doc_id % 6 AS INT) IN (1, 2, 5) " +
+      "THEN 1 ELSE 0 END AS allowed FROM documents"
+
   private def gopherOracle: String =
     "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
       "WHEN 0 THEN coalesce(text, '') || " +
@@ -3040,6 +3089,8 @@ WHERE rank <= 10"""
     "p134_ql_gopher_rep" -> gopherRepOracle,
     "p135_sentence_spans" -> sentSpanOracle,
     "p136_ql_sentence_spans" -> sentSpanOracle,
+    "p137_robots" -> robotsOracle,
+    "p138_ql_robots" -> robotsOracle,
     // p114/p115: the expected canonical URLs in closed form
     "p114_canonical_url" -> canonUrlOracle,
     "p115_ql_canonurl" -> canonUrlOracle,

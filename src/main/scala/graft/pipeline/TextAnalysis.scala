@@ -377,6 +377,21 @@ object TextAnalysis {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** RFC 9309 robots.txt evaluation — `true` when `agent` may fetch
+    * `path` under the `rules` body: group selection by product token
+    * (exact beats `*`), longest-pattern match with `*`/`$` wildcards,
+    * Allow wins length ties, no match → allowed. Native codegen'd
+    * expression ([[graft.functions.RobotsAllowed]]) — the
+    * crawl-politeness filter applied before any fetch-derived row
+    * enters a corpus. One scan, no shuffle. */
+  def robotsAllowed(rules: Column, path: Column,
+                    agent: String): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.RobotsAllowed(
+        org.apache.spark.sql.graft.ColumnBridge.expression(rules),
+        org.apache.spark.sql.graft.ColumnBridge.expression(path),
+        agent))
+
   /** Email addresses — RE2-compatible (the oracle's DuckDB regex engine)
     * AND java.util.regex-compatible, so both engines see identical
     * matches. */

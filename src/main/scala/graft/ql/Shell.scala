@@ -275,7 +275,7 @@ final class Shell(store: GraphStore,
           "DECONTAMINATE, PACK, SAMPLE, CLUSTERS, TEXT (QUALITY|LANGID|" +
           "FINGERPRINT|PII|BPE|REPETITION|BOILERPLATE|LM|FIXENCODING|" +
           "STRIPHTML|GOPHER|GOPHERREP|C4|NORMALIZE), HTTP, CHUNK, URL, " +
-          "MIX, DSIR, " +
+          "ROBOTS, MIX, DSIR, " +
           "MEDIA (IMAGE|AUDIO|EXR|FRAMES)")
       // an unknown (or misspelled) option key must fail loudly, never
       // silently run with a default — the review-r12 rule: a user who
@@ -330,6 +330,8 @@ final class Shell(store: GraphStore,
         case ("CHUNK", None)                  =>
           Set("text", "budget", "overlap")
         case ("URL", None)                    => Set("url", "block")
+        case ("ROBOTS", None)                 =>
+          Set("rules", "path", "agent")
         case ("MIX", None)                    =>
           Set("by", "budget", "tau")
         case ("SEMDEDUP", None)               =>
@@ -555,6 +557,13 @@ final class Shell(store: GraphStore,
           if (blocked.isEmpty) canon
           else graft.pipeline.Curation.filterBlockedHosts(
             canon, id, "url", blocked)
+        case ("ROBOTS", None) =>
+          // RFC 9309 robots.txt evaluation: emit the allowed bit per
+          // row from a rules-body column + a path column
+          df.select(col(id),
+            graft.pipeline.TextAnalysis.robotsAllowed(
+              col(str("rules", "rules")), col(str("path", "path")),
+              str("agent", "graftbot")).cast("int").as("allowed"))
         case ("MIX", None) =>
           // temperature-scaled source mixing (GPT-3/PaLM data mixing)
           graft.pipeline.Curation.temperatureMix(df, id,
@@ -626,7 +635,7 @@ final class Shell(store: GraphStore,
                ("SHARDS", None) | ("DECONTAMINATE", None) | ("PACK", None) |
                ("SAMPLE", None) | ("CLUSTERS", None) | ("TEXT", _) |
                ("SEMDEDUP", None) | ("DSIR", None) | ("URL", None) |
-               ("MIX", None) | ("HTTP", None) |
+               ("MIX", None) | ("HTTP", None) | ("ROBOTS", None) |
                ("MEDIA", Some("IMAGE") | Some("AUDIO") |
                  Some("EXR")) => true
           case _ => false // pair / span / rank / frame grain

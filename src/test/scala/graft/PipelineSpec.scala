@@ -885,4 +885,55 @@ class PipelineSpec extends SparkSpec {
     assert(rowBag(twice.select(col("id"), col("clean_text"))) ===
       rowBag(once.select(col("id"), col("clean_text"))))
   }
+
+  test("robotsAllowed: RFC 9309 group selection, longest-match, " +
+      "Allow tie-break, wildcards, anchors, comments — hand-checked") {
+    import spark.implicits._
+    def ok(rules: String, path: String, agent: String = "graftbot") =
+      Seq((rules, path)).toDF("r", "p")
+        .select(graft.pipeline.TextAnalysis.robotsAllowed(
+          col("r"), col("p"), agent)).head().getBoolean(0)
+    val basic = "User-agent: *\nDisallow: /private/\n"
+    assert(!ok(basic, "/private/x"))
+    assert(ok(basic, "/public/x"))
+    assert(ok(basic, "/privat"))
+    // exact group beats *: the * group's blanket disallow must NOT
+    // leak into an agent that has its own group
+    val grouped = "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: GraftBot\nAllow: /docs/\nDisallow: /\n"
+    assert(ok(grouped, "/docs/page"))       // longest match is Allow
+    assert(!ok(grouped, "/other"))          // exact group's Disallow /
+    assert(!ok(grouped, "/x", agent = "otherbot")) // falls to *
+    // an exact group that allows everything (no rules) shadows *
+    val shadow = "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: graftbot\nDisallow:\n"
+    assert(ok(shadow, "/anything"))
+    // consecutive User-agent lines share one group
+    val multi = "User-agent: graftbot\nUser-agent: other\n" +
+      "Disallow: /both/\n"
+    assert(!ok(multi, "/both/x"))
+    assert(!ok(multi, "/both/x", agent = "other"))
+    // wildcards and the $ anchor
+    val wild = "User-agent: *\nDisallow: /*.pdf$\n"
+    assert(!ok(wild, "/a/b.pdf"))
+    assert(ok(wild, "/a/b.pdfx"))   // anchored: must END at .pdf
+    assert(ok(wild, "/a/pdf"))
+    val mid = "User-agent: *\nDisallow: /a/*/c\n"
+    assert(!ok(mid, "/a/b/c"))
+    assert(!ok(mid, "/a/b/cd"))     // prefix match past the pattern
+    assert(ok(mid, "/a/bc"))
+    // Allow wins an exact length tie
+    val tie = "User-agent: *\nDisallow: /p/\nAllow: /p/\n"
+    assert(ok(tie, "/p/x"))
+    // comments strip; unknown fields (Sitemap, Crawl-delay) ignored;
+    // CRLF tolerated; field names case-insensitive
+    val messy = "User-Agent: * # all bots\r\n" +
+      "Crawl-delay: 10\r\nSitemap: http://x/s.xml\r\n" +
+      "DISALLOW: /secret/ # keep out\r\n"
+    assert(!ok(messy, "/secret/a"))
+    assert(ok(messy, "/open"))
+    // no rules at all / empty body → allowed
+    assert(ok("", "/anything"))
+    assert(ok("# only comments\n", "/x"))
+  }
 }

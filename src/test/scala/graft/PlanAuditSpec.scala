@@ -492,7 +492,12 @@ class PlanAuditSpec extends SparkSpec {
         docs, "id", "text"),
       "normalizeUnicode" -> docs.select(
         graft.pipeline.TextAnalysis.normalizeUnicode(
-          org.apache.spark.sql.functions.col("text")))
+          org.apache.spark.sql.functions.col("text"))),
+      "robotsAllowed" -> docs.select(
+        graft.pipeline.TextAnalysis.robotsAllowed(
+          org.apache.spark.sql.functions.lit(
+            "User-agent: *\nDisallow: /private/\n"),
+          org.apache.spark.sql.functions.col("text"), "graftbot"))
     ).foreach { case (name, df) =>
       val plan = physical(df)
       assert(!plan.contains("Exchange"),
