@@ -432,6 +432,13 @@ object Bench {
       // one hashed-gram count shuffle for the top-n-gram winners
       "gopher_rep" -> (() => graft.pipeline.TextAnalysis
         .gopherRepetition(store.nodes("documents"), "id", "text")),
+      // trigram langid (p139 shape): native distinct-trigram overlap
+      "langid_ngram" -> (() => {
+        val lid = graft.pipeline.TextAnalysis.langIdNgram(col("text"))
+        store.nodes("documents").select(col("id"),
+          lid.getField("lang").as("lang_pred"),
+          lid.getField("hits").as("hits"))
+      }),
       // RFC 9309 robots evaluation (p137 shape): native parse+match
       // per row, pure projection
       "robots_eval" -> (() => {

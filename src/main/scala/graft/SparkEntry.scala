@@ -1673,6 +1673,28 @@ object SparkEntry {
         .execute("PIPELINE ROBOTS ON robotdocs;").get
         .select(col("id").as("doc_id"), col("allowed"))
     }),
+    // p139: character-trigram language ID (Cavnar-Trenkle, set-overlap
+    // form) — the pseudo-English corpus is one slice; the other three
+    // carry French/German/Spanish sentences. The oracle recomputes the
+    // distinct-trigram ∩ profile overlaps and the argmax (tie-break =
+    // smallest tag) from the SAME profile constants
+    "p139_langid_ngram" -> ((s, dir) => {
+      val lid = graft.pipeline.TextAnalysis.langIdNgram(langIdDeco)
+      TpchGraph.store(s, dir).nodes("documents")
+        .select(col("id").as("doc_id"),
+          lid.getField("lang").as("lang_pred"),
+          lid.getField("hits").as("hits"))
+    }),
+    // p140: the same from the REPL (PIPELINE TEXT LANGID method=ngram)
+    "p140_ql_langid_ngram" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("langdocs", st.nodes("documents")
+        .select(col("id"), langIdDeco.as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT LANGID ON langdocs " +
+          "WITH (method = \"ngram\");").get
+        .select(col("id").as("doc_id"), col("lang_pred"), col("hits"))
+    }),
     // p97: the EXR decode from the REPL — must reproduce p96's oracle
     // bit for bit through the real lexer/parser/shell
     "p97_ql_media_exr" -> ((s, dir) => {
@@ -2491,6 +2513,56 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
     "SELECT doc_id, CASE WHEN CAST(doc_id % 6 AS INT) IN (1, 2, 5) " +
       "THEN 1 ELSE 0 END AS allowed FROM documents"
 
+  /** p139/p140 fixture sentences (lowercase ASCII — the lowercasing
+    * boundary can never matter). */
+  private val LangFr =
+    "le chat est sur la table et les enfants sont dans le jardin " +
+      "avec les autres pour que tout aille bien sur place"
+  private val LangDe =
+    "der hund ist in dem haus und die kinder sind bei ihnen in der " +
+      "schule und das wetter ist schlecht bei ihnen"
+  private val LangEs =
+    "el perro esta en la casa y los otros estan con el padre en la " +
+      "ciudad para el verano con los amigos"
+
+  private def langIdDeco: org.apache.spark.sql.Column =
+    element_at(array(
+      coalesce(col("text"), lit("")),
+      lit(LangFr), lit(LangDe), lit(LangEs)),
+      (col("id") % 4).cast("int") + 1)
+
+  /** p139/p140 oracle: profile lists emitted from the SAME constants
+    * ([[graft.pipeline.TextAnalysis.LangProfiles]]) so SQL and engine
+    * cannot drift; argmax cascade in ascending-tag order = the
+    * engine's strict-greater tie-break. */
+  private def langIdOracle: String = {
+    val prof = graft.pipeline.TextAnalysis.LangProfiles.toMap
+    def lst(lang: String): String =
+      prof(lang).map(t => s"'$t'").mkString("[", ", ", "]")
+    "WITH d AS (SELECT doc_id, lower(CASE CAST(doc_id % 4 AS INT) " +
+      "WHEN 0 THEN coalesce(text, '') " +
+      s"WHEN 1 THEN '$LangFr' WHEN 2 THEN '$LangDe' " +
+      s"ELSE '$LangEs' END) AS txt FROM documents), " +
+      "t AS (SELECT doc_id, list_distinct(list_transform(" +
+      "range(greatest(length(txt) - 2, 0)), " +
+      "i -> substring(txt, CAST(i + 1 AS INT), 3))) AS tris FROM d), " +
+      "h AS (SELECT doc_id, " +
+      s"CAST(len(list_filter(${lst("de")}, " +
+      "x -> list_contains(tris, x))) AS BIGINT) AS h_de, " +
+      s"CAST(len(list_filter(${lst("en")}, " +
+      "x -> list_contains(tris, x))) AS BIGINT) AS h_en, " +
+      s"CAST(len(list_filter(${lst("es")}, " +
+      "x -> list_contains(tris, x))) AS BIGINT) AS h_es, " +
+      s"CAST(len(list_filter(${lst("fr")}, " +
+      "x -> list_contains(tris, x))) AS BIGINT) AS h_fr FROM t) " +
+      "SELECT doc_id, " +
+      "CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und' " +
+      "WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de' " +
+      "WHEN h_en >= h_es AND h_en >= h_fr THEN 'en' " +
+      "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred, " +
+      "greatest(h_de, h_en, h_es, h_fr) AS hits FROM h"
+  }
+
   private def gopherOracle: String =
     "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
       "WHEN 0 THEN coalesce(text, '') || " +
@@ -3091,6 +3163,8 @@ WHERE rank <= 10"""
     "p136_ql_sentence_spans" -> sentSpanOracle,
     "p137_robots" -> robotsOracle,
     "p138_ql_robots" -> robotsOracle,
+    "p139_langid_ngram" -> langIdOracle,
+    "p140_ql_langid_ngram" -> langIdOracle,
     // p114/p115: the expected canonical URLs in closed form
     "p114_canonical_url" -> canonUrlOracle,
     "p115_ql_canonurl" -> canonUrlOracle,

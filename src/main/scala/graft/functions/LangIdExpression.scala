@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-trigram language identification (the Cavnar & Trenkle
+  * 1994 n-gram profile method, simplified to set overlap): the
+  * document's DISTINCT lowercased character trigrams (codepoint
+  * grain, spaces included) are intersected with each language's
+  * profile trigram set; the language with the most hits wins, ties
+  * break to the lexicographically smallest language tag, zero hits
+  * everywhere is `und`. Emits `struct(lang, hits)` — both exactly
+  * replayable in SQL (distinct-trigram list ∩ a literal list), so
+  * the operator hash-gates, unlike a float-scored classifier.
+  *
+  * Native codegen'd expression (the GramTopStats precedent): the
+  * per-row work is one codepoint scan + profile-sized set probes; a
+  * HOF formulation would interpret per character. Profiles are
+  * constructor data (language dial — ship your own for other
+  * languages); the defaults live in
+  * [[graft.pipeline.TextAnalysis.LangProfiles]].
+  *
+  * 100 TB shape: one scan, no shuffle; profile sets are bytes-sized
+  * reference objects resident per executor.
+  */
+case class LangIdNgram(child: Expression,
+                       profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  require(profiles.nonEmpty, "profiles must be non-empty")
+  require(profiles.forall(_._2.forall(_.length == 3)),
+    "profile entries must be trigrams")
+
+  override def dataType: DataType = LangIdNgram.schema
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"LangIdNgram expects a string, got ${child.dataType.catalogString}")
+
+  /** (lang asc, trigram HashSet) — the tie-break order is baked in. */
+  @transient private lazy val sortedProfiles
+      : Array[(UTF8String, java.util.HashSet[String])] =
+    profiles.sortBy(_._1).map { case (lang, tris) =>
+      val set = new java.util.HashSet[String]()
+      tris.foreach(t => set.add(t))
+      (UTF8String.fromString(lang), set)
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    LangIdNgram.classify(input.asInstanceOf[UTF8String],
+      sortedProfiles)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val profRef = ctx.addReferenceObj("profiles", sortedProfiles,
+      "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} =
+         |  ${LangIdNgram.getClass.getName.stripSuffix("$")}.classify(
+         |    $c, $profRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object LangIdNgram {
+  val schema: StructType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("hits", LongType, nullable = false)))
+
+  private val Und = UTF8String.fromString("und")
+
+  def classify(s: UTF8String,
+               profiles: Array[(UTF8String, java.util.HashSet[String])])
+      : InternalRow = {
+    val str = s.toLowerCase.toString
+    // distinct codepoint-grain trigrams (matches SQL substring(i, 3))
+    val tris = new java.util.HashSet[String]()
+    if (str.codePointCount(0, str.length) >= 3) {
+      var a = 0
+      var b = str.offsetByCodePoints(0, 1)
+      var c = str.offsetByCodePoints(b, 1)
+      var d = str.offsetByCodePoints(c, 1)
+      var more = true
+      while (more) {
+        tris.add(str.substring(a, d))
+        if (d >= str.length) more = false
+        else {
+          a = b; b = c; c = d
+          d = str.offsetByCodePoints(d, 1)
+        }
+      }
+    }
+    var bestLang: UTF8String = Und
+    var bestHits = 0L
+    var i = 0
+    while (i < profiles.length) {
+      val (lang, set) = profiles(i)
+      var hits = 0L
+      val it = set.iterator()
+      while (it.hasNext) if (tris.contains(it.next())) hits += 1
+      // strict >: ties keep the earlier (lang-ascending) winner, and
+      // zero hits keeps 'und'
+      if (hits > bestHits) { bestHits = hits; bestLang = lang }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestLang, bestHits))
+  }
+}

@@ -53,11 +53,43 @@ object TextAnalysis {
         .otherwise(0.0)
 
   /** N-gram-free language ID heuristic: English if the stopword ratio
-    * clears a threshold. (A real system would score character n-grams per
-    * language; the testdata is pseudo-English so one signal suffices —
-    * the operator shape is what matters.) */
+    * clears a threshold — the cheap single-signal dial.
+    * [[langIdNgram]] is the real n-gram classifier. */
   def langId(text: Column, threshold: Double = 0.05): Column =
     when(stopwordRatio(text) >= threshold, "en").otherwise("und")
+
+  /** Built-in character-trigram profiles for [[langIdNgram]] —
+    * function-word trigrams (spaces significant) for en/fr/de/es, in
+    * the Cavnar-Trenkle style. A language dial: ship your own map
+    * for other languages. ASCII-only so the lowercasing boundary
+    * (SCALE.md) can never matter. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing",
+      "ng ", " of", "of ", " to", "to ", "ion", "ent", " in", "in ",
+      "er ", "es ", " is", "is ", "at ", "ed ", " on", "tha"),
+    "fr" -> Seq(" le", "le ", " de", "de ", "es ", " la", "la ",
+      "et ", " et", "ent", "que", " qu", "ue ", "les", " un", "ne ",
+      "re ", " pa", "ons", "ait", "eur", "sur", " su", "des"),
+    "de" -> Seq(" de", "der", "er ", "ie ", "die", " di", "und",
+      " un", "nd ", "ein", " ei", "ich", "ch ", "sch", "che", "en ",
+      " da", "das", "ten", "gen", "ber", "cht", "ung", "ist"),
+    "es" -> Seq(" de", "de ", " el", "el ", "la ", " la", "os ",
+      " lo", "los", " en", "en ", " co", "con", "ado", " es", "es ",
+      " se", "del", "as ", "ar ", "una", "par", "que", " po"))
+
+  /** Character-trigram language ID (Cavnar & Trenkle 1994, set-overlap
+    * form): the document's distinct lowercased trigrams intersect each
+    * profile; most hits wins (ties to the smallest language tag, zero
+    * hits is `und`). Integer overlap counts — exactly SQL-replayable,
+    * unlike a float-scored classifier. Native codegen'd expression
+    * ([[graft.functions.LangIdNgram]]); one scan, no shuffle. Returns
+    * `struct(lang, hits)`. */
+  def langIdNgram(text: Column,
+      profiles: Seq[(String, Seq[String])] = LangProfiles): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LangIdNgram(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(text, lit(""))), profiles))
 
   /** Document fingerprint: polynomial rolling hash over the codepoints of
     * the lowercased text, mod 1e9+7 — identical formula is expressible in

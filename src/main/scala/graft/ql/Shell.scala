@@ -312,7 +312,8 @@ final class Shell(store: GraphStore,
         // accepting it for the other TEXT variants would silently
         // ignore an explicit setting — the exact silent-default class
         // this validation exists to kill
-        case ("TEXT", Some("LANGID"))         => Set("text", "threshold")
+        case ("TEXT", Some("LANGID"))         =>
+          Set("text", "threshold", "method")
         case ("TEXT", Some("QUALITY") | Some("PII") |
             Some("REPETITION") | Some("FINGERPRINT") |
             Some("LM"))                       => Set("text")
@@ -471,9 +472,22 @@ final class Shell(store: GraphStore,
             .select(col(id), col("n_tokens"), col("n_tokens_bpe"),
               col("stopword_ratio"), col("avg_word_len"), col("quality"))
         case ("TEXT", Some("LANGID")) =>
-          df.select(col(id), graft.pipeline.TextAnalysis.langId(
-            col(str("text", "text")), dbl("threshold", 0.05))
-            .as("lang_pred"))
+          // method = stopword (default, the cheap heuristic) | ngram
+          // (the Cavnar-Trenkle trigram classifier)
+          str("method", "stopword") match {
+            case "stopword" =>
+              df.select(col(id), graft.pipeline.TextAnalysis.langId(
+                col(str("text", "text")), dbl("threshold", 0.05))
+                .as("lang_pred"))
+            case "ngram" =>
+              val lid = graft.pipeline.TextAnalysis.langIdNgram(
+                col(str("text", "text")))
+              df.select(col(id), lid.getField("lang").as("lang_pred"),
+                lid.getField("hits").as("hits"))
+            case m => throw new IllegalArgumentException(
+              s"option 'method' of PIPELINE TEXT LANGID must be " +
+                s"""stopword or ngram, got "$m"""")
+          }
         case ("TEXT", Some("FINGERPRINT")) =>
           df.select(col(id), graft.pipeline.TextAnalysis.fingerprint(
             col(str("text", "text"))).as("fp"))

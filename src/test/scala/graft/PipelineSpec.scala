@@ -936,4 +936,44 @@ class PipelineSpec extends SparkSpec {
     assert(ok("", "/anything"))
     assert(ok("# only comments\n", "/x"))
   }
+
+  test("langIdNgram: trigram-profile classification hand-checked — " +
+      "en/fr/de/es sentences classify, ties break to the smallest " +
+      "tag, zero overlap is und, codepoint-grain trigrams") {
+    import spark.implicits._
+    val cases = Seq(
+      (0L, "The thing is that the kings and the animals of this " +
+        "land are going to the station in the morning."),
+      (1L, "le chat est sur la table et les enfants sont dans le " +
+        "jardin avec les autres pour que tout aille bien sur place"),
+      (2L, "der hund ist in dem haus und die kinder sind bei ihnen " +
+        "in der schule und das wetter ist schlecht bei ihnen"),
+      (3L, "el perro esta en la casa y los otros estan con el " +
+        "padre en la ciudad para el verano con los amigos"),
+      (4L, "zzzz qqqq xxxx"),          // no profile overlap → und
+      (5L, ""), (6L, null.asInstanceOf[String]),
+      (7L, "𝄞𝄞𝄞")) // astral only
+    val got = cases.toDF("id", "text")
+      .select(col("id"), graft.pipeline.TextAnalysis.langIdNgram(
+        col("text")).as("l"))
+      .select(col("id"), col("l")("lang").as("lang"),
+        col("l")("hits").as("hits"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(0L)._1 === "en", got(0L))
+    assert(got(1L)._1 === "fr", got(1L))
+    assert(got(2L)._1 === "de", got(2L))
+    assert(got(3L)._1 === "es", got(3L))
+    assert(got(4L) === (("und", 0L)))
+    assert(got(5L) === (("und", 0L)))
+    assert(got(6L) === (("und", 0L)))
+    assert(got(7L) === (("und", 0L))) // 3 astral cps → 1 trigram, no hit
+    // custom profiles: tie between two languages breaks to the
+    // smallest tag
+    val tied = Seq((0L, "abc")).toDF("id", "text")
+      .select(graft.pipeline.TextAnalysis.langIdNgram(col("text"),
+        Seq("zz" -> Seq("abc"), "aa" -> Seq("abc"))).as("l"))
+      .select(col("l")("lang")).head().getString(0)
+    assert(tied === "aa")
+  }
 }

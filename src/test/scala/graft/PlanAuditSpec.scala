@@ -497,7 +497,10 @@ class PlanAuditSpec extends SparkSpec {
         graft.pipeline.TextAnalysis.robotsAllowed(
           org.apache.spark.sql.functions.lit(
             "User-agent: *\nDisallow: /private/\n"),
-          org.apache.spark.sql.functions.col("text"), "graftbot"))
+          org.apache.spark.sql.functions.col("text"), "graftbot")),
+      "langIdNgram" -> docs.select(
+        graft.pipeline.TextAnalysis.langIdNgram(
+          org.apache.spark.sql.functions.col("text")))
     ).foreach { case (name, df) =>
       val plan = physical(df)
       assert(!plan.contains("Exchange"),
