@@ -104,6 +104,22 @@ object RobotsAllowed {
     rest == p.length
   }
 
+  /** UTF-8 byte length without encoding (rule-specificity metric). */
+  private[graft] def utf8Length(s: String): Int = {
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+        Character.isLowSurrogate(s.charAt(i + 1))) { n += 4; i += 1 }
+      else n += 3
+      i += 1
+    }
+    n
+  }
+
   /** Parse + evaluate in one pass over the rules body. */
   def allowed(rules: String, path: String, agentLower: String)
       : Boolean = {
@@ -141,7 +157,12 @@ object RobotsAllowed {
               if (inExact) exact.add(rule)
               if (inStar) star.add(rule)
             }
-          case _ => uaRun = false // Sitemap / Crawl-delay / unknown
+          // Sitemap / Crawl-delay / unknown: RFC 9309 §2.2.4 — records
+          // outside the protocol MUST NOT interfere with parsing, so
+          // they do NOT end a User-agent run ('User-agent: a\n
+          // Crawl-delay: 2\nUser-agent: b\nDisallow: /x' is ONE group
+          // covering both agents; Google's reference parser agrees)
+          case _ => ()
         }
       }
       li += 1
@@ -153,7 +174,10 @@ object RobotsAllowed {
     while (i < active.size()) {
       val (pat, isAllow) = active.get(i)
       if (patternMatches(pat, path)) {
-        val len = pat.length
+        // §2.2.2: most-specific = most OCTETS — UTF-8 byte length, not
+        // UTF-16 code units (they differ on percent-unencoded non-ASCII
+        // patterns, which are legal in robots.txt)
+        val len = utf8Length(pat)
         if (len > bestLen) { bestLen = len; bestAllow = isAllow }
         else if (len == bestLen && isAllow) bestAllow = true
       }

@@ -935,6 +935,31 @@ class PipelineSpec extends SparkSpec {
     // no rules at all / empty body → allowed
     assert(ok("", "/anything"))
     assert(ok("# only comments\n", "/x"))
+    // §2.2.4: unknown records (Crawl-delay/Sitemap) between
+    // consecutive User-agent lines do NOT split the group — graftbot
+    // and otherbot share ONE group and both inherit its rules (a
+    // parser that resets the run would give graftbot a rule-less
+    // group = allowed everywhere)
+    val interleaved = "User-agent: graftbot\nCrawl-delay: 2\n" +
+      "Sitemap: http://x/s.xml\nUser-agent: otherbot\nDisallow: /x\n"
+    assert(!ok(interleaved, "/x/page"))
+    assert(!ok(interleaved, "/x/page", agent = "otherbot"))
+    assert(ok(interleaved, "/y"))
+    // ...but an Allow/Disallow rule DOES end the run: a later
+    // User-agent starts a fresh group
+    val twoGroups = "User-agent: graftbot\nDisallow: /a\n" +
+      "User-agent: otherbot\nDisallow: /b\n"
+    assert(!ok(twoGroups, "/a1"))
+    assert(ok(twoGroups, "/b1"))
+    // §2.2.2: specificity is OCTETS, not UTF-16 units — Disallow /日
+    // (4 UTF-8 bytes, 2 UTF-16 units) beats Allow /*b (3 bytes,
+    // 3 units) on a path both match
+    val octet = "User-agent: *\nAllow: /*b\nDisallow: /日\n"
+    assert(!ok(octet, "/日ab"))   // UTF-16 length would flip this
+    assert(ok(octet, "/cab"))    // only the Allow matches
+    assert(graft.functions.RobotsAllowed.utf8Length("/日") === 4)
+    assert(graft.functions.RobotsAllowed.utf8Length("/*b") === 3)
+    assert(graft.functions.RobotsAllowed.utf8Length("/𝄞") === 5)
   }
 
   test("langIdNgram: trigram-profile classification hand-checked — " +

@@ -149,6 +149,24 @@ def main(sf_dir, out_dir, subset=None):
             ora = con.execute(sql)
             ocols = [d[0] for d in ora.description]
             orows = ora.fetchall()
+            # Empty-oracle lint (r15 judge item #1, "the a23 lesson"):
+            # a gate whose oracle returns 0 rows can only ever compare
+            # empty sets — it proves schema agreement, nothing about
+            # the operator. a23_setops booked as pass:true for three
+            # rounds this way (two successive re-points were still
+            # empty at the driver's SF). No allowlist: an operator
+            # whose correct output is empty needs a fixture that makes
+            # it non-empty, not an exemption.
+            if len(orows) == 0:
+                print(f"FAIL {name}: oracle returned 0 rows — an "
+                      f"empty-vs-empty compare proves nothing about "
+                      f"the operator; re-point the gate at a "
+                      f"non-empty fixture/operand")
+                book[name] = {"pass": False, "rows": len(erows),
+                              "oracle": "duckdb",
+                              "err": "empty oracle", "run": run_id}
+                n_fail += 1
+                continue
             ec, er = canon(erows, ecols)
             oc, orr = canon(orows, ocols)
             if ec != oc:
