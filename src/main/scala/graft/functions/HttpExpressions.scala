@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 9112 §7.1 chunked Transfer-Encoding decoder over the lossless
+  * ISO-8859-1 byte↔char view (the [[graft.pipeline.Ingest.httpSplit]]
+  * convention: one char = one byte, so offsets are byte-exact and the
+  * result converts back byte-identically). Chunk framing is
+  * `hex-size[;ext]CRLF data CRLF … 0CRLF [trailers] CRLF` — the
+  * decoder concatenates the data runs and drops the size lines,
+  * extensions and trailers. LF-only framing (no CR) is tolerated, as
+  * old crawled servers emit it.
+  *
+  * Salvage semantics (the httpSplit posture): if the framing is
+  * malformed at any point — bad hex, truncated chunk, missing
+  * terminator — the ORIGINAL input is returned unchanged, so a
+  * mislabeled non-chunked body is never corrupted. A native
+  * codegen'd expression: the parse is an iterative data-dependent
+  * walk no built-in-function composition can express, and a UDF
+  * would break whole-stage codegen (the GramTopStats precedent).
+  *
+  * 100 TB shape: O(bytes) per row riding the scan that already read
+  * the payload — zero shuffle, zero allocation beyond the output.
+  */
+case class HttpDechunk(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"HttpDechunk expects a string (the ISO-8859-1 byte view), got " +
+        child.dataType.catalogString)
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      HttpDechunk.dechunk(input.asInstanceOf[UTF8String].toString))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(" +
+        s"${HttpDechunk.getClass.getName.stripSuffix("$")}" +
+        s".dechunk($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object HttpDechunk {
+
+  /** Decode chunked framing; on ANY malformed framing return `body`
+    * unchanged (salvage). Tolerates LF-only line ends and skips
+    * chunk extensions and trailers. */
+  def dechunk(body: String): String = {
+    val n = body.length
+    val sb = new java.lang.StringBuilder(n)
+    var pos = 0
+    while (true) {
+      // chunk-size line: hex digits, optional ;extension, CR?LF
+      val lineEnd = body.indexOf('\n', pos)
+      if (lineEnd < 0) return body
+      var sizeEnd = lineEnd
+      if (sizeEnd > pos && body.charAt(sizeEnd - 1) == '\r') sizeEnd -= 1
+      val semi = body.indexOf(';', pos)
+      if (semi >= 0 && semi < sizeEnd) sizeEnd = semi
+      var size = 0L
+      var i = pos
+      var any = false
+      while (i < sizeEnd) {
+        val c = body.charAt(i)
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else if ((c == ' ' || c == '\t') && !any) -2 // leading WS
+          else -1
+        if (d == -1) return body
+        if (d >= 0) { size = size * 16 + d; any = true }
+        if (size > Int.MaxValue) return body
+        i += 1
+      }
+      if (!any) return body
+      if (size == 0) return sb.toString // trailers (if any) dropped
+      val dataStart = lineEnd + 1
+      val dataEnd = dataStart + size.toInt
+      if (dataEnd > n) return body
+      sb.append(body, dataStart, dataEnd)
+      // data-terminating CR?LF
+      if (dataEnd + 1 < n && body.charAt(dataEnd) == '\r' &&
+        body.charAt(dataEnd + 1) == '\n') pos = dataEnd + 2
+      else if (dataEnd < n && body.charAt(dataEnd) == '\n')
+        pos = dataEnd + 1
+      else return body
+    }
+    body // unreachable
+  }
+}

@@ -214,6 +214,54 @@ class IngestSpec extends SparkSpec {
     assert(got("nullp") === ((-1, null, null, "", 0)))
   }
 
+  test("httpSplit: LF-only header boundary and chunked " +
+      "Transfer-Encoding dechunk — size lines never reach text") {
+    import spark.implicits._
+    def b(s: String) = s.getBytes("ISO-8859-1")
+    val rows = Seq(
+      // LF-only framing (old servers): headers still parse, body
+      // starts after the bare \n\n
+      ("lfonly", b("HTTP/1.1 200 OK\nContent-Type: text/plain; " +
+        "charset=utf-8\nContent-Length: 5\n\nhello")),
+      // mixed: CRLF header lines, LF-only blank line
+      ("mixed", b("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        "\nbody here")),
+      // chunked: two chunks + extension + trailer section — the size
+      // lines, extension and trailer must all vanish
+      ("chunked", b("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/plain\r\nTransfer-Encoding: chunked\r\n" +
+        "\r\n5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n" +
+        "X-Trailer: t\r\n\r\n")),
+      // chunked with LF-only chunk framing
+      ("chunklf", b("HTTP/1.1 200 OK\nTransfer-Encoding: chunked\n" +
+        "\n3\nabc\n0\n\n")),
+      // MALFORMED chunk framing (bad hex) → salvage: raw body kept
+      ("badhex", b("HTTP/1.1 200 OK\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\nzz\r\nbody")),
+      // truncated chunk (size past end) → salvage
+      ("trunc", b("HTTP/1.1 200 OK\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\nff\r\nshort")))
+      .toDF("k", "payload")
+    val got = Ingest.httpSplit(rows)
+      .select(col("k"), col("status"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2)))).toMap
+    assert(got("lfonly") === ((200, "hello")))
+    assert(got("mixed") === ((200, "body here")))
+    assert(got("chunked") === ((200, "hello world")))
+    assert(got("chunklf") === ((200, "abc")))
+    assert(got("badhex") === ((200, "zz\r\nbody")))
+    assert(got("trunc") === ((200, "ff\r\nshort")))
+    // the dechunker itself: empty body, size-0-only, uppercase hex,
+    // leading whitespace on the size line
+    import graft.functions.HttpDechunk.dechunk
+    assert(dechunk("0\r\n\r\n") === "")
+    assert(dechunk("A\r\n0123456789\r\n0\r\n\r\n") === "0123456789")
+    assert(dechunk(" 3\r\nabc\r\n0\r\n\r\n") === "abc")
+    assert(dechunk("") === "")          // no \n at all → salvage
+    assert(dechunk("3\r\nabcX0\r\n\r\n") === "3\r\nabcX0\r\n\r\n")
+  }
+
   test("httpWrap round trip: writeWarcGz(httpWrap) → warcFiles → " +
       "httpResponses reproduces the text; CR/LF in source can never " +
       "inject headers or desync framing") {
