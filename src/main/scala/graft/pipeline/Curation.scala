@@ -190,15 +190,19 @@ object Curation {
       lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val auth =
       lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // \z, not $, throughout: Java's $ also matches before a final
+    // line terminator (\r, U+0085), so a pathological URL ending in
+    // one would normalize differently here than in the RE2/DuckDB
+    // oracle; \z (Java) and $ (RE2) are both strict end-of-text
     val authNorm = when(scheme === "http",
-      regexp_replace(auth, ":80$", ""))
-      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      regexp_replace(auth, ":80\\z", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443\\z", ""))
       .otherwise(auth)
     val path = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val pathNorm = when(path === "", lit("/")).otherwise(path)
     val tracking = trackingParams.mkString("^(", "|", ")(=|$)")
-    val params = filter(split(regexp_extract(u, "\\?(.*)$", 1), "&"),
+    val params = filter(split(regexp_extract(u, "\\?(.*)\\z", 1), "&"),
       p => p =!= "" &&
         (if (trackingParams.isEmpty) lit(true) else !p.rlike(tracking)))
     val qNorm = array_join(sort_array(params), "&")

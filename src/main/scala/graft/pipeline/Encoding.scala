@@ -39,7 +39,14 @@ object Encoding {
       "|[\\xEE-\\xEF][\\x80-\\xBF]{2}" +
       "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}" +
       "|[\\xF1-\\xF3][\\x80-\\xBF]{3}" +
-      "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*$"
+      // \z, NOT $: Java's $ matches BEFORE a final line terminator,
+      // and U+0085 (NEL — byte 0x85 in the Latin-1 view, a lone UTF-8
+      // continuation byte) is one of Java's line terminators — under
+      // $, any string ENDING in 0x85 passed the sieve and the
+      // "guarded" UTF-8 decode behind it threw
+      // MALFORMED_CHARACTER_CODING (r16; the same engine-divergence
+      // class as the c4Clean CR advice)
+      "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*\\z"
 
   /** At least one multi-byte signature (a bare all-ASCII string is
     * identical under the mis-decode — nothing to repair). */

@@ -221,7 +221,11 @@ object TextAnalysis {
       size(lines).cast("long").as("n_lines"),
       size(filter(lines, l => l.rlike("^[-*•‣▪]")))
         .cast("long").as("n_bullet"),
-      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+      // \z, not $: Java's $ also matches before a final \r or U+0085,
+      // so a CRLF corpus line "foo...\r" would count here while the
+      // RE2/DuckDB oracle (strict-end $) says no (r16; the Encoding
+      // sieve had the same hole)
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\z")))
         .cast("long").as("n_ellipsis"),
       size(filter(toks, t => t.rlike("[A-Za-z]")))
         .cast("long").as("n_alpha_words"),
@@ -272,7 +276,12 @@ object TextAnalysis {
     val trimmedLines = transform(split(raw, "\n", -1), l => trim(l))
     def lineKeeps(l: Column): Column = {
       val low = lower(l)
-      l.rlike("[.?!\"]$") &&
+      // \z, not $ (advice r15): Java's $ matches before a final line
+      // terminator, so "sentence.\r" (CRLF text — split("\n") keeps
+      // the \r and Spark's trim strips only spaces) would be KEPT
+      // here while both the RE2/DuckDB oracle and the C4 reference's
+      // endswith drop it
+      l.rlike("[.?!\"]\\z") &&
         size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
         !low.rlike("\\bjavascript\\b") &&
         !C4PolicyPhrases.map(p => low.contains(lit(p)))

@@ -262,6 +262,47 @@ class IngestSpec extends SparkSpec {
     assert(dechunk("3\r\nabcX0\r\n\r\n") === "3\r\nabcX0\r\n\r\n")
   }
 
+  test("httpSplit: declared exotic charsets decode via the JVM " +
+      "registry; unknown names and lying headers fall to the sieve") {
+    import spark.implicits._
+    def payload(cs: String, body: Array[Byte]) =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+        s"charset=$cs\r\n\r\n").getBytes("US-ASCII") ++ body
+    val rows = Seq(
+      ("sjis", payload("shift_jis", "日本語テキスト".getBytes("shift_jis"))),
+      ("eucjp", payload("euc-jp", "日本語".getBytes("euc-jp"))),
+      ("gbk", payload("gbk", "中文文本".getBytes("gbk"))),
+      ("big5", payload("big5", "中文文字".getBytes("big5"))),
+      ("euckr", payload("euc-kr", "한국어".getBytes("euc-kr"))),
+      ("koi8", payload("koi8-r", "русский".getBytes("koi8-r"))),
+      // unknown charset name, valid-UTF-8 body → sieve takes it
+      ("unknown", payload("x-not-a-charset", "café".getBytes("UTF-8"))),
+      // LYING header: declared shift_jis, but the body is a lone
+      // lead byte (0x85 expects a trail byte) → strict decode fails,
+      // sieve salvages the Latin-1 byte view (never a throw, never
+      // mojibake-by-charset)
+      ("lying", payload("shift_jis", Array[Byte](0x85.toByte))))
+      .toDF("k", "payload")
+    val got = Ingest.httpSplit(rows)
+      .select(col("k"), col("charset"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2)))).toMap
+    assert(got("sjis") === (("shift_jis", "日本語テキスト")))
+    assert(got("eucjp") === (("euc-jp", "日本語")))
+    assert(got("gbk") === (("gbk", "中文文本")))
+    assert(got("big5") === (("big5", "中文文字")))
+    assert(got("euckr") === (("euc-kr", "한국어")))
+    assert(got("koi8") === (("koi8-r", "русский")))
+    assert(got("unknown") === (("x-not-a-charset", "café")))
+    assert(got("lying") === (("shift_jis", "\u0085")))
+    // the expression itself: null contract on unknown / malformed
+    import graft.functions.CharsetDecode.decodeOrNull
+    assert(decodeOrNull("abc".getBytes, "nope-cs") === null)
+    assert(decodeOrNull(Array[Byte](0x80.toByte), "shift_jis") === null)
+    assert(decodeOrNull("日本".getBytes("euc-jp"), "euc-jp").toString
+      === "日本")
+  }
+
   test("httpWrap round trip: writeWarcGz(httpWrap) → warcFiles → " +
       "httpResponses reproduces the text; CR/LF in source can never " +
       "inject headers or desync framing") {

@@ -93,6 +93,29 @@ def main(sf_dir, out_dir, subset=None):
               f"replay this corpus; strip VT at ingest or port the "
               f"oracle regexes to an explicit class")
         n_fail += 1
+    # Line-terminator canary (advice r15, generalized): Java treats
+    # \r and U+0085 (and U+2028/U+2029) as line terminators — its `.`
+    # refuses to match them and its `$` matches BEFORE a final one,
+    # while RE2's `.` excludes only \n and its `$` is strict
+    # end-of-text. The engine's line-grain anchors were ported to \z
+    # (r16), but every `.`-bearing oracle regex still diverges on a
+    # corpus containing these. Fail loudly up front.
+    try:
+        lt = con.execute(
+            "SELECT count(*) FROM documents WHERE "
+            "contains(text, chr(13)) OR contains(text, chr(133)) OR "
+            "contains(text, chr(8232)) OR contains(text, chr(8233))"
+        ).fetchone()[0]
+    except Exception:  # synthetic fixture without a text column
+        lt = 0
+    if lt:
+        print(f"FAIL __lineterm_canary__: {lt} document(s) contain "
+              f"\\r / U+0085 / U+2028 / U+2029 — Java's `.` excludes "
+              f"them and Java's `$` matches before a final one, RE2 "
+              f"disagrees on both, so `.`-bearing oracle replays "
+              f"cannot be trusted on this corpus; normalize line "
+              f"terminators at ingest or port the affected oracles")
+        n_fail += 1
     # Every book entry is stamped with a run id so books merged across
     # one-per-process subset invocations can prove each entry came from
     # the current binary — a stale pass:true from an earlier build is
