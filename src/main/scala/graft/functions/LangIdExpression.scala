@@ -33,6 +33,14 @@ case class LangIdNgram(child: Expression,
   require(profiles.nonEmpty, "profiles must be non-empty")
   require(profiles.forall(_._2.forall(_.length == 3)),
     "profile entries must be trigrams")
+  // distinctness is part of the hits contract (advice r15): the
+  // engine probes a HashSet (duplicates collapse) while the SQL
+  // oracle counts profile-LIST entries — a repeated trigram would
+  // silently diverge engine vs oracle and under-count vs the
+  // documented "distinct profile trigrams hit" semantics
+  require(profiles.forall(p => p._2.distinct.size == p._2.size),
+    "profile trigram lists must be distinct (duplicates would " +
+      "under-count: hits = |doc trigrams ∩ profile set|)")
 
   override def dataType: DataType = LangIdNgram.schema
   override def nullable: Boolean = child.nullable

@@ -132,17 +132,26 @@ object Ingest {
           closeOpen()
           val in = new java.io.BufferedInputStream(sniffStream(bytes))
           open.set(in)
-          // byte-wise header-line reader: WARC headers are ASCII,
-          // CRLF-terminated; never a Reader here — the body length is
-          // in BYTES and a Reader would desynchronize the stream
+          // byte-wise header-line reader, decoded as UTF-8 per line:
+          // WARC/1.0 header VALUES permit UTF-8 (ISO 28500 §4), so a
+          // non-ASCII WARC-Target-URI round-trips exactly (advice r15
+          // — the writers previously ASCII-'?'-substituted it while
+          // the WAT JSON envelope kept the real value, breaking the
+          // id/source extraction); malformed bytes REPLACE to U+FFFD,
+          // never a throw. Still never a Reader here — the body
+          // length is in BYTES and a Reader would desynchronize the
+          // stream (\r/\n can't occur inside a UTF-8 sequence, so
+          // byte-wise line splitting is safe).
           def readLine(): String = {
-            val sb = new java.lang.StringBuilder(64)
+            val bb = new java.io.ByteArrayOutputStream(64)
             var c = in.read()
             while (c != -1 && c != '\n') {
-              if (c != '\r') sb.append(c.toChar)
+              if (c != '\r') bb.write(c)
               c = in.read()
             }
-            if (c == -1 && sb.length == 0) null else sb.toString
+            if (c == -1 && bb.size == 0) null
+            else new String(bb.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8)
           }
           // Never PREALLOCATE from the untrusted Content-Length header
           // (the Flac STREAMINFO lesson): a crafted/torn record
@@ -429,7 +438,7 @@ object Ingest {
               s"WARC-Target-URI: http://${r.getString(2)}/${r.getLong(0)}\r\n" +
               "Content-Type: application/json\r\n" +
               s"Content-Length: ${body.length}\r\n" +
-              "\r\n").getBytes("US-ASCII")
+              "\r\n").getBytes("UTF-8")
             out.write(hdr); out.write(body)
             out.write(crlf); out.write(crlf)
           }
@@ -482,7 +491,7 @@ object Ingest {
               s"WARC-Target-URI: http://$src/${r.getLong(0)}\r\n" +
               "Content-Type: text/plain\r\n" +
               s"Content-Length: ${body.length}\r\n" +
-              "\r\n").getBytes("US-ASCII")
+              "\r\n").getBytes("UTF-8")
             out.write(hdr); out.write(body)
             out.write(crlf); out.write(crlf)
           }
@@ -583,7 +592,7 @@ object Ingest {
               s"WARC-Target-URI: http://$src/${r.getLong(0)}\r\n" +
               s"Content-Type: $cType\r\n" +
               s"Content-Length: ${body.length}\r\n" +
-              "\r\n").getBytes("US-ASCII")
+              "\r\n").getBytes("UTF-8")
             out.write(hdr); out.write(body)
             out.write(crlf); out.write(crlf)
           }

@@ -480,6 +480,13 @@ final class Shell(store: GraphStore,
                 col(str("text", "text")), dbl("threshold", 0.05))
                 .as("lang_pred"))
             case "ngram" =>
+              // `threshold` binds only to the stopword heuristic —
+              // accepting it here would silently ignore an explicit
+              // setting (advice r15, the r12 silent-option class)
+              require(!opts.contains("threshold"),
+                "option 'threshold' of PIPELINE TEXT LANGID applies " +
+                  "only to method = stopword — the ngram classifier " +
+                  "has no threshold")
               val lid = graft.pipeline.TextAnalysis.langIdNgram(
                 col(str("text", "text")))
               df.select(col(id), lid.getField("lang").as("lang_pred"),

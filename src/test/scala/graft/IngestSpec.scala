@@ -367,7 +367,10 @@ class IngestSpec extends SparkSpec {
       (0L, "plain text line", "src0"),
       (1L, "unicode é中文 𝄞 ok", "src1"),
       (2L, "", "src2"),
-      (3L, "crlf\r\n\r\ninside stays", "src3")
+      (3L, "crlf\r\n\r\ninside stays", "src3"),
+      // non-ASCII source round-trips through the UTF-8 header line
+      // (advice r15 — previously '?'-substituted by US-ASCII encode)
+      (4L, "text", "日本.example")
     ).toDF("id", "text", "source")
     Ingest.writeWetGz(docs, dir, shards = 2)
     assert(new File(dir).listFiles().count(_.getName.endsWith(
@@ -384,7 +387,7 @@ class IngestSpec extends SparkSpec {
     // filtered out, but IS present in the raw record stream
     val raw = Ingest.warcFiles(spark, dir + "/*.wet.gz")
     assert(raw.filter(col("warc_type") === "warcinfo").count() === 2)
-    assert(raw.count() === 6)
+    assert(raw.count() === 7)
   }
 
   test("WET salvage: a conversion record whose payload is NOT valid " +
@@ -415,7 +418,11 @@ class IngestSpec extends SparkSpec {
     val docs = Seq(
       (0L, "short", "src0"),
       (1L, "unicode é中文", "src1"),
-      (2L, "", "src2")
+      (2L, "", "src2"),
+      // non-ASCII source (advice r15): the WARC header line and the
+      // JSON envelope URL must stay IDENTICAL — the header used to
+      // ASCII-'?'-substitute while the envelope kept the UTF-8 value
+      (3L, "body", "müller.example")
     ).toDF("id", "text", "source")
     Ingest.writeWatGz(docs, dir, shards = 2)
     // schema prunes INTO the nested CommonCrawl envelope
@@ -439,7 +446,8 @@ class IngestSpec extends SparkSpec {
     assert(rows === Set(
       ("http://src0/0", 5L, "src0"),
       ("http://src1/1", 11L, "src1"),
-      ("http://src2/2", 0L, "src2")))
+      ("http://src2/2", 0L, "src2"),
+      ("http://müller.example/3", 4L, "müller.example")))
     // target_uri from the WARC header agrees with the envelope url
     assert(back.filter(col("target_uri") =!= col("url")).count() === 0)
   }

@@ -710,6 +710,16 @@ class ShellSpec extends SparkSpec {
       rows(docs.select(col("id"),
         graft.pipeline.TextAnalysis.langId(col("text"))
           .as("lang_pred"))))
+    // threshold binds only to method=stopword — with ngram it would
+    // be silently ignored, so the statement refuses it loudly
+    // (advice r15, the r12 silent-option class)
+    val thrNgram = intercept[IllegalArgumentException] {
+      sh.execute("PIPELINE TEXT LANGID ON Doc WITH " +
+        "(method = \"ngram\", threshold = 0.5);")
+    }
+    assert(thrNgram.getMessage.contains("threshold"))
+    assert(sh.execute("PIPELINE TEXT LANGID ON Doc WITH " +
+      "(method = \"stopword\", threshold = 0.5);").isDefined)
     assert(rows(sh.execute("PIPELINE TEXT FINGERPRINT ON Doc;").get) ===
       rows(docs.select(col("id"),
         graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))))
