@@ -121,12 +121,15 @@ object SparkEntry {
         .traverse("s", "same_nation", "t:supplier", JoinKind.Right)
         .selectAs("s.id", "s_id").selectAs("t.id", "t_id").build)),
     // ---- J8 multi-pattern intersection on shared alias n
+    // thresholds picked non-empty at EVERY SF incl. sf0.001 (4 rows
+    // there, 629 at sf0.01) — the check.py 0-row lint rejects gates
+    // whose oracle is empty at the replay scale
     "q11_multi_pattern" -> ((s, dir) =>
       planner(s, dir).plan(Q.from("c:customer")
-        .where(ref("c.acctbal") > 9500.0)
+        .where(ref("c.acctbal") > 8000.0)
         .traverse("c", "in_nation", "n:nation")
         .traverse("s:supplier", "in_nation", "n:nation")
-        .where(ref("s.acctbal") > 9000.0)
+        .where(ref("s.acctbal") > 4000.0)
         .selectAs("c.id", "c_id").selectAs("s.id", "s_id")
         .selectAs("n.name", "n_name").build)),
     // ---- J8×J3 multi-pattern LEFT union on shared alias n
@@ -329,7 +332,7 @@ object SparkEntry {
     "q59_having" -> ((s, dir) =>
       new graft.ql.Shell(TpchGraph.store(s, dir)).execute(
         "MATCH (c:customer)-[:in_nation]->(n:nation) " +
-          "SELECT n.name AS nation, COUNT(*) AS cnt HAVING cnt > 60;").get),
+          "SELECT n.name AS nation, COUNT(*) AS cnt HAVING cnt > 8;").get),
     // ---- IN list (QL sugar, desugared to an OR chain so strict typing
     // applies per value)
     "q60_in_list" -> ((s, dir) =>
@@ -348,13 +351,26 @@ object SparkEntry {
           "WHERE o.totalprice < 50000.0 SELECT c.id AS c_id " +
           "UNION MATCH (c:customer) WHERE c.mktsegment = \"AUTOMOBILE\" " +
           "AND c.acctbal > 9000.0 SELECT c.id AS c_id;").get),
-    // ---- undirected hop: same_nation stores one orientation (a < b);
-    // `-[..]-` sees both
-    "q55_undirected" -> ((s, dir) =>
-      planner(s, dir).plan(Q.from("a:supplier")
+    // ---- undirected hop: the edge stores ONE orientation (a < b);
+    // `-[..]-` sees both. Gate-local customer-pair edge: at sf0.001
+    // no two SUPPLIERS share a nation (the edge table itself is
+    // empty), so the supplier form was a constant-empty gate — the
+    // class the check.py 0-row lint now rejects
+    "q55_undirected" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      val ca = st.nodes("customer")
+        .select(col("id").as("src"), col("nationkey").as("nk"))
+      val cb = st.nodes("customer")
+        .select(col("id").as("dst"), col("nationkey").as("nk2"))
+      st.attachEdges("cust_same_nation", "customer", "customer",
+        ca.join(cb, col("nk") === col("nk2") && col("src") < col("dst"))
+          .select("src", "dst"))
+      new Planner(st).plan(Q.from("a:customer")
         .where(ref("a.acctbal") > 9000.0)
-        .traverse("a", "same_nation", "b:supplier", undirected = true)
-        .selectAs("a.id", "a_id").selectAs("b.id", "b_id").build))
+        .traverse("a", "cust_same_nation", "b:customer",
+          undirected = true)
+        .selectAs("a.id", "a_id").selectAs("b.id", "b_id").build)
+    })
   )
 
   /** Beyond-reference relational surface ([ABSENT] in the reference,
@@ -3571,7 +3587,7 @@ WHERE rank <= 10"""
       ("SELECT c_custkey AS c_id, s_suppkey AS s_id, n_name FROM customer " +
         "JOIN nation ON n_nationkey = c_nationkey " +
         "JOIN supplier ON s_nationkey = n_nationkey " +
-        "WHERE c_acctbal > 9500 AND s_acctbal > 9000"),
+        "WHERE c_acctbal > 8000 AND s_acctbal > 4000"),
     // var-length = shortest-hop pairs (v44 formula) joined to the bound
     // source, hop-filtered
     "q50_varlength_hop" ->
@@ -3700,7 +3716,7 @@ WHERE rank <= 10"""
     "q59_having" ->
       ("SELECT n_name AS nation, count(*) AS cnt FROM customer " +
         "JOIN nation ON n_nationkey = c_nationkey GROUP BY 1 " +
-        "HAVING count(*) > 60"),
+        "HAVING count(*) > 8"),
     "q60_in_list" ->
       ("SELECT c_custkey AS c_id, c_mktsegment AS seg FROM customer " +
         "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"),
@@ -3714,12 +3730,12 @@ WHERE rank <= 10"""
         "UNION SELECT c_custkey AS c_id FROM customer " +
         "WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000"),
     "q55_undirected" ->
-      ("WITH e AS (SELECT a.s_suppkey AS src, b.s_suppkey AS dst " +
-        "FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey " +
-        "AND a.s_suppkey < b.s_suppkey), " +
+      ("WITH e AS (SELECT a.c_custkey AS src, b.c_custkey AS dst " +
+        "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey " +
+        "AND a.c_custkey < b.c_custkey), " +
         "u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e) " +
-        "SELECT s.s_suppkey AS a_id, u.dst AS b_id FROM supplier s " +
-        "JOIN u ON u.src = s.s_suppkey WHERE s.s_acctbal > 9000"),
+        "SELECT c.c_custkey AS a_id, u.dst AS b_id FROM customer c " +
+        "JOIN u ON u.src = c.c_custkey WHERE c.c_acctbal > 9000"),
     // as-of = newest right at-or-before, ties broken by max event id —
     // the engine's struct-ordered tie-break, spelled out as ORDER BY
     "q51_asof_join" ->

@@ -382,3 +382,119 @@ object PolyHash {
     acc
   }
 }
+
+/** Fused HTML character-reference decode — numeric references
+  * (`&#NNN;` decimal / `&#xHH;` hex, VALID Unicode scalar values only)
+  * plus the six ubiquitous named entities (`&lt; &gt; &quot; &apos;
+  * &nbsp; &amp;`) in ONE left-to-right native pass.
+  *
+  * Replaces the built-in formulation in
+  * [[graft.pipeline.TextAnalysis.decodeNumericEntities]] (split on the
+  * reference pattern + `regexp_extract_all` + a six-`replace` fold per
+  * inter-reference part + `zip_with` re-interleave), which doubled
+  * strip_html's bench cost (r15 verdict). Semantics are IDENTICAL —
+  * pinned by a property test against the old formulation
+  * (VectorExpressionsSpec) and the unchanged p111/p112 gates:
+  *
+  *  - a single left-to-right scan equals the split+replace pipeline
+  *    because a named entity contains `&` only at position 0 and no
+  *    `#`, so named matches can never overlap a numeric reference or
+  *    each other, and only one of the six can match at any position;
+  *  - one-pass contract: decoded output is never re-consumed
+  *    (`&amp;lt;` → `&lt;`, `&#38;lt;` → `&lt;`);
+  *  - numeric references decode only valid scalar values
+  *    (1 … 0x10FFFF excluding surrogates); anything else — including
+  *    over-long digit runs the reference regex rejects — passes
+  *    through verbatim.
+  */
+case class HtmlEntityDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"HtmlEntityDecode expects a string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlEntityDecode.decode(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${HtmlEntityDecode.getClass.getName.stripSuffix("$")}.decode($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object HtmlEntityDecode {
+  // (key, replacement) — order irrelevant (at most one matches at a
+  // position); kept in the historical fold order for readability
+  private val Named: Array[(String, Char)] = Array(
+    "&lt;" -> '<', "&gt;" -> '>', "&quot;" -> '"',
+    "&apos;" -> '\'', "&nbsp;" -> ' ', "&amp;" -> '&')
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  def decode(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = str.indexOf('&')
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(str.length)
+    sb.append(str, 0, i)
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else if (i + 1 < n && str.charAt(i + 1) == '#') {
+        // numeric reference: &#[0-9]{1,7}; or &#[xX][0-9A-Fa-f]{1,6};
+        // greedy digit consume == the regex (a shorter backtracked run
+        // would still face a digit where ';' is required)
+        var j = i + 2
+        var cp = -1L
+        var digits = 0
+        if (j < n && (str.charAt(j) == 'x' || str.charAt(j) == 'X')) {
+          j += 1
+          var v = 0L
+          while (j < n && digits < 6 && hexVal(str.charAt(j)) >= 0) {
+            v = v * 16L + hexVal(str.charAt(j)); j += 1; digits += 1
+          }
+          if (digits >= 1 && j < n && str.charAt(j) == ';') cp = v
+        } else {
+          var v = 0L
+          while (j < n && digits < 7 && str.charAt(j) >= '0' &&
+            str.charAt(j) <= '9') {
+            v = v * 10L + (str.charAt(j) - '0'); j += 1; digits += 1
+          }
+          if (digits >= 1 && j < n && str.charAt(j) == ';') cp = v
+        }
+        if (cp >= 0L) {
+          // matched the reference pattern: valid scalar decodes,
+          // anything else passes through verbatim (incl. the ';')
+          if (cp >= 1L && cp <= 0x10FFFFL &&
+            !(cp >= 0xD800L && cp <= 0xDFFFL))
+            sb.appendCodePoint(cp.toInt)
+          else sb.append(str, i, j + 1)
+          i = j + 1
+        } else { sb.append('&'); i += 1 }
+      } else {
+        var k = 0
+        var matched = false
+        while (!matched && k < Named.length) {
+          val key = Named(k)._1
+          if (str.regionMatches(i, key, 0, key.length)) {
+            sb.append(Named(k)._2)
+            i += key.length
+            matched = true
+          } else k += 1
+        }
+        if (!matched) { sb.append('&'); i += 1 }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

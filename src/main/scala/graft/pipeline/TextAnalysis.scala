@@ -143,13 +143,29 @@ object TextAnalysis {
       (p, d) => concat(p, d)), "")
   }
 
+  /** The pre-r16 built-in-expression entity decode (numeric pass +
+    * six-`replace` named fold per inter-reference part) — retained as
+    * the independently-derived reference formulation that the fused
+    * native [[graft.functions.HtmlEntityDecode]] is property-tested
+    * against (VectorExpressionsSpec). Not on any query path. */
+  private[graft] def decodeEntitiesBuiltin(c: Column): Column = {
+    def named(x: Column): Column = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(x) { case (acc, (k, v)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(k), lit(v))
+      }
+    decodeNumericEntities(c, named)
+  }
+
   /** HTML → text extraction (the CCNet/RefinedWeb pre-tokenization
     * step): drop script/style/comment blocks WITH their contents (a
     * tag-only strip would leak javascript into the corpus), strip the
-    * remaining tags, decode numeric character references
-    * ([[decodeNumericEntities]]) then the six ubiquitous named
-    * entities (`&amp;` LAST, so `&amp;lt;` single-decodes to `&lt;` —
-    * the standard one-pass contract), and normalize whitespace runs.
+    * remaining tags, decode numeric character references and the six
+    * ubiquitous named entities in one fused native pass
+    * ([[graft.functions.HtmlEntityDecode]] — one-pass contract:
+    * `&amp;lt;` single-decodes to `&lt;`), and normalize whitespace
+    * runs.
     * All built-in codegen'd expressions; the regexes use only syntax
     * both java.util.regex and RE2 (the DuckDB oracle) share — `(?is)`
     * inline flags and lazy quantifiers, no backrefs/lookaround. */
@@ -158,15 +174,14 @@ object TextAnalysis {
       "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
-    // named entities decode PER inter-reference part inside the
-    // numeric pass (one-pass contract — see decodeNumericEntities)
-    def named(c: Column): Column = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(c) { case (acc, (k, v)) =>
-        org.apache.spark.sql.functions.replace(acc, lit(k), lit(v))
-      }
-    val decoded = decodeNumericEntities(noTags, named)
+    // numeric + named entity decode fused into ONE native pass
+    // ([[graft.functions.HtmlEntityDecode]]); semantics pinned
+    // identical to the built-in formulation kept in
+    // [[decodeEntitiesBuiltin]] by a VectorExpressionsSpec
+    // property test and the unchanged p111/p112 gates
+    val decoded = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HtmlEntityDecode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(noTags)))
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 

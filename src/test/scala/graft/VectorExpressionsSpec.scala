@@ -258,4 +258,34 @@ class VectorExpressionsSpec extends SparkSpec {
         r3.getOrElse(id, (0L, 0L)), s"n=3 doc $id")
     }
   }
+
+  test("HtmlEntityDecode matches the built-in split+replace " +
+      "formulation on seeded adversarial entity soup") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    val frags = IndexedSeq(
+      "&lt;", "&gt;", "&quot;", "&apos;", "&nbsp;", "&amp;",
+      "&amp;lt;", "&#38;lt;", "&amp;#65;", "&#65;", "&#x41;",
+      "&#x1F600;", "&#128512;", "&#0;", "&#xD800;", "&#1114112;",
+      "&#12345678;", "&#x1234567;", "&#;", "&#x;", "&#", "&#x",
+      "&", "&&", "&l", "&lt", "&ampamp;", "&nbsp", "&#65", "&#65;;",
+      "plain", " text ", "中文", "𝄞", "a&b", ";", "&#x2b;&#43;")
+    def doc(): String =
+      (0 until rnd.nextInt(24)).map(_ =>
+        frags(rnd.nextInt(frags.length))).mkString
+    val docs = {
+      import spark.implicits._
+      ((0L until 300L).map(i => (i, doc())) :+ (300L, "")).toDF("id", "t")
+    }
+    val both = docs.select(col("id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.HtmlEntityDecode(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("t")))).as("fused"),
+      graft.pipeline.TextAnalysis.decodeEntitiesBuiltin(col("t"))
+        .as("builtin"))
+    both.collect().foreach { r =>
+      assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)}")
+    }
+  }
 }
