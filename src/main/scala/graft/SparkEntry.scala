@@ -1731,6 +1731,41 @@ object SparkEntry {
           "WITH (method = \"ngram\");").get
         .select(col("id").as("doc_id"), col("lang_pred"), col("hits"))
     }),
+    // p142: Cavnar-Trenkle profile TRAINING (top-k trigrams per label
+    // by corpus frequency, ties to trigram asc) — the trained profile
+    // itself is the gated output, re-derived independently in SQL
+    "p142_langid_train" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.langIdTrainProfiles(
+        TpchGraph.store(s, dir).nodes("documents")
+          .select(col("id"), langLabelDeco.as("lang"),
+            langIdDeco.as("text")),
+        "lang", "text", k = 20)),
+    // p143: the same from the REPL (PIPELINE TEXT LANGIDTRAIN)
+    "p143_ql_langid_train" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("langtrain", st.nodes("documents")
+        .select(col("id"), langLabelDeco.as("lang"),
+          langIdDeco.as("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE TEXT LANGIDTRAIN ON langtrain " +
+          "WITH (label = \"lang\", k = 20);").get
+    }),
+    // p144: train-then-classify round trip — profiles trained on the
+    // labeled corpus replace the hardcoded dial; the oracle re-runs
+    // BOTH stages (training CTEs feed the classification) in SQL
+    "p144_langid_trained" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      val docs = st.nodes("documents")
+        .select(col("id"), langLabelDeco.as("lang"),
+          langIdDeco.as("text"))
+      val prof = graft.pipeline.TextAnalysis.langIdTrainedProfiles(
+        docs, "lang", "text", k = 20)
+      val lid = graft.pipeline.TextAnalysis.langIdNgram(
+        col("text"), prof)
+      docs.select(col("id").as("doc_id"),
+        lid.getField("lang").as("lang_pred"),
+        lid.getField("hits").as("hits"))
+    }),
     // p97: the EXR decode from the REPL — must reproduce p96's oracle
     // bit for bit through the real lexer/parser/shell
     "p97_ql_media_exr" -> ((s, dir) => {
@@ -2638,6 +2673,57 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       lit(LangFr), lit(LangDe), lit(LangEs)),
       (col("id") % 4).cast("int") + 1)
 
+  /** p142-p144 label fixture: slice → language tag, aligned with
+    * [[langIdDeco]] (slice 0 is the pseudo-English corpus text). */
+  private def langLabelDeco: org.apache.spark.sql.Column =
+    element_at(array(lit("en"), lit("fr"), lit("de"), lit("es")),
+      (col("id") % 4).cast("int") + 1)
+
+  /** Shared p142-p144 training CTEs: labeled corpus → per-label
+    * trigram counts → top-k by (cnt desc, tri asc). */
+  private def langTrainCtes: String =
+    "WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
+      "WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de' " +
+      "ELSE 'es' END AS lang, " +
+      "lower(CASE CAST(doc_id % 4 AS INT) " +
+      "WHEN 0 THEN coalesce(text, '') " +
+      s"WHEN 1 THEN '$LangFr' WHEN 2 THEN '$LangDe' " +
+      s"ELSE '$LangEs' END) AS txt FROM documents), " +
+      "t AS (SELECT lang, unnest(list_transform(" +
+      "range(greatest(length(txt) - 2, 0)), " +
+      "i -> substring(txt, CAST(i + 1 AS INT), 3))) AS tri FROM d), " +
+      "c AS (SELECT lang, tri, count(*) AS cnt FROM t GROUP BY 1, 2), " +
+      "r AS (SELECT lang, tri, cnt, row_number() OVER " +
+      "(PARTITION BY lang ORDER BY cnt DESC, tri ASC) AS rnk FROM c)"
+
+  /** p142/p143 oracle: the trained profile re-derived in DuckDB. */
+  private def langTrainOracle: String =
+    langTrainCtes +
+      " SELECT lang, CAST(rnk AS BIGINT) AS rank, tri, " +
+      "CAST(cnt AS BIGINT) AS cnt FROM r WHERE rnk <= 20"
+
+  /** p144 oracle: training CTEs feed the set-overlap classification —
+    * the full train-then-classify round trip in one SQL statement
+    * (argmax = row_number over (hits desc, lang asc), zero → und). */
+  private def langTrainedClassifyOracle: String =
+    langTrainCtes +
+      ", p AS (SELECT lang AS plang, tri FROM r WHERE rnk <= 20), " +
+      "langs AS (SELECT DISTINCT plang FROM p), " +
+      "dt AS (SELECT doc_id, list_distinct(list_transform(" +
+      "range(greatest(length(txt) - 2, 0)), " +
+      "i -> substring(txt, CAST(i + 1 AS INT), 3))) AS tris FROM d), " +
+      "h AS (SELECT dt.doc_id, p.plang, count(*) AS hits FROM dt " +
+      "JOIN p ON list_contains(dt.tris, p.tri) GROUP BY 1, 2), " +
+      "hh AS (SELECT dt.doc_id, l.plang, " +
+      "CAST(coalesce(h.hits, 0) AS BIGINT) AS hits " +
+      "FROM dt CROSS JOIN langs l LEFT JOIN h " +
+      "ON h.doc_id = dt.doc_id AND h.plang = l.plang), " +
+      "b AS (SELECT doc_id, plang, hits, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY hits DESC, plang ASC) AS rn, " +
+      "max(hits) OVER (PARTITION BY doc_id) AS mx FROM hh) " +
+      "SELECT doc_id, CASE WHEN mx = 0 THEN 'und' ELSE plang END " +
+      "AS lang_pred, mx AS hits FROM b WHERE rn = 1"
+
   /** p139/p140 oracle: profile lists emitted from the SAME constants
     * ([[graft.pipeline.TextAnalysis.LangProfiles]]) so SQL and engine
     * cannot drift; argmax cascade in ascending-tag order = the
@@ -3273,6 +3359,9 @@ WHERE rank <= 10"""
     "p138_ql_robots" -> robotsOracle,
     "p141_charset_decode" -> charsetDecodeOracle,
     "p139_langid_ngram" -> langIdOracle,
+    "p142_langid_train" -> langTrainOracle,
+    "p143_ql_langid_train" -> langTrainOracle,
+    "p144_langid_trained" -> langTrainedClassifyOracle,
     "p140_ql_langid_ngram" -> langIdOracle,
     // p114/p115: the expected canonical URLs in closed form
     "p114_canonical_url" -> canonUrlOracle,

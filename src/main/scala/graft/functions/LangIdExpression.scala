@@ -31,8 +31,12 @@ case class LangIdNgram(child: Expression,
                        profiles: Seq[(String, Seq[String])])
     extends UnaryExpression {
   require(profiles.nonEmpty, "profiles must be non-empty")
-  require(profiles.forall(_._2.forall(_.length == 3)),
-    "profile entries must be trigrams")
+  // codepoint grain, not UTF-16 units: a trained profile from astral
+  // text (one supplementary codepoint = two UTF-16 units) is a legal
+  // trigram — the classifier extracts document trigrams by codepoint
+  require(profiles.forall(_._2.forall(t =>
+    t.codePointCount(0, t.length) == 3)),
+    "profile entries must be trigrams (3 codepoints)")
   // distinctness is part of the hits contract (advice r15): the
   // engine probes a HashSet (duplicates collapse) while the SQL
   // oracle counts profile-LIST entries — a repeated trigram would

@@ -91,6 +91,60 @@ object TextAnalysis {
         org.apache.spark.sql.graft.ColumnBridge.expression(
           coalesce(text, lit(""))), profiles))
 
+  /** Cavnar-Trenkle profile TRAINING (the actual published method —
+    * 1994 §4.1: rank a language's character n-grams by corpus
+    * frequency, keep the top k): per label, count every lowercased
+    * codepoint trigram occurrence (spaces significant, the
+    * [[langIdNgram]] grain) and keep the `k` most frequent, ties
+    * broken by trigram ascending so the profile is deterministic.
+    * Emits one row per kept trigram — `(lang, rank, tri, cnt)` —
+    * exactly replayable in SQL (group-count + window rank), so the
+    * trained profile itself hash-gates.
+    *
+    * 100 TB shape: trigram explode → (lang, tri) partial-aggregated
+    * count (map-side combine collapses to ≤ |alphabet|³ cells per
+    * task before the shuffle); the window ranks the already-tiny
+    * count table. One shuffle at (lang, tri) grain; document text
+    * never crosses the wire. */
+  def langIdTrainProfiles(df: DataFrame, labelCol: String,
+                          textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"profile size k must be >= 1, got $k")
+    val txt = lower(coalesce(col(textCol), lit("")))
+    val nTri = (length(txt) - lit(2)).cast("int")
+    val tris = when(nTri >= 1, transform(sequence(lit(1), nTri),
+      i => txt.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("tri").asc)
+    df.select(col(labelCol).cast("string").as("lang"),
+        explode(tris).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("lang", "rank", "tri", "cnt")
+  }
+
+  /** [[langIdTrainProfiles]] collected into [[langIdNgram]]'s
+    * constructor shape — the data-driven replacement for the
+    * hardcoded [[LangProfiles]] dial. The collect is bounded by
+    * construction (≤ #labels × k rows, guarded below — the
+    * mixing-config grain rule); train once, classify everywhere. */
+  def langIdTrainedProfiles(df: DataFrame, labelCol: String,
+      textCol: String, k: Int): Seq[(String, Seq[String])] = {
+    require(k <= 1000,
+      s"trained profile size k must be <= 1000 (driver-side " +
+        s"constructor data), got $k")
+    val rows = langIdTrainProfiles(df, labelCol, textCol, k)
+      .select("lang", "rank", "tri").take(100001)
+    require(rows.length <= 100000,
+      "too many (label × k) profile rows to hold as constructor " +
+        "data — reduce k or the label set")
+    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+      case (lang, rs) =>
+        lang -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+    }
+  }
+
   /** Document fingerprint: polynomial rolling hash over the codepoints of
     * the lowercased text, mod 1e9+7 — identical formula is expressible in
     * DuckDB (list_reduce + ascii) for the oracle gate. Native codegen'd

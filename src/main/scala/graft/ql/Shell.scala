@@ -314,6 +314,8 @@ final class Shell(store: GraphStore,
         // this validation exists to kill
         case ("TEXT", Some("LANGID"))         =>
           Set("text", "threshold", "method")
+        case ("TEXT", Some("LANGIDTRAIN"))    =>
+          Set("text", "label", "k")
         case ("TEXT", Some("QUALITY") | Some("PII") |
             Some("REPETITION") | Some("FINGERPRINT") |
             Some("LM"))                       => Set("text")
@@ -495,6 +497,13 @@ final class Shell(store: GraphStore,
               s"option 'method' of PIPELINE TEXT LANGID must be " +
                 s"""stopword or ngram, got "$m"""")
           }
+        case ("TEXT", Some("LANGIDTRAIN")) =>
+          // Cavnar-Trenkle profile training: top-k trigrams per label
+          // by corpus frequency — the data-driven dial for
+          // LANGID method=ngram (default k = the paper's 300)
+          graft.pipeline.TextAnalysis.langIdTrainProfiles(df,
+            str("label", "lang"), str("text", "text"),
+            k = int("k", 300))
         case ("TEXT", Some("FINGERPRINT")) =>
           df.select(col(id), graft.pipeline.TextAnalysis.fingerprint(
             col(str("text", "text"))).as("fp"))

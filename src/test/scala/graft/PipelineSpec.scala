@@ -1001,4 +1001,33 @@ class PipelineSpec extends SparkSpec {
       .select(col("l")("lang")).head().getString(0)
     assert(tied === "aa")
   }
+
+  test("langIdTrainedProfiles: deterministic top-k per label, " +
+      "lang-ascending order, astral trigrams legal in the classifier") {
+    import spark.implicits._
+    val labeled = Seq(
+      (0L, "en", "the cat and the dog and the fox"),
+      (1L, "mus", "𝄞a𝄞a𝄞a𝄞"),
+      (2L, "en", "the bird and the bee")).toDF("id", "lang", "text")
+    val prof = TextAnalysis.langIdTrainedProfiles(
+      labeled, "lang", "text", k = 4)
+    assert(prof.map(_._1) === Seq("en", "mus"))
+    val en = prof.toMap.apply("en")
+    assert(en.length === 4 && en.forall(_.length === 3))
+    // 'mus' trigrams contain the astral 𝄞 (3 codepoints, 4-5 UTF-16
+    // units) — the constructor's codepoint-grain require accepts them
+    val mus = prof.toMap.apply("mus")
+    assert(mus.forall(t => t.codePointCount(0, t.length) === 3))
+    assert(mus.exists(_.length > 3))
+    // train→classify round trip: each slice classifies to its label
+    val lid = TextAnalysis.langIdNgram(col("text"), prof)
+    val got = labeled.select(col("id"),
+        lid.getField("lang").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "en" && got(1L) === "mus" && got(2L) === "en")
+    // training is idempotent/deterministic (ties broken by tri asc)
+    val prof2 = TextAnalysis.langIdTrainedProfiles(
+      labeled, "lang", "text", k = 4)
+    assert(prof2 === prof)
+  }
 }

@@ -720,6 +720,29 @@ class ShellSpec extends SparkSpec {
     assert(thrNgram.getMessage.contains("threshold"))
     assert(sh.execute("PIPELINE TEXT LANGID ON Doc WITH " +
       "(method = \"stopword\", threshold = 0.5);").isDefined)
+    // LANGIDTRAIN: trained profiles from a labeled corpus; options
+    // validate per the loud-failure posture (threshold doesn't bind)
+    val store3 = new GraphStore(spark)
+    store3.attachNodes("Labeled", Seq(
+      (0L, "en", "the cat and the dog and the fox"),
+      (1L, "fr", "le chat et le chien et le renard"),
+      (2L, "en", "the bird and the bee")).toDF("id", "lang", "text"),
+      "id")
+    val sh3 = new Shell(store3)
+    val trained = sh3.execute("PIPELINE TEXT LANGIDTRAIN ON Labeled " +
+      "WITH (label = \"lang\", k = 5);").get
+    assert(trained.columns.toSeq ===
+      Seq("lang", "rank", "tri", "cnt"))
+    val byLang = trained.collect().groupBy(_.getString(0))
+    assert(byLang.keySet === Set("en", "fr"))
+    assert(byLang("en").length === 5 && byLang("fr").length === 5)
+    // ' th' and 'the' dominate the English slices
+    assert(byLang("en").map(_.getString(2)).contains("the"))
+    val trThr = intercept[IllegalArgumentException] {
+      sh3.execute("PIPELINE TEXT LANGIDTRAIN ON Labeled WITH " +
+        "(label = \"lang\", threshold = 0.5);")
+    }
+    assert(trThr.getMessage.contains("threshold"))
     assert(rows(sh.execute("PIPELINE TEXT FINGERPRINT ON Doc;").get) ===
       rows(docs.select(col("id"),
         graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))))
