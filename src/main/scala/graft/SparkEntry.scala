@@ -2472,6 +2472,33 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "r AS (SELECT doc_id, n, cnt, glen, row_number() OVER " +
       "(PARTITION BY doc_id, n ORDER BY cnt DESC, glen DESC) AS rn " +
       "FROM c), " +
+      // duplicate-n-gram coverage (n = 5..10): exploded grams →
+      // occurrences of grams seen >= 2x → DISTINCT covered word
+      // positions (the interval union) → summed word lengths
+      "gs5 AS (SELECT doc_id, n, w, " +
+      "unnest(range(greatest(len(w) - n + 1, 0))) AS j " +
+      "FROM (SELECT doc_id, w, unnest([5, 6, 7, 8, 9, 10]) AS n " +
+      "FROM s)), " +
+      "g5 AS (SELECT doc_id, n, j, " +
+      "array_to_string(w[j + 1 : j + n], ' ') AS gram FROM gs5), " +
+      "d5 AS (SELECT doc_id, n, j FROM (SELECT doc_id, n, j, " +
+      "count(*) OVER (PARTITION BY doc_id, n, gram) AS c FROM g5) " +
+      "WHERE c >= 2), " +
+      "cov AS (SELECT DISTINCT d5.doc_id, d5.n, d5.j + off.x AS p " +
+      "FROM d5 JOIN (SELECT unnest(range(10)) AS x) off " +
+      "ON off.x < d5.n), " +
+      "wl AS (SELECT doc_id, unnest(w) AS word, " +
+      "generate_subscripts(w, 1) - 1 AS p FROM s), " +
+      "covc AS (SELECT cov.doc_id, cov.n, " +
+      "sum(length(wl.word)) AS dchars FROM cov JOIN wl " +
+      "ON wl.doc_id = cov.doc_id AND wl.p = cov.p GROUP BY 1, 2), " +
+      "wtot AS (SELECT doc_id, sum(length(word)) AS wchars " +
+      "FROM wl GROUP BY 1), " +
+      "dcp AS (SELECT doc_id, " +
+      (5 to 10).map(n =>
+        s"CAST(coalesce(max(CASE WHEN n = $n THEN dchars END), 0) " +
+          s"AS BIGINT) AS dup${n}_chars").mkString(", ") +
+      " FROM covc GROUP BY doc_id), " +
       "t AS (SELECT doc_id, " +
       "CAST(coalesce(max(CASE WHEN n = 2 THEN cnt END), 0) AS BIGINT) " +
       "AS top2_cnt, " +
@@ -2494,7 +2521,10 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "coalesce(top3_len, 0) AS top3_len, " +
       "coalesce(top4_cnt, 0) AS top4_cnt, " +
       "coalesce(top4_len, 0) AS top4_len, " +
-      "CAST(n_dup_lines * 10 <= n_lines * 3 AND " +
+      "CAST(coalesce(wchars, 0) AS BIGINT) AS n_word_chars, " +
+      (5 to 10).map(n =>
+        s"coalesce(dup${n}_chars, 0) AS dup${n}_chars").mkString(", ") +
+      ", CAST(n_dup_lines * 10 <= n_lines * 3 AND " +
       "n_dup_paras * 10 <= n_paras * 3 AND " +
       "chars_dup_lines * 5 <= chars_lines AND " +
       "chars_dup_paras * 5 <= chars_paras AND " +
@@ -2502,8 +2532,16 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
       "AND coalesce(top3_cnt, 0) * coalesce(top3_len, 0) * 50 <= " +
       "n_chars * 9 AND " +
       "coalesce(top4_cnt, 0) * coalesce(top4_len, 0) * 25 <= " +
-      "n_chars * 4 AS INT) AS rep_pass " +
-      "FROM s LEFT JOIN t USING (doc_id)"
+      "n_chars * 4 AND " +
+      "coalesce(dup5_chars, 0) * 100 <= coalesce(wchars, 0) * 15 AND " +
+      "coalesce(dup6_chars, 0) * 100 <= coalesce(wchars, 0) * 14 AND " +
+      "coalesce(dup7_chars, 0) * 100 <= coalesce(wchars, 0) * 13 AND " +
+      "coalesce(dup8_chars, 0) * 100 <= coalesce(wchars, 0) * 12 AND " +
+      "coalesce(dup9_chars, 0) * 100 <= coalesce(wchars, 0) * 11 AND " +
+      "coalesce(dup10_chars, 0) * 10 <= coalesce(wchars, 0) " +
+      "AS INT) AS rep_pass " +
+      "FROM s LEFT JOIN t USING (doc_id) " +
+      "LEFT JOIN wtot USING (doc_id) LEFT JOIN dcp USING (doc_id)"
 
   /** p135/p136 fixture: two slices share a 3-sentence prefix (slice 0
     * appends the document text, slice 1 a unique tail sentence), the

@@ -288,14 +288,17 @@ case class GramTopStats(child: Expression, ns: Seq[Int])
       newChild: Expression): Expression = copy(child = newChild)
 }
 
-object GramTopStats {
+/** Shared whitespace tokenizer for the per-document gram passes:
+  * maximal non-`\s` runs, each reduced to a 64-bit polynomial hash
+  * plus its codepoint length (the hashed-gram discipline — gram
+  * classes never materialize strings). */
+private[functions] object GramTokens {
   private def isRegexWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
       c == '\r'
 
-  def compute(s: UTF8String, ns: Array[Int]): InternalRow = {
-    val str = s.toString
-    // tokenize once: per-token 64-bit polynomial hash + codepoint len
+  /** Returns (token hashes, token codepoint lengths, token count). */
+  def tokenize(str: String): (Array[Long], Array[Int], Int) = {
     var tokH = new Array[Long](16)
     var tokL = new Array[Int](16)
     var m = 0
@@ -319,6 +322,13 @@ object GramTopStats {
         i = j
       } else i += 1
     }
+    (tokH, tokL, m)
+  }
+}
+
+object GramTopStats {
+  def compute(s: UTF8String, ns: Array[Int]): InternalRow = {
+    val (tokH, tokL, m) = GramTokens.tokenize(s.toString)
     val out = new Array[Any](ns.length * 2)
     var k = 0
     while (k < ns.length) {
@@ -496,5 +506,117 @@ object HtmlEntityDecode {
       }
     }
     UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Fused per-document duplicate-n-gram COVERAGE — for each requested
+  * word n-gram size, the total codepoint length of the words covered
+  * by ANY occurrence of an n-gram that appears at least twice in the
+  * document (overlaps counted once — an interval UNION over word
+  * positions), plus the document's total word codepoint length as the
+  * shared denominator. This is the remaining half of the Gopher
+  * repetition suite (Rae et al. 2021 table A1: "fraction of
+  * characters contained within duplicate n-grams", n = 5…10), which
+  * the top-n-gram signals of [[GramTopStats]] do not cover.
+  *
+  * Measured at WORD grain: covered characters are the codepoints of
+  * words inside any duplicate-gram span, and the denominator is the
+  * codepoint total of all words (separators excluded on both sides) —
+  * a documented deviation from the paper's unspecified raw-character
+  * accounting, chosen because the word-position union is exactly
+  * replayable in SQL (exploded grams → duplicate occurrences →
+  * DISTINCT covered positions → join to word lengths).
+  *
+  * Coverage is a WITHIN-document property: one codegen'd pass, zero
+  * shuffle (the GramTopStats precedent). Gram classes compare by
+  * 64-bit hash — a collision can only merge classes, the repo-wide
+  * hashed-gram contract scoped to one document. Emits
+  * `struct(n_word_chars, dup{n}_chars…)`; documents with fewer than
+  * n words emit 0 for that n.
+  */
+case class DupGramCoverage(child: Expression, ns: Seq[Int])
+    extends UnaryExpression {
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes $ns")
+
+  override def dataType: DataType = StructType(
+    StructField("n_word_chars", LongType, nullable = false) +:
+      ns.map(n =>
+        StructField(s"dup${n}_chars", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"DupGramCoverage expects a string, got ${child.dataType.catalogString}")
+
+  @transient private lazy val nsArr: Array[Int] = ns.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    DupGramCoverage.compute(input.asInstanceOf[UTF8String], nsArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("nsArr", nsArr, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} =
+         |  ${DupGramCoverage.getClass.getName.stripSuffix("$")}.compute(
+         |    $c, $nsRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object DupGramCoverage {
+  def compute(s: UTF8String, ns: Array[Int]): InternalRow = {
+    val (tokH, tokL, m) = GramTokens.tokenize(s.toString)
+    val out = new Array[Any](ns.length + 1)
+    var wchars = 0L
+    var i = 0
+    while (i < m) { wchars += tokL(i); i += 1 }
+    out(0) = wchars
+    var k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      var dup = 0L
+      if (m >= n) {
+        val grams = m - n + 1
+        val ghs = new Array[Long](grams)
+        val counts = new java.util.HashMap[java.lang.Long, Int]()
+        var p = 0
+        while (p < grams) {
+          var gh = -3750763034362895579L // FNV-1a 64 offset basis
+          var q = 0
+          while (q < n) {
+            gh = (gh ^ tokH(p + q)) * 1099511628211L
+            q += 1
+          }
+          ghs(p) = gh
+          counts.merge(gh, 1, (a, b) => a + b)
+          p += 1
+        }
+        // union of covered word positions: walk occurrences of
+        // duplicate grams, tracking the rightmost covered index so
+        // overlapping spans never double-count
+        val covered = new Array[Boolean](m)
+        p = 0
+        while (p < grams) {
+          if (counts.get(ghs(p)) >= 2) {
+            var q = p
+            val e = p + n
+            while (q < e) { covered(q) = true; q += 1 }
+          }
+          p += 1
+        }
+        i = 0
+        while (i < m) {
+          if (covered(i)) dup += tokL(i)
+          i += 1
+        }
+      }
+      out(k + 1) = dup
+      k += 1
+    }
+    new GenericInternalRow(out)
   }
 }

@@ -417,12 +417,17 @@ object TextAnalysis {
     * duplicate-line fraction ≤ 0.30, duplicate-paragraph ≤ 0.30,
     * duplicate-line-chars ≤ 0.20, duplicate-paragraph-chars ≤ 0.20,
     * top-2-gram char fraction ≤ 0.20, top-3-gram ≤ 0.18, top-4-gram
-    * ≤ 0.16 (numerator `top_cnt · top_len`, denominator `n_chars`).
-    * The paper's duplicate-5..10-gram COVERAGE fractions (characters
-    * inside any repeated n-gram, overlaps counted once) are out of
-    * scope — coverage union is not expressible as an exact
-    * cross-engine skeleton; the seven rules above are the
-    * published-threshold core.
+    * ≤ 0.16 (numerator `top_cnt · top_len`, denominator `n_chars`),
+    * and the paper's remaining six rules — duplicate-{5..10}-gram
+    * COVERAGE fractions ≤ {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}:
+    * `dup{n}_chars` is the codepoint total of words inside ANY
+    * occurrence of an n-gram repeated within the document (overlaps
+    * counted once — a word-position interval union, computed by the
+    * fused [[graft.functions.DupGramCoverage]] pass), over
+    * `n_word_chars` (all word codepoints; separators excluded on
+    * both numerator and denominator — the word-grain accounting is a
+    * documented deviation from the paper's unspecified raw-character
+    * form, chosen because the position union replays exactly in SQL).
     *
     * 100 TB shape: ZERO-shuffle — the entire operator is one
     * projection. The line/paragraph signals are per-doc array
@@ -450,6 +455,10 @@ object TextAnalysis {
       graft.functions.GramTopStats(
         org.apache.spark.sql.graft.ColumnBridge.expression(raw),
         Seq(2, 3, 4)))
+    val dupCov = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.DupGramCoverage(
+        org.apache.spark.sql.graft.ColumnBridge.expression(raw),
+        Seq(5, 6, 7, 8, 9, 10)))
     val base = df.select(
         col(idCol).as("__id"),
         length(raw).cast("long").as("n_chars"),
@@ -465,7 +474,7 @@ object TextAnalysis {
         charSum(paras).as("chars_paras"),
         (charSum(paras) - charSum(array_distinct(paras)))
           .as("chars_dup_paras"),
-        topGrams.as("__tg"))
+        topGrams.as("__tg"), dupCov.as("__dc"))
     base
       .withColumn("top2_cnt", col("__tg")("top2_cnt"))
       .withColumn("top2_len", col("__tg")("top2_len"))
@@ -474,6 +483,14 @@ object TextAnalysis {
       .withColumn("top4_cnt", col("__tg")("top4_cnt"))
       .withColumn("top4_len", col("__tg")("top4_len"))
       .drop("__tg")
+      .withColumn("n_word_chars", col("__dc")("n_word_chars"))
+      .withColumn("dup5_chars", col("__dc")("dup5_chars"))
+      .withColumn("dup6_chars", col("__dc")("dup6_chars"))
+      .withColumn("dup7_chars", col("__dc")("dup7_chars"))
+      .withColumn("dup8_chars", col("__dc")("dup8_chars"))
+      .withColumn("dup9_chars", col("__dc")("dup9_chars"))
+      .withColumn("dup10_chars", col("__dc")("dup10_chars"))
+      .drop("__dc")
       .withColumn("rep_pass",
         (col("n_dup_lines") * 10L <= col("n_lines") * 3L &&
           col("n_dup_paras") * 10L <= col("n_paras") * 3L &&
@@ -483,7 +500,14 @@ object TextAnalysis {
           col("top3_cnt") * col("top3_len") * 50L <=
             col("n_chars") * 9L &&
           col("top4_cnt") * col("top4_len") * 25L <=
-            col("n_chars") * 4L).cast("int"))
+            col("n_chars") * 4L &&
+          col("dup5_chars") * 100L <= col("n_word_chars") * 15L &&
+          col("dup6_chars") * 100L <= col("n_word_chars") * 14L &&
+          col("dup7_chars") * 100L <= col("n_word_chars") * 13L &&
+          col("dup8_chars") * 100L <= col("n_word_chars") * 12L &&
+          col("dup9_chars") * 100L <= col("n_word_chars") * 11L &&
+          col("dup10_chars") * 10L <= col("n_word_chars"))
+          .cast("int"))
       .withColumnRenamed("__id", idCol)
   }
 

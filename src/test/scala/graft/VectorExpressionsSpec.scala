@@ -259,6 +259,61 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("DupGramCoverage matches the exploded union formulation on " +
+      "seeded random docs (covered word chars per n)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(177)
+    // small vocabulary → real duplicate 2/3-grams at doc scale
+    val words = IndexedSeq("a", "bb", "ccc", "dd中", "e", "𝄞g")
+    def doc(): String = (0 until rnd.nextInt(40)).map(_ =>
+      words(rnd.nextInt(words.length))).mkString(" ") +
+      (if (rnd.nextBoolean()) "\n a bb  a bb\ta bb" else "")
+    val docs = (0L until 100L).map(i => (i, doc())).toDF("id", "text")
+    val fused = docs.select(col("id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.DupGramCoverage(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            coalesce(col("text"), lit(""))), Seq(2, 3))).as("g"))
+      .select(col("id"), col("g")("n_word_chars"),
+        col("g")("dup2_chars"), col("g")("dup3_chars"))
+    // reference: explicit gram strings, window-counted duplicates,
+    // exploded offsets, DISTINCT covered positions, summed lengths
+    val toks = filter(split(trim(coalesce(col("text"), lit(""))),
+      "\\s+"), t => t =!= "")
+    val wbase = docs.select(col("id"), toks.as("w"))
+    val wl = wbase.select(col("id"),
+      posexplode(col("w")).as(Seq("p", "word")))
+    val wtot = wl.groupBy("id")
+      .agg(sum(length(col("word"))).cast("long").as("wchars"))
+    def ref(n: Int) = {
+      val grams = wbase.filter(size(col("w")) >= n)
+        .select(col("id"), posexplode(transform(
+          sequence(lit(1), size(col("w")) - n + 1),
+          i => array_join(slice(col("w"), i, lit(n)), " ")))
+          .as(Seq("j", "gram")))
+      val dup = grams
+        .withColumn("c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("id", "gram")))
+        .filter(col("c") >= 2)
+      dup.select(col("id"), explode(sequence(col("j"),
+          col("j") + n - 1)).as("p")).distinct()
+        .join(wl, Seq("id", "p"))
+        .groupBy("id")
+        .agg(sum(length(col("word"))).cast("long").as(s"dup$n"))
+    }
+    val r2 = ref(2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r3 = ref(3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wt = wtot.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fused.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === wt.getOrElse(id, 0L), s"wchars doc $id")
+      assert(r.getLong(2) === r2.getOrElse(id, 0L), s"n=2 doc $id")
+      assert(r.getLong(3) === r3.getOrElse(id, 0L), s"n=3 doc $id")
+    }
+  }
+
   test("HtmlEntityDecode matches the built-in split+replace " +
       "formulation on seeded adversarial entity soup") {
     import org.apache.spark.sql.functions._
