@@ -429,9 +429,18 @@ object Bench {
       "dedup_lines" -> (() => graft.pipeline.Curation.dedupLines(
         store.nodes("documents"), "id", "text")),
       // Gopher repetition suite (p133 shape): per-doc array signals +
-      // one hashed-gram count shuffle for the top-n-gram winners
+      // the fused top-n-gram and dup-gram-coverage passes — a pure
+      // zero-exchange projection since the GramTopStats fusion
       "gopher_rep" -> (() => graft.pipeline.TextAnalysis
         .gopherRepetition(store.nodes("documents"), "id", "text")),
+      // Cavnar-Trenkle profile training (p142 shape): trigram explode
+      // → (lang, tri) map-side-combined count → window rank over the
+      // vocabulary-grain count table
+      "langid_train" -> (() => graft.pipeline.TextAnalysis
+        .langIdTrainProfiles(store.nodes("documents")
+          .select(col("id"),
+            (col("id") % 4).cast("string").as("lang"), col("text")),
+          "lang", "text", k = 300)),
       // trigram langid (p139 shape): native distinct-trigram overlap
       "langid_ngram" -> (() => {
         val lid = graft.pipeline.TextAnalysis.langIdNgram(col("text"))

@@ -507,6 +507,28 @@ object SparkEntry {
       EventStreams.intervalJoin(l, r, "uid", "r_uid", "r_ts", "1 hour")
         .select(col("lid"), col("rid"))
     }),
+    // ---- s30: keep-first near-dup FILTER (batch twin of the streaming
+    // LSH-state ingestion filter; MemoryStream path pinned in
+    // PipelineSpec). p31 params → banded recall is exact on this
+    // corpus, so the oracle derives is_dup from exact-Jaccard pairs
+    "s30_near_dup_filter" -> ((s, dir) =>
+      Dedup.nearDupKeepFirst(
+        TpchGraph.store(s, dir).nodes("documents")
+          .filter(col("id") < 1000),
+        "id", "id", "text", numHashes = 64, bands = 32, shingleK = 2,
+        threshold = 0.6)
+        .select(col("id").as("doc_id"), col("is_dup"))),
+    // p145: the same from the REPL (PIPELINE DEDUP KEEPFIRST)
+    "p145_ql_neardup_keepfirst" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      st.attachNodes("nddocs", st.nodes("documents")
+        .filter(col("id") < 1000).select(col("id"), col("text")), "id")
+      new graft.ql.Shell(st)
+        .execute("PIPELINE DEDUP KEEPFIRST ON nddocs WITH " +
+          "(num_hashes = 64, bands = 32, shingle_k = 2, " +
+          "threshold = 0.6);").get
+        .select(col("id").as("doc_id"), col("is_dup"))
+    }),
     // ---- as-of join: newest same-user click at or before each purchase
     // (one shuffle+sort, never a per-left range scan)
     "q51_asof_join" -> ((s, dir) => {
@@ -1888,6 +1910,24 @@ object SparkEntry {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
   /** DuckDB dialect: word-k-shingles matching [[Dedup.shingles]]. */
+  /** s30/p145 oracle: exact-Jaccard pairs at the p31 parameters, the
+    * later side (larger doc_id — order is doc_id) of each pair is a
+    * loser; is_dup marks distinct losers over all scanned docs. */
+  private def nearDupKeepFirstOracle: String =
+    "WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w " +
+      "FROM documents WHERE doc_id < 1000), " +
+      s"sh AS (SELECT doc_id, ${duckShinglesK(2)} AS sh FROM t), " +
+      "sz AS (SELECT doc_id, sh, len(sh) AS n FROM sh), " +
+      "pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM sz a " +
+      "JOIN sz b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "(a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.6), " +
+      "dups AS (SELECT DISTINCT idb AS doc_id FROM pr) " +
+      "SELECT sz.doc_id, CAST(CASE WHEN dups.doc_id IS NULL " +
+      "THEN 0 ELSE 1 END AS INT) AS is_dup " +
+      "FROM sz LEFT JOIN dups USING (doc_id)"
+
   private def duckShinglesK(k: Int): String =
     s"list_distinct(CASE WHEN len(w) < $k THEN [array_to_string(w, ' ')] " +
       s"ELSE [array_to_string(w[i:i+${k - 1}], ' ') " +
@@ -3066,6 +3106,11 @@ WHERE rank <= 10"""
         "FROM sz a JOIN sz b ON a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
         "(a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.6"),
+    // s30/p145: keep-first from exact-Jaccard ground truth (the p31
+    // trick — banded recall is exact at these params on this corpus);
+    // order = doc_id, so the later side of a pair is the larger id
+    "s30_near_dup_filter" -> nearDupKeepFirstOracle,
+    "p145_ql_neardup_keepfirst" -> nearDupKeepFirstOracle,
     "p33_simhash_pairs" -> p33Oracle(),
     "p74_ql_ann_ivf" -> p37Oracle,
     "p75_ql_cosine_lsh" -> p35Oracle,

@@ -806,4 +806,78 @@ object Dedup {
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
       .filter(col("n_kept") >= minKeptTokens)
   }
+
+  /** Keep-first near-duplicate FILTER — the batch/backfill twin of the
+    * streaming ingestion filter
+    * ([[graft.streaming.EventStreams.nearDupBandDups]]): a document is
+    * suppressed iff some EARLIER document (by `(orderCol, id)`) is a
+    * verified near-duplicate — i.e. the first arrival of each
+    * near-dup family survives and every later member is flagged.
+    * Pair discovery and exact-Jaccard verification are
+    * [[minhashLsh]]'s; this derives the per-document flag: the loser
+    * of each verified pair is its later side, and `is_dup` marks the
+    * distinct losers. Order-independent semantics: a document's flag
+    * depends only on the SET of earlier near-duplicates (a suppressed
+    * document still suppresses its own later duplicates — the state
+    * the streaming form keeps per band bucket).
+    *
+    * 100 TB shape: everything heavy is minhashLsh (banded, bucket-
+    * capped); the loser derivation joins the pair table (≪ corpus)
+    * against an (id, order) projection twice and the distinct-loser
+    * table back to the corpus — broadcastable in practice. Output:
+    * `(idCol, is_dup)` for every input document. */
+  def nearDupKeepFirst(df: DataFrame, idCol: String, orderCol: String,
+      textCol: String, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = 200): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, numHashes, bands,
+      shingleK, threshold, maxBucketSize)
+    val ord = df.select(col(idCol).as("__pid"),
+      col(orderCol).as("__pord"))
+    val withOrd = pairs
+      .join(ord.select(col("__pid").as("id_a"),
+        col("__pord").as("__ord_a")), "id_a")
+      .join(ord.select(col("__pid").as("id_b"),
+        col("__pord").as("__ord_b")), "id_b")
+    val losers = withOrd.select(
+      when(struct(col("__ord_a"), col("id_a")) <
+        struct(col("__ord_b"), col("id_b")), col("id_b"))
+        .otherwise(col("id_a")).as("__loser")).distinct()
+    df.select(col(idCol))
+      .join(losers, col(idCol) === col("__loser"), "left")
+      .select(col(idCol),
+        when(col("__loser").isNotNull, 1).otherwise(0).cast("int")
+          .as("is_dup"))
+  }
+
+  /** (band, order, id, shingle-hashes) arrival rows for the streaming
+    * near-dup filter — the SAME signature/band formulas as
+    * [[minhashLsh]] (hashed k-shingles, fused MinHash signature, band
+    * key = xxhash64 over (band index, its r signature slots)), so the
+    * streaming filter's buckets are exactly the batch operator's.
+    * One row per (document, band); all projections, no shuffle. */
+  def bandArrivals(df: DataFrame, idCol: String, orderCol: String,
+      textCol: String, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val base = df.select(col(idCol).as("id"),
+        col(orderCol).as("ord"),
+        transform(split(lower(trim(col(textCol))), "\\s+"),
+          t => xxhash64(t)).as("__th"))
+      .select(col("id"), col("ord"),
+        hashedShingles(col("__th"), shingleK).as("shingles"))
+    val sigDf = base.select(col("id"), col("ord"), col("shingles"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("shingles")), numHashes)).as("__sig"))
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (b * r until (b + 1) * r)
+        .map(i => element_at(col("__sig"), i + 1))): _*)
+    }
+    sigDf.select(col("id"), col("ord"), col("shingles"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("band"), col("ord"), col("id"), col("shingles"))
+  }
 }

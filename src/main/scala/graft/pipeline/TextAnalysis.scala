@@ -116,8 +116,12 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("cnt").desc, col("tri").asc)
-    df.select(col(labelCol).cast("string").as("lang"),
-        explode(tris).as("tri"))
+    // materialize the trigram arrays BEFORE the explode: expressions
+    // feeding a Generate collapse into it and run interpreted per
+    // element (the bigramLm/minhashLsh lesson — measured ~4× here)
+    df.select(col(labelCol).cast("string").as("lang"), tris.as("__tris"))
+      .transform(graft.core.Materialize(_))
+      .select(col("lang"), explode(col("__tris")).as("tri"))
       .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

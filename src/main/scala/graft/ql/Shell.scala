@@ -294,6 +294,9 @@ final class Shell(store: GraphStore,
         case ("DEDUP", Some("COSINE_LSH"))    =>
           Set("vec", "threshold", "planes", "tables")
         case ("DEDUP", Some("LINES"))         => Set("text", "min_kept")
+        case ("DEDUP", Some("KEEPFIRST"))     =>
+          Set("text", "order", "num_hashes", "bands", "shingle_k",
+            "threshold")
         case ("SPANS", None)                  => Set("text", "k", "min_count")
         case ("SPANS", Some("REMOVE"))        =>
           Set("text", "k", "min_count", "min_kept")
@@ -394,6 +397,15 @@ final class Shell(store: GraphStore,
           // dedup — keeps ONE occurrence; BOILERPLATE drops all)
           graft.pipeline.Curation.dedupLines(df, id,
             str("text", "text"), minKeptLines = lng("min_kept", 1L))
+        case ("DEDUP", Some("KEEPFIRST")) =>
+          // keep-first near-dup FILTER: first arrival of each family
+          // survives, later members flag is_dup (the streaming
+          // ingestion filter's batch twin)
+          graft.pipeline.Dedup.nearDupKeepFirst(df, id,
+            str("order", id), str("text", "text"),
+            numHashes = int("num_hashes", 64), bands = int("bands", 16),
+            shingleK = int("shingle_k", 3),
+            threshold = dbl("threshold", 0.7))
         case ("SPANS", None) =>
           graft.pipeline.Dedup.duplicatedSpans(df, id,
             str("text", "text"), k = int("k", 8),

@@ -146,4 +146,80 @@ object EventStreams {
           }
       }
   }
+
+  case class BandDoc(band: Long, ord: Long, id: Long,
+      shingles: Seq[Long])
+  case class BandMember(ord: Long, id: Long, shingles: Seq[Long])
+  case class BandBucketState(members: Seq[BandMember])
+  case class DupHit(id: Long, dupOf: Long)
+
+  /** Streaming keep-first near-duplicate filter — the ingestion-time
+    * form of [[graft.pipeline.Dedup.nearDupKeepFirst]]: arrivals are
+    * the per-(document, band) rows of
+    * [[graft.pipeline.Dedup.bandArrivals]] (same shingle/signature/
+    * band formulas as the batch operator, so buckets agree exactly);
+    * state per band bucket is the members seen so far; each arrival
+    * exact-Jaccard-verifies against its bucket's members and emits a
+    * [[DupHit]] for its FIRST verified earlier near-duplicate. The
+    * distinct hit ids are the suppressed documents — a doc-level
+    * `dropDuplicates("id")` (or the consumer's anti join) merges the
+    * per-band hits; equivalence with the batch twin is pinned in
+    * PipelineSpec on a MemoryStream.
+    *
+    * Semantics match the batch twin's order-independent contract: a
+    * suppressed arrival still JOINS the bucket state, so its own
+    * later duplicates are suppressed too. Batch groups are processed
+    * in (ord, id) order, which equals arrival order for an in-order
+    * source; out-of-order arrivals within a micro-batch are sorted,
+    * across micro-batches the keep-first winner is the earlier BATCH
+    * (the standard streaming at-least-once caveat — the watermark
+    * bounds it).
+    *
+    * 100 TB shape: state is sharded by band bucket across executors;
+    * per-bucket membership is capped at `maxBucketSize` (the batch
+    * operator's guard — an overflowing bucket stops ADMITTING new
+    * state members but still verifies arrivals against the retained
+    * cap, trading recall exactly like the batch drop, bounded cost
+    * either way). With `useTimeout` a quiet bucket evicts after
+    * `evictMs` processing time — the state-size bound for unbounded
+    * runs. */
+  def nearDupBandDups(arrivals: Dataset[BandDoc], threshold: Double,
+      maxBucketSize: Int = 200, useTimeout: Boolean = false,
+      evictMs: Long = 3600000L): Dataset[DupHit] = {
+    require(threshold > 0.0, "threshold must be positive")
+    implicit val hitEnc = Encoders.product[DupHit]
+    implicit val stEnc = Encoders.product[BandBucketState]
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    arrivals.groupByKey(_.band)(Encoders.scalaLong)
+      .flatMapGroupsWithState[BandBucketState, DupHit](
+        OutputMode.Append(), timeoutConf) {
+        (_: Long, evs: Iterator[BandDoc],
+         state: GroupState[BandBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (e.ord, e.id))
+            var members = state.getOption
+              .map(_.members.toVector).getOrElse(Vector.empty)
+            val out = Seq.newBuilder[DupHit]
+            sorted.foreach { e =>
+              val inc = e.shingles.toSet
+              val na = inc.size
+              val hit = members.find { m =>
+                val inter = m.shingles.count(inc.contains)
+                val union = na + m.shingles.size - inter
+                union > 0 &&
+                  inter.toDouble / union.toDouble >= threshold
+              }
+              hit.foreach(m => out += DupHit(e.id, m.id))
+              if (members.size < maxBucketSize)
+                members = members :+ BandMember(e.ord, e.id, e.shingles)
+            }
+            state.update(BandBucketState(members))
+            if (useTimeout) state.setTimeoutDuration(evictMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -322,6 +322,46 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter: LSH band state over a memory " +
+      "stream equals the batch keep-first twin, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy cat tonight"),
+      (2L, "completely different content about spark engines here"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "yet another unrelated document about parquet files"),
+      (5L, "the quick brown fox jumps over the lazy dog today"))
+    val batchDf = corpus.toDF("id", "text")
+    val expected = Dedup.nearDupKeepFirst(batchDf, "id", "id", "text",
+        numHashes = 64, bands = 32, shingleK = 2, threshold = 0.6)
+      .collect().filter(_.getInt(1) === 1).map(_.getLong(0)).toSet
+    assert(expected.nonEmpty) // the fixture plants real near-dups
+    val mem = MemoryStream[(Long, String)]
+    val arrivals = Dedup.bandArrivals(
+      mem.toDF().toDF("id", "text"), "id", "id", "text",
+      numHashes = 64, bands = 32, shingleK = 2)
+      .as[EventStreams.BandDoc]
+    val q = EventStreams.nearDupBandDups(arrivals, threshold = 0.6)
+      .writeStream.format("memory").queryName("neardup_hits")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches: state must carry bucket members
+      mem.addData(corpus.take(3).map { case (i, t) => (i, t) }: _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(3).map { case (i, t) => (i, t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("neardup_hits").collect()
+        .map(_.getAs[Long]("id")).toSet
+      assert(got === expected)
+      // hits reference an earlier doc (keep-first: dupOf < id here)
+      spark.table("neardup_hits").collect().foreach { r =>
+        assert(r.getAs[Long]("dupOf") < r.getAs[Long]("id"))
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup: first arrival survives, state watermark-bounded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
