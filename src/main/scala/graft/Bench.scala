@@ -433,6 +433,11 @@ object Bench {
       // zero-exchange projection since the GramTopStats fusion
       "gopher_rep" -> (() => graft.pipeline.TextAnalysis
         .gopherRepetition(store.nodes("documents"), "id", "text")),
+      // keep-first near-dup filter (s30 shape): minhashLsh pairs +
+      // loser derivation joins on the pair table
+      "neardup_keepfirst" -> (() => graft.pipeline.Dedup
+        .nearDupKeepFirst(store.nodes("documents"), "id", "id",
+          "text")),
       // Cavnar-Trenkle profile training (p142 shape): trigram explode
       // → (lang, tri) map-side-combined count → window rank over the
       // vocabulary-grain count table

@@ -125,3 +125,64 @@ object LangIdNgram {
     new GenericInternalRow(Array[Any](bestLang, bestHits))
   }
 }
+
+/** Character n-grams at CODEPOINT grain, one native pass — the
+  * trigram-extraction grain shared by [[LangIdNgram]] (which keeps its
+  * own fused distinct-set form) and the profile-training operator
+  * `TextAnalysis.langIdTrainProfiles`. Replaces the
+  * `transform(sequence(...), i -> substr(txt, i, n))` formulation,
+  * whose per-element `substr` re-scans from the string start to find
+  * codepoint offsets (O(len²) per document) AND runs interpreted when
+  * it collapses into the downstream explode. Emits every n-gram in
+  * position order (duplicates included — training counts occurrences);
+  * documents with fewer than n codepoints emit an empty array.
+  * Matches SQL `substring(txt, i+1, n)` for i in 0..len-n exactly.
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"CharNgrams expects a string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    CharNgrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${CharNgrams.getClass.getName.stripSuffix("$")}.compute($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object CharNgrams {
+  def compute(s: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val cps = str.codePointCount(0, str.length)
+    if (cps < n) return new org.apache.spark.sql.catalyst.util
+      .GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cps - n + 1)
+    // sliding UTF-16 offsets of window start/end — one forward walk,
+    // no per-gram re-scan
+    var a = 0
+    var b = str.offsetByCodePoints(0, n)
+    var k = 0
+    while (k < out.length) {
+      out(k) = UTF8String.fromString(str.substring(a, b))
+      k += 1
+      if (k < out.length) {
+        a = str.offsetByCodePoints(a, 1)
+        b = str.offsetByCodePoints(b, 1)
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

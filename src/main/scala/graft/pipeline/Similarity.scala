@@ -157,4 +157,84 @@ object Similarity {
     vectors.select(col(idCol),
       quantScale(col(vecCol)).as("scale"),
       quantVec(col(vecCol)).as("qvec"))
+
+  /** (id, subspace, sub-vector) rows: each embedding split into `m`
+    * contiguous equal slices — the PQ working grain. Pure projection. */
+  private def subVectors(vectors: DataFrame, m: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val d = (size(col(vecCol)) / m).cast("int")
+    vectors
+      .select(col(idCol).as("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col(vecCol))
+      .select(col("vec_id"), col("s"),
+        slice(col(vecCol), col("s") * d + 1, d).as("sv"))
+  }
+
+  /** Product-quantization codebook training (Jégou et al. 2011): each
+    * embedding splits into `m` contiguous sub-vectors; per subspace,
+    * `k` centroids are Lloyd-refined for `iters` rounds with the
+    * [[ivfTrain]] determinism contract (init = the k lowest-id
+    * vectors' slices, argmin-L2² assignment with lowest-centroid-id
+    * ties, per-dimension double mean cast to FLOAT so the float cast
+    * absorbs cross-engine summation-order noise). All `m` subspaces
+    * train TOGETHER in one generalized pass — every Lloyd round is a
+    * single broadcast-join assignment over the (id, subspace) grain
+    * plus one tiny (m·k·dims/m) aggregation, so the round count, not
+    * the subspace count, bounds the job count. Output:
+    * `(s, cid, cv)` — the codebook, m·k rows.
+    *
+    * 100 TB shape: the codebook is broadcast-sized by construction;
+    * training scans the corpus `iters + 1` times (offline, like
+    * ivfTrain); nothing corpus-sized shuffles (the assignment is a
+    * broadcast join + per-row window at (id, s) grain). */
+  def pqTrain(vectors: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && k >= 1 && iters >= 0, "bad PQ parameters")
+    val sub = subVectors(vectors, m, idCol, vecCol)
+      .transform(graft.core.Materialize(_))
+    val initIds = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("vec_id"))
+    var cents = sub.join(broadcast(initIds), "vec_id")
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
+    (0 until iters).foreach { _ =>
+      val assigned = pqAssign(sub, cents)
+      cents = assigned.join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("code").as("cid"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mu"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("mu")))), e => e.getField("mu").cast("float")).as("cv"))
+        .transform(graft.core.Materialize(_))
+    }
+    cents
+  }
+
+  /** Nearest-codebook-entry assignment at (id, subspace) grain:
+    * broadcast codebook join + argmin-L2² window (lowest `cid` ties).
+    * Output `(vec_id, s, code)`. */
+  private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "s")
+      .orderBy(col("dist").asc, col("cid").asc)
+    sub.join(broadcast(codebook), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"),
+        l2sq(col("sv"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+  }
+
+  /** PQ encoding: every vector reduced to `m` small codes — the
+    * memory representation that makes billion-vector ANN feasible
+    * (m·log2(k) bits per vector instead of d·32). Output
+    * `(vec_id, s, code)` — exploded so the result is scalar-sortable;
+    * `groupBy(vec_id).agg(sort_array(collect_list(struct(s, code))))`
+    * re-packs. One broadcast join + one (id, s)-grain window. */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqAssign(subVectors(vectors, m, idCol, vecCol)
+      .transform(graft.core.Materialize(_)), codebook)
 }
