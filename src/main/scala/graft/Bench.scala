@@ -433,6 +433,15 @@ object Bench {
       // zero-exchange projection since the GramTopStats fusion
       "gopher_rep" -> (() => graft.pipeline.TextAnalysis
         .gopherRepetition(store.nodes("documents"), "id", "text")),
+      // product quantization (p146 shape): generalized subspace Lloyd
+      // (2 broadcast-assign rounds) + final encode
+      "pq_encode" -> (() => {
+        val vecs = store.nodes("embeddings")
+          .withColumnRenamed("id", "vec_id")
+        val cb = graft.pipeline.Similarity.pqTrain(vecs, m = 4,
+          k = 16, iters = 2)
+        graft.pipeline.Similarity.pqEncode(vecs, cb, m = 4)
+      }),
       // keep-first near-dup filter (s30 shape): minhashLsh pairs +
       // loser derivation joins on the pair table
       "neardup_keepfirst" -> (() => graft.pipeline.Dedup

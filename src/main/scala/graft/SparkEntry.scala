@@ -613,6 +613,27 @@ object SparkEntry {
         vecs.filter(col("vec_id") < 5), k = 10, nProbe = 4)
         .select("q_id", "nn_id", "rank", "cosine")
     }),
+    // p146: product quantization (Jégou 2011) — per-subspace Lloyd
+    // codebooks + nearest-entry codes; the oracle replays the full
+    // generalized training (subspace-tagged Lloyd CTEs, the p37
+    // determinism contract) and the final assignment
+    "p146_pq_encode" -> ((s, dir) => {
+      val vecs = TpchGraph.store(s, dir).nodes("embeddings")
+        .withColumnRenamed("id", "vec_id")
+      val cb = Similarity.pqTrain(vecs, m = 4, k = 16, iters = 2)
+      Similarity.pqEncode(vecs, cb, m = 4)
+        .select(col("vec_id"), col("s").cast("int").as("s"),
+          col("code"))
+    }),
+    // p147: the same from the REPL (PIPELINE PQ)
+    "p147_ql_pq" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      new graft.ql.Shell(st)
+        .execute("PIPELINE PQ ON embeddings WITH (m = 4, k = 16, " +
+          "iters = 2);").get
+        .select(col("vec_id"), col("s").cast("int").as("s"),
+          col("code"))
+    }),
     // p89: SemDeDup — semantic dedup via k-means clusters + greedy
     // min-id pruning of within-cluster cosine neighbors. Hard-gated:
     // the oracle replays the ENTIRE pipeline (deterministic IVF
@@ -2984,6 +3005,45 @@ dropped AS MATERIALIZED (
 SELECT a.vec_id, a.cluster FROM af a
 LEFT JOIN dropped d ON d.vec_id = a.vec_id WHERE d.vec_id IS NULL"""
 
+  /** p146/p147 oracle: the PQ training replay — the ivfReplayCtes
+    * Lloyd contract generalized with a subspace dimension (m=4, k=16,
+    * iters=2): contiguous slices, lowest-id init per subspace,
+    * argmin-L2² with lowest-cid ties at (vec_id, s) grain, per-dim
+    * double mean cast to FLOAT, final assignment = the codes. */
+  private def pqOracle: String = {
+    val dsub = "(SELECT len(embedding) // 4 FROM embeddings LIMIT 1)"
+    def assign(cents: String, out: String) =
+      s"""$out AS MATERIALIZED (
+  SELECT vec_id, s, sv, cid AS code FROM (
+    SELECT v.vec_id, v.s, v.sv, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id, v.s
+        ORDER BY ${duckL2sq("v.sv", "c.cv")} ASC, c.cid ASC) AS rn
+    FROM sub v JOIN $cents c ON c.s = v.s)
+  WHERE rn = 1)"""
+    def means(assigned: String, out: String) =
+      s"""$out AS MATERIALIZED (
+  SELECT s, code AS cid, list(CAST(mu AS FLOAT) ORDER BY d) AS cv FROM (
+    SELECT a.s, a.code, d.d, avg(CAST(a.sv[d.d + 1] AS DOUBLE)) AS mu
+    FROM $assigned a CROSS JOIN (SELECT unnest(range($dsub)) AS d) d
+    GROUP BY 1, 2, 3)
+  GROUP BY s, code)"""
+    s"""WITH sub AS MATERIALIZED (
+  SELECT vec_id, ss.s,
+    list_slice(embedding, ss.s * $dsub + 1, (ss.s + 1) * $dsub) AS sv
+  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s) ss),
+c0 AS MATERIALIZED (
+  SELECT s, vec_id AS cid, sv AS cv FROM sub
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id
+    LIMIT 16)),
+${assign("c0", "a1")},
+${means("a1", "c1")},
+${assign("c1", "a2")},
+${means("a2", "c2")},
+${assign("c2", "af")}
+SELECT vec_id, CAST(s AS INT) AS s, CAST(code AS BIGINT) AS code
+FROM af"""
+  }
+
   private def p37Oracle: String = {
     s"""$ivfReplayCtes,
 probes AS MATERIALIZED (
@@ -3119,6 +3179,8 @@ WHERE rank <= 10"""
     "p65_spans_nonascii" -> spansOracle(nonAsciiDocsSql(), 8),
     "p35_cosine_lsh" -> p35Oracle,
     "p37_ann_ivf" -> p37Oracle,
+    "p146_pq_encode" -> pqOracle,
+    "p147_ql_pq" -> pqOracle,
     "p89_semdedup" -> p89Oracle,
     "p34_cosine_pairs" ->
       ("WITH e AS (SELECT vec_id, embedding FROM embeddings " +

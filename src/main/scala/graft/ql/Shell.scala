@@ -306,6 +306,8 @@ final class Shell(store: GraphStore,
         case ("ANN", None)                    => Set("vec", "k")
         case ("ANN", Some("IVF"))             =>
           Set("vec", "k", "clusters", "iters", "probe")
+        case ("PQ", None)                     =>
+          Set("vec", "m", "k", "iters")
         case ("DECONTAMINATE", None)          => Set("text", "k", "ratio")
         case ("PACK", None)                   => Set("text", "budget", "chunks")
         case ("SAMPLE", None)                 => Set("by", "pct", "default_pct")
@@ -441,6 +443,16 @@ final class Shell(store: GraphStore,
           graft.pipeline.Similarity.ivfTopK(assigned, centroids,
             df.filter(col(id).isin(qids: _*)), k = int("k", 10),
             nProbe = int("probe", 4), idCol = id, vecCol = vec)
+        case ("PQ", None) =>
+          // product quantization: train m per-subspace codebooks on
+          // the table, emit the (id, subspace, code) encoding
+          val vec = str("vec", "embedding")
+          val m = int("m", 4)
+          val cb = graft.pipeline.Similarity.pqTrain(df, m = m,
+            k = int("k", 16), iters = int("iters", 2), idCol = id,
+            vecCol = vec)
+          graft.pipeline.Similarity.pqEncode(df, cb, m = m,
+            idCol = id, vecCol = vec)
         case ("DECONTAMINATE", None) =>
           val bench = store.nodes(against.getOrElse(
             throw new IllegalArgumentException(

@@ -530,6 +530,38 @@ class PipelineSpec extends SparkSpec {
     assert(cs(1)(0) > 9.0f && cs(1)(1) < 1.0f)
   }
 
+  test("pqTrain/pqEncode: subspace codebooks separate planted blobs, " +
+      "codes reconstruct to the right cluster") {
+    import spark.implicits._
+    // 4-dim vectors, m=2 → two 2-dim subspaces; blobs interleave by
+    // id parity so the lowest-id init (ids 0, 1) spans BOTH blobs —
+    // with a one-blob init, empty clusters collapse away (the
+    // ivfTrain/Lloyd contract)
+    val vecs = (0L to 19L).map { i =>
+      if (i % 2 == 0)
+        (i, Array(10.0f + i * 0.1f, 0.0f, 0.0f, 5.0f))
+      else
+        (i, Array(0.0f, 0.0f, 0.0f, 25.0f + i * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, m = 2, k = 2, iters = 3)
+    assert(cb.count() === 4) // 2 subspaces × 2 centroids
+    val codes = Similarity.pqEncode(vecs, cb, m = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("s")) ->
+        r.getAs[Long]("code")).toMap
+    assert(codes.size === 40) // 20 vectors × 2 subspaces
+    // each subspace's two blobs get distinct codes, consistent within
+    for (s <- 0 to 1) {
+      val lo = (0L to 19L by 2).map(i => codes((i, s))).toSet
+      val hi = (1L to 19L by 2).map(i => codes((i, s))).toSet
+      assert(lo.size === 1 && hi.size === 1 && lo != hi,
+        s"subspace $s: $lo vs $hi")
+    }
+    // deterministic retrain
+    val cb2 = Similarity.pqTrain(vecs, m = 2, k = 2, iters = 3)
+    assert(cb2.collect().map(_.toString).sorted.toSeq ===
+      cb.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("sessionization: gap closes sessions (batch execution path)") {
     import spark.implicits._
     import graft.streaming.EventStreams.SessionEvent
