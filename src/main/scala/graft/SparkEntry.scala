@@ -634,6 +634,19 @@ object SparkEntry {
         .select(col("vec_id"), col("s").cast("int").as("s"),
           col("code"))
     }),
+    // p148: PQ asymmetric-distance top-k (the ADC serving path) —
+    // oracle replays training + encoding + the per-query LUT + the
+    // subspace-ordered distance fold + the rank window
+    "p148_pq_topk" -> ((s, dir) => {
+      val vecs = TpchGraph.store(s, dir).nodes("embeddings")
+        .withColumnRenamed("id", "vec_id")
+      val cb = Similarity.pqTrain(vecs, m = 4, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(vecs, cb, m = 4)
+      Similarity.pqTopK(codes, cb, vecs.filter(col("vec_id") < 5),
+        k = 10, m = 4)
+        .select(col("q_id"), col("nn_id"),
+          col("rank").cast("int").as("rank"), col("adist"))
+    }),
     // p89: SemDeDup — semantic dedup via k-means clusters + greedy
     // min-id pruning of within-cluster cosine neighbors. Hard-gated:
     // the oracle replays the ENTIRE pipeline (deterministic IVF
@@ -3010,7 +3023,11 @@ LEFT JOIN dropped d ON d.vec_id = a.vec_id WHERE d.vec_id IS NULL"""
     * iters=2): contiguous slices, lowest-id init per subspace,
     * argmin-L2² with lowest-cid ties at (vec_id, s) grain, per-dim
     * double mean cast to FLOAT, final assignment = the codes. */
-  private def pqOracle: String = {
+  private def pqOracle: String =
+    pqCtes + "\nSELECT vec_id, CAST(s AS INT) AS s, " +
+      "CAST(code AS BIGINT) AS code FROM af"
+
+  private def pqCtes: String = {
     val dsub = "(SELECT len(embedding) // 4 FROM embeddings LIMIT 1)"
     def assign(cents: String, out: String) =
       s"""$out AS MATERIALIZED (
@@ -3039,9 +3056,37 @@ ${assign("c0", "a1")},
 ${means("a1", "c1")},
 ${assign("c1", "a2")},
 ${means("a2", "c2")},
-${assign("c2", "af")}
-SELECT vec_id, CAST(s AS INT) AS s, CAST(code AS BIGINT) AS code
-FROM af"""
+${assign("c2", "af")}"""
+  }
+
+  /** p148 oracle: the pqOracle CTEs (training + final codes) plus the
+    * ADC replay — per-query (s, code) partial-L2² LUT, distance =
+    * fold of the m entries in subspace order (list(pd ORDER BY s)
+    * prepended with 0.0, the duckL2sq sequential-add discipline, so
+    * the double sum is bit-identical to the engine's sorted-array
+    * aggregate), rank window with nn_id tie-break. */
+  private def p148Oracle: String = {
+    val dsub = "(SELECT len(embedding) // 4 FROM embeddings LIMIT 1)"
+    pqCtes + ",\n" +
+      s"""qsub AS MATERIALIZED (
+  SELECT vec_id AS q_id, ss.s,
+    list_slice(embedding, ss.s * $dsub + 1, (ss.s + 1) * $dsub) AS qsv
+  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s) ss
+  WHERE vec_id < 5),
+lut AS MATERIALIZED (
+  SELECT q.q_id, q.s, c.cid AS code,
+    ${duckL2sq("q.qsv", "c.cv")} AS pd
+  FROM qsub q JOIN c2 c ON c.s = q.s),
+ad AS (
+  SELECT l.q_id, a.vec_id AS nn_id,
+    list_reduce(list_prepend(0.0::DOUBLE, list(l.pd ORDER BY l.s)),
+      (x, y) -> x + y) AS adist
+  FROM af a JOIN lut l ON l.s = a.s AND l.code = a.code
+  WHERE l.q_id <> a.vec_id GROUP BY 1, 2)
+SELECT q_id, nn_id, CAST(rnk AS INT) AS rank, adist FROM (
+  SELECT q_id, nn_id, adist, row_number() OVER (PARTITION BY q_id
+    ORDER BY adist ASC, nn_id ASC) AS rnk FROM ad)
+WHERE rnk <= 10"""
   }
 
   private def p37Oracle: String = {
@@ -3181,6 +3226,7 @@ WHERE rank <= 10"""
     "p37_ann_ivf" -> p37Oracle,
     "p146_pq_encode" -> pqOracle,
     "p147_ql_pq" -> pqOracle,
+    "p148_pq_topk" -> p148Oracle,
     "p89_semdedup" -> p89Oracle,
     "p34_cosine_pairs" ->
       ("WITH e AS (SELECT vec_id, embedding FROM embeddings " +

@@ -237,4 +237,43 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     pqAssign(subVectors(vectors, m, idCol, vecCol)
       .transform(graft.core.Materialize(_)), codebook)
+
+  /** PQ asymmetric-distance top-k (the ADC serving path of IVF-PQ,
+    * Jégou 2011 §III): per query, a (subspace, code) → partial-L2²
+    * lookup table is built against the codebook (q·m·k rows — tiny,
+    * broadcast); each encoded vector's approximate distance is the
+    * SUM of its m table entries, folded in subspace order via a
+    * sorted-array `aggregate` so the double addition sequence is
+    * identical in any engine (the l2sq fold discipline — a plain
+    * `sum()` would be partial-aggregation-order nondeterministic and
+    * could not hash-gate). Output: `(q_id, nn_id, rank, adist)`,
+    * ties on distance break to `nn_id` ascending.
+    *
+    * 100 TB shape: the corpus side carries only (id, s, code) — the
+    * m·log2(k)-bit representation — through one broadcast join and
+    * one (q, id)-grain aggregate; no raw vectors are read at query
+    * time. Recall is the PQ approximation's; re-rank the top
+    * candidates against raw vectors for exactness. */
+  def pqTopK(codes: DataFrame, codebook: DataFrame,
+      queries: DataFrame, k: Int, m: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qsub = subVectors(queries, m, idCol, vecCol)
+      .select(col("vec_id").as("q_id"), col("s"),
+        col("sv").as("qsv"))
+    val lut = qsub.join(codebook, Seq("s"))
+      .select(col("q_id"), col("s"), col("cid").as("code"),
+        l2sq(col("qsv"), col("cv")).as("pd"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adist").asc, col("nn_id").asc)
+    codes.select(col("vec_id").as("nn_id"), col("s"), col("code"))
+      .join(broadcast(lut), Seq("s", "code"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .groupBy("q_id", "nn_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("s"), col("pd")))),
+        lit(0.0), (acc, e) => acc + e.getField("pd")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -560,6 +560,14 @@ class PipelineSpec extends SparkSpec {
     val cb2 = Similarity.pqTrain(vecs, m = 2, k = 2, iters = 3)
     assert(cb2.collect().map(_.toString).sorted.toSeq ===
       cb.collect().map(_.toString).sorted.toSeq)
+    // ADC top-k: every neighbor of an even-id (blob A) query is
+    // even-id — the approximate distance separates the planted blobs
+    val codesDf = Similarity.pqEncode(vecs, cb, m = 2)
+    val top = Similarity.pqTopK(codesDf, cb,
+      vecs.filter(col("vec_id") === 0L), k = 5, m = 2).collect()
+    assert(top.length === 5)
+    assert(top.forall(_.getAs[Long]("nn_id") % 2 === 0L),
+      top.map(_.getAs[Long]("nn_id")).mkString(","))
   }
 
   test("sessionization: gap closes sessions (batch execution path)") {
