@@ -1765,6 +1765,14 @@ object SparkEntry {
         TpchGraph.store(s, dir).nodes("documents")
           .select(col("id"), charsetPayloadDeco.as("payload")))
         .select(col("id").as("doc_id"), col("charset"), col("text"))),
+    // p149: the WHATWG meta prescan — headers carry NO charset, the
+    // markup declares it (`<meta charset=…>`); httpSplit must sniff
+    // the 1024-byte window and decode identically to p141
+    "p149_meta_charset" -> ((s, dir) =>
+      Ingest.httpSplit(
+        TpchGraph.store(s, dir).nodes("documents")
+          .select(col("id"), metaCharsetPayloadDeco.as("payload")))
+        .select(col("id").as("doc_id"), col("charset"), col("text"))),
     // p139: character-trigram language ID (Cavnar-Trenkle, set-overlap
     // form) — the pseudo-English corpus is one slice; the other three
     // carry French/German/Spanish sentences. The oracle recomputes the
@@ -2751,6 +2759,48 @@ WHERE ${duckCos("va.embedding", "vb.embedding")} >= 0.4"""
     }: _*), (col("id") % 4).cast("int") + 1)
   }
 
+  /** p149 fixture: the same four exotic-charset bodies, but the
+    * header declares only `text/html` — the charset rides in the
+    * markup's `<meta charset="…">`, encoded in the body charset
+    * itself (all four are ASCII-transparent, so the tag bytes are
+    * ASCII either way — exactly the real-crawl shape). */
+  private def metaCharsetPayloadDeco: org.apache.spark.sql.Column = {
+    def strictEnc(cs: String, s: String): Array[Byte] = {
+      val bb = java.nio.charset.Charset.forName(cs).newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .encode(java.nio.CharBuffer.wrap(s))
+      val out = new Array[Byte](bb.remaining())
+      bb.get(out)
+      out
+    }
+    element_at(array(CharsetSlices.map { case (cs, pre, suf) =>
+      concat(
+        lit(("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+          .getBytes("US-ASCII") ++
+          strictEnc(cs, s"""<meta charset="$cs"><p>$pre""")),
+        encode(col("id").cast("string"), "US-ASCII"),
+        lit(strictEnc(cs, suf)))
+    }: _*), (col("id") % 4).cast("int") + 1)
+  }
+
+  /** p149 oracle: closed-form like p141's — the decoded text keeps
+    * the (ASCII) markup prefix. */
+  private def metaCharsetOracle: String = {
+    def cases(render: ((String, String, String)) => String): String =
+      CharsetSlices.zipWithIndex.map { case (slice, i) =>
+        if (i < CharsetSlices.size - 1)
+          s"WHEN $i THEN ${render(slice)} "
+        else s"ELSE ${render(slice)} "
+      }.mkString
+    "SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
+      cases { case (cs, _, _) => s"'$cs'" } +
+      "END AS charset, CASE CAST(doc_id % 4 AS INT) " +
+      cases { case (cs, pre, suf) =>
+        s"""'<meta charset="$cs"><p>$pre' || doc_id || '$suf'""" } +
+      "END AS text FROM documents"
+  }
+
   /** p141 oracle: the decoded text in closed form (UTF-8 literals on
     * the DuckDB side; the encoded bytes never leave the engine). */
   private def charsetDecodeOracle: String = {
@@ -3549,6 +3599,7 @@ WHERE rank <= 10"""
     "p137_robots" -> robotsOracle,
     "p138_ql_robots" -> robotsOracle,
     "p141_charset_decode" -> charsetDecodeOracle,
+    "p149_meta_charset" -> metaCharsetOracle,
     "p139_langid_ngram" -> langIdOracle,
     "p142_langid_train" -> langTrainOracle,
     "p143_ql_langid_train" -> langTrainOracle,

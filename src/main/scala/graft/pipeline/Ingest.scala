@@ -298,14 +298,27 @@ object Ingest {
         org.apache.spark.sql.graft.ColumnBridge.expression(rawBody)))
     val bodyS = when(teChunked, dechunked).otherwise(rawBody)
     val bodyBytes = encode(bodyS, "ISO-8859-1")
-    val latin1Family = charsetStr.isin(
+    // WHATWG-style meta prescan (the spec's 1024-byte window): real
+    // crawls routinely omit the header charset and declare it in the
+    // markup — `<meta charset=…>` or the http-equiv form (both end
+    // in a `charset=` token, one regex covers them). The HTTP header
+    // wins when both are present (the standard precedence); the
+    // ASCII-transparent prescan is sound for every charset the
+    // decode path honors (an ASCII-incompatible encoding could not
+    // be sniffed this way, and such bodies fall to the sieve anyway)
+    val metaCharset = lower(regexp_extract(
+      bodyS.substr(lit(1), lit(1024)),
+      "(?i)<meta[^>]*charset[\\s]*=[\\s\"']*([A-Za-z0-9._:-]+)", 1))
+    val effCharset =
+      when(charsetStr =!= "", charsetStr).otherwise(metaCharset)
+    val latin1Family = effCharset.isin(
       "iso-8859-1", "iso8859-1", "iso_8859-1", "latin-1", "latin1",
       "windows-1252", "cp1252")
     // a charset the sieve/Latin-1 pair does NOT already handle
     // exactly: declared, and neither the Latin-1 family nor the
     // UTF-8/ASCII family (those keep the proven sieve path)
-    val exoticFamily = charsetStr =!= "" && !latin1Family &&
-      !charsetStr.isin("utf-8", "utf8", "us-ascii", "ascii")
+    val exoticFamily = effCharset =!= "" && !latin1Family &&
+      !effCharset.isin("utf-8", "utf8", "us-ascii", "ascii")
     // honor declared shift_jis / euc-jp / gbk / big5 / … via the
     // JVM's own charset registry (judge r15 missing #3) — strict
     // REPORT decode; null (unknown name / malformed bytes) falls
@@ -314,7 +327,7 @@ object Ingest {
     val exoticDecoded = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.CharsetDecode(
         org.apache.spark.sql.graft.ColumnBridge.expression(bodyBytes),
-        org.apache.spark.sql.graft.ColumnBridge.expression(charsetStr)))
+        org.apache.spark.sql.graft.ColumnBridge.expression(effCharset)))
     val text = when(latin1Family, bodyS)
       .when(exoticFamily && exoticDecoded.isNotNull, exoticDecoded)
       .when(Encoding.looksLikeUtf8(bodyS),
@@ -324,7 +337,7 @@ object Ingest {
       "status" -> when(statusStr =!= "", statusStr.cast("int")),
       "content_type" -> when(ctLine =!= "",
         lower(trim(substring_index(ctLine, ";", 1)))),
-      "charset" -> when(charsetStr =!= "", charsetStr),
+      "charset" -> when(effCharset =!= "", effCharset),
       "body" -> bodyBytes,
       "text" -> text))
   }
