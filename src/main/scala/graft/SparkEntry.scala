@@ -507,6 +507,14 @@ object SparkEntry {
       EventStreams.intervalJoin(l, r, "uid", "r_uid", "r_ts", "1 hour")
         .select(col("lid"), col("rid"))
     }),
+    // ---- s31: per-key windowed admission rate limiting (crawl
+    // politeness; batch twin of the streaming O(1)-state form pinned
+    // in PipelineSpec) — at most 3 events per user per hour window
+    "s31_rate_limit" -> ((s, dir) =>
+      EventStreams.rateLimitBatch(
+        TpchGraph.store(s, dir).nodes("events"),
+        "userid", "ts", "id", maxPerWindow = 3,
+        windowNs = 3600000000000L)),
     // ---- s30: keep-first near-dup FILTER (batch twin of the streaming
     // LSH-state ingestion filter; MemoryStream path pinned in
     // PipelineSpec). p31 params → banded recall is exact on this
@@ -3265,6 +3273,13 @@ WHERE rank <= 10"""
     // trick — banded recall is exact at these params on this corpus);
     // order = doc_id, so the later side of a pair is the larger id
     "s30_near_dup_filter" -> nearDupKeepFirstOracle,
+    "s31_rate_limit" ->
+      ("SELECT event_id AS id, user_id AS key, " +
+        "epoch_ns(ts) // 3600000000000 AS win, " +
+        "CAST(row_number() OVER (PARTITION BY user_id, " +
+        "epoch_ns(ts) // 3600000000000 " +
+        "ORDER BY epoch_ns(ts), event_id) <= 3 AS INT) AS admitted " +
+        "FROM events"),
     "p145_ql_neardup_keepfirst" -> nearDupKeepFirstOracle,
     "p33_simhash_pairs" -> p33Oracle(),
     "p74_ql_ann_ivf" -> p37Oracle,

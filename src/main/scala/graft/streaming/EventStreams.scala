@@ -222,4 +222,71 @@ object EventStreams {
           }
       }
   }
+
+  case class FetchReq(key: Long, ts: Long, id: Long)
+  case class RateState(win: Long, n: Int)
+  case class Admission(id: Long, key: Long, win: Long, admitted: Int)
+
+  /** Per-key windowed admission rate limiting — the crawl-politeness
+    * shape (at most `maxPerWindow` fetches per host per tumbling
+    * window; RFC 9309's Crawl-delay generalized to a window quota).
+    * Batch/backfill twin: tumbling window = `ts div windowNs`,
+    * row_number within (key, window) ordered by (ts, id), admitted =
+    * rank ≤ quota. Integer-exact — oracle-gated (s31). One shuffle on
+    * (key, window) + a sort-based window; no state, scales as a plain
+    * windowed rank at 100 TB. */
+  def rateLimitBatch(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, maxPerWindow: Int, windowNs: Long): DataFrame = {
+    require(maxPerWindow >= 1 && windowNs >= 1, "bad rate parameters")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("win"))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("win", expr(s"`$tsCol` div ${windowNs}L"))
+      .withColumn("rn", row_number().over(w))
+      .select(col(idCol).as("id"), col(keyCol).as("key"), col("win"),
+        (col("rn") <= maxPerWindow).cast("int").as("admitted"))
+  }
+
+  /** Streaming form of [[rateLimitBatch]]: state per key is just the
+    * current window id and its admission count (O(1) per key — the
+    * state store shards by host across executors). Arrivals within a
+    * micro-batch are processed in (ts, id) order; a new window resets
+    * the count. Equivalence with the batch twin on an in-order
+    * source is pinned in PipelineSpec across micro-batches. With
+    * `useTimeout`, a quiet key's state evicts after one full window
+    * of processing time — the unbounded-host-set bound. */
+  def rateLimitStream(reqs: Dataset[FetchReq], maxPerWindow: Int,
+      windowNs: Long, useTimeout: Boolean = false)
+      : Dataset[Admission] = {
+    require(maxPerWindow >= 1 && windowNs >= 1, "bad rate parameters")
+    implicit val admEnc = Encoders.product[Admission]
+    implicit val stEnc = Encoders.product[RateState]
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    reqs.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RateState, Admission](
+        OutputMode.Append(), timeoutConf) {
+        (key: Long, evs: Iterator[FetchReq],
+         state: GroupState[RateState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts, e.id))
+            var cur = state.getOption.getOrElse(RateState(Long.MinValue, 0))
+            val out = Seq.newBuilder[Admission]
+            sorted.foreach { e =>
+              val win = Math.floorDiv(e.ts, windowNs)
+              if (win != cur.win) cur = RateState(win, 0)
+              val admit = cur.n < maxPerWindow
+              cur = cur.copy(n = cur.n + 1)
+              out += Admission(e.id, key, win, if (admit) 1 else 0)
+            }
+            state.update(cur)
+            if (useTimeout) state.setTimeoutDuration(
+              Math.max(1L, windowNs / 1000000L))
+            out.result().iterator
+          }
+      }
+  }
 }

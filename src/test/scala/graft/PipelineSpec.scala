@@ -362,6 +362,43 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate limiter: per-key windowed quota over a memory " +
+      "stream equals the batch twin, window resets across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val winNs = 1000L
+    // key 1: 4 requests in window 0 (one over quota), 2 in window 2;
+    // key 2: 3 requests spanning a window boundary
+    val reqs = Seq(
+      (1L, 100L, 10L), (1L, 200L, 11L), (1L, 300L, 12L),
+      (1L, 400L, 13L), (1L, 2100L, 14L), (1L, 2200L, 15L),
+      (2L, 900L, 20L), (2L, 950L, 21L), (2L, 1100L, 22L))
+    val batch = EventStreams.rateLimitBatch(
+      reqs.toDF("key", "ts", "id"), "key", "ts", "id",
+      maxPerWindow = 3, windowNs = winNs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(batch(13L)._2 === 0) // 4th in window loses
+    assert(batch(14L)._2 === 1) // new window resets
+    assert(batch(22L)._2 === 1) // key 2's boundary crossing admits
+    val mem = MemoryStream[(Long, Long, Long)]
+    val stream = EventStreams.rateLimitStream(
+      mem.toDF().toDF("key", "ts", "id")
+        .as[EventStreams.FetchReq],
+      maxPerWindow = 3, windowNs = winNs)
+    val q = stream.writeStream.format("memory")
+      .queryName("rate_adm").outputMode("append").start()
+    try {
+      mem.addData(reqs.take(4): _*) // first micro-batch: window 0
+      q.processAllAvailable()
+      mem.addData(reqs.drop(4): _*) // later windows cross batches
+      q.processAllAvailable()
+      val got = spark.table("rate_adm").collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("win"), r.getAs[Int]("admitted"))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup: first arrival survives, state watermark-bounded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
