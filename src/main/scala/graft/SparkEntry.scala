@@ -655,6 +655,17 @@ object SparkEntry {
         .select(col("q_id"), col("nn_id"),
           col("rank").cast("int").as("rank"), col("adist"))
     }),
+    // p150: the ADC top-k from the REPL (PIPELINE PQ TOPK) — must
+    // reproduce p148 bit for bit through the lexer/parser/shell
+    "p150_ql_pq_topk" -> ((s, dir) => {
+      val st = TpchGraph.store(s, dir)
+      new graft.ql.Shell(st)
+        .execute("PIPELINE PQ TOPK ON embeddings " +
+          "QUERY IDS (0, 1, 2, 3, 4) WITH (m = 4, k = 16, " +
+          "iters = 2, topk = 10);").get
+        .select(col("q_id"), col("nn_id"),
+          col("rank").cast("int").as("rank"), col("adist"))
+    }),
     // p89: SemDeDup — semantic dedup via k-means clusters + greedy
     // min-id pruning of within-cluster cosine neighbors. Hard-gated:
     // the oracle replays the ENTIRE pipeline (deterministic IVF
@@ -3292,6 +3303,7 @@ WHERE rank <= 10"""
     "p146_pq_encode" -> pqOracle,
     "p147_ql_pq" -> pqOracle,
     "p148_pq_topk" -> p148Oracle,
+    "p150_ql_pq_topk" -> p148Oracle,
     "p89_semdedup" -> p89Oracle,
     "p34_cosine_pairs" ->
       ("WITH e AS (SELECT vec_id, embedding FROM embeddings " +

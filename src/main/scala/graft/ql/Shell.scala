@@ -308,6 +308,8 @@ final class Shell(store: GraphStore,
           Set("vec", "k", "clusters", "iters", "probe")
         case ("PQ", None)                     =>
           Set("vec", "m", "k", "iters")
+        case ("PQ", Some("TOPK"))             =>
+          Set("vec", "m", "k", "iters", "topk")
         case ("DECONTAMINATE", None)          => Set("text", "k", "ratio")
         case ("PACK", None)                   => Set("text", "budget", "chunks")
         case ("SAMPLE", None)                 => Set("by", "pct", "default_pct")
@@ -453,6 +455,22 @@ final class Shell(store: GraphStore,
             vecCol = vec)
           graft.pipeline.Similarity.pqEncode(df, cb, m = m,
             idCol = id, vecCol = vec)
+        case ("PQ", Some("TOPK")) =>
+          // the ADC serving path: train + encode + per-query top-k
+          // over the compact codes (interactive shape; production
+          // persists the codebook/codes via the Scala API)
+          require(qids.nonEmpty,
+            "PIPELINE PQ TOPK needs a QUERY IDS (…) list")
+          val vec = str("vec", "embedding")
+          val m = int("m", 4)
+          val cb = graft.pipeline.Similarity.pqTrain(df, m = m,
+            k = int("k", 16), iters = int("iters", 2), idCol = id,
+            vecCol = vec)
+          val codes = graft.pipeline.Similarity.pqEncode(df, cb,
+            m = m, idCol = id, vecCol = vec)
+          graft.pipeline.Similarity.pqTopK(codes, cb,
+            df.filter(col(id).isin(qids: _*)), k = int("topk", 10),
+            m = m, idCol = id, vecCol = vec)
         case ("DECONTAMINATE", None) =>
           val bench = store.nodes(against.getOrElse(
             throw new IllegalArgumentException(
