@@ -497,6 +497,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Plan capture (optimization-guide §1: measure first, read the
+    // plan): with SPARK_GRAFT_PLANS_DIR set, each selected query's
+    // `.explain("formatted")` output is written to $dir/<name>.txt
+    // before its timing reps. Untimed (runs before the warmup) and off
+    // by default — the driver never sets the variable, so the JSON
+    // contract and the timed work are unchanged.
+    val plansDir = sys.env.get("SPARK_GRAFT_PLANS_DIR")
+    def dumpPlan(name: String, f: () => DataFrame): Unit =
+      plansDir.foreach { d =>
+        new java.io.File(d).mkdirs()
+        val txt = f().queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"$name.txt"),
+          txt.getBytes("UTF-8"))
+      }
+
     // Host-speed calibration, reported alongside the query times: this
     // box's per-core throughput oscillates 2-4x on minute timescales
     // (SCALE.md "Bench variance"), so two fixed workloads — a pure-JVM
@@ -565,7 +582,11 @@ object Bench {
       // this line every trace in the tail is attributable to the query
       // whose section it appears under (judge r13 item #5).
       System.err.println(s"[bench] >>> $name")
+      // Label the jobs (guide §1.5) so UI/event-log timelines attribute
+      // every stage to its query; thread-local, cleared by the next set.
+      spark.sparkContext.setJobDescription(s"bench: $name")
       try {
+        dumpPlan(name, f)
         // Cleanup runs BETWEEN reps (untimed): each rep rebuilds its
         // frame from scratch, so the previous rep's checkpoint blocks
         // are dead weight that only adds eviction pressure — minhash's

@@ -373,6 +373,178 @@ object GramTopStats {
   }
 }
 
+/** Fused Gopher quality-signal skeleton (Rae et al. 2021 §A.1.1) —
+  * every integer signal of
+  * [[graft.pipeline.TextAnalysis.gopherSignals]] in ONE native pass:
+  * `struct(n_words, n_chars, n_sym, n_lines, n_bullet, n_ellipsis,
+  * n_alpha_words, n_required)`.
+  *
+  * Replaces eight per-column higher-order/regex expressions that EACH
+  * re-derived the token/line arrays (HOFs are CodegenFallback — the
+  * whole projection ran interpreted, re-splitting the document up to
+  * eight times per row; measured as the gopher_quality bench entry's
+  * dominant cost). Field semantics replicate the HOF formulations
+  * EXACTLY — pinned by a property test against the retained built-in
+  * formulation ([[graft.pipeline.TextAnalysis.gopherSignalsBuiltin]])
+  * and the unchanged p121/p122 gates:
+  *
+  *  - tokens: maximal non-`\s` runs of the space-trimmed text
+  *    (`filter(split(trim(raw), "\\s+"), _ =!= "")` — empties dropped,
+  *    unlike [[TextStats]]' n_ws);
+  *  - `n_chars` = Σ token codepoints (`length(array_join(toks, ""))`);
+  *  - `n_sym` = occurrences of `#` or `…` in the RAW text;
+  *  - lines: `split(raw, "\n")` segments, trimmed of 0x20 ONLY
+  *    (`trim()` semantics), empties dropped; `n_bullet` counts lines
+  *    whose first char is one of `-*•‣▪` (the `^[-*•‣▪]` regex),
+  *    `n_ellipsis` lines ending in `...` or `…` (`(\.\.\.|…)\z`);
+  *  - `n_alpha_words` = tokens containing an ASCII letter
+  *    (`[A-Za-z]`);
+  *  - `n_required` = how many entries of the (pre-lowercased) required
+  *    list appear among the `lower()`-cased tokens — lowercasing goes
+  *    through the same `UTF8String.toLowerCase` the SQL `lower()`
+  *    uses, duplicates in the list count per entry, and tokens longer
+  *    (UTF-16) than the longest required entry skip the lowercase
+  *    allocation (Unicode lowercase mappings never shrink a string's
+  *    UTF-16 length, so such a token can never equal a shorter entry).
+  */
+case class GopherStats(child: Expression, requiredLower: Seq[String])
+    extends UnaryExpression {
+  require(requiredLower.nonEmpty, "requiredLower must be non-empty")
+
+  override def dataType: DataType = GopherStats.schema
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"GopherStats expects a string, got ${child.dataType.catalogString}")
+
+  @transient private lazy val reqArr: Array[String] = requiredLower.toArray
+  @transient private lazy val reqSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    requiredLower.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxReqLen: Int = reqArr.map(_.length).max
+
+  override def nullSafeEval(input: Any): Any =
+    GopherStats.compute(input.asInstanceOf[UTF8String], reqArr, reqSet,
+      maxReqLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val reqRef = ctx.addReferenceObj("reqArr", reqArr, "java.lang.String[]")
+    val setRef = ctx.addReferenceObj("reqSet", reqSet,
+      "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} =
+         |  ${GopherStats.getClass.getName.stripSuffix("$")}.compute(
+         |    $c, $reqRef, $setRef, $maxReqLen);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object GopherStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_sym", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet", LongType, nullable = false),
+    StructField("n_ellipsis", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_required", LongType, nullable = false)))
+
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  private def isBullet(c: Char): Boolean = c match {
+    case '-' | '*' | '•' | '‣' | '▪' => true
+    case _ => false
+  }
+
+  def compute(s: UTF8String, req: Array[String],
+      reqSet: java.util.HashSet[String], maxReqLen: Int): InternalRow = {
+    val str = s.toString
+    val n = str.length
+    // ---- token scan (trim is subsumed: empties are dropped anyway)
+    var nWords = 0L
+    var nChars = 0L
+    var nAlpha = 0L
+    var seen: java.util.HashSet[String] = null
+    var i = 0
+    while (i < n) {
+      if (!isRegexWs(str.charAt(i))) {
+        nWords += 1L
+        var alpha = false
+        var j = i
+        while (j < n && !isRegexWs(str.charAt(j))) {
+          val c = str.charAt(j)
+          if (!Character.isLowSurrogate(c)) nChars += 1L
+          if (!alpha && ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+            alpha = true
+          j += 1
+        }
+        if (alpha) nAlpha += 1L
+        if (j - i <= maxReqLen) {
+          val low = UTF8String.fromString(str.substring(i, j))
+            .toLowerCase.toString
+          if (reqSet.contains(low)) {
+            if (seen == null) seen = new java.util.HashSet[String]()
+            seen.add(low)
+          }
+        }
+        i = j
+      } else i += 1
+    }
+    var nReq = 0L
+    if (seen != null) {
+      var r = 0
+      while (r < req.length) {
+        if (seen.contains(req(r))) nReq += 1L
+        r += 1
+      }
+    }
+    // ---- symbol scan over the raw text
+    var nSym = 0L
+    i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c == '#' || c == '…') nSym += 1L
+      i += 1
+    }
+    // ---- line scan: '\n' segments, trimmed of 0x20 only
+    var nLines = 0L
+    var nBullet = 0L
+    var nEllipsis = 0L
+    var segStart = 0
+    var p = 0
+    while (p <= n) {
+      if (p == n || str.charAt(p) == '\n') {
+        var b = segStart
+        var e = p
+        while (b < e && str.charAt(b) == ' ') b += 1
+        while (e > b && str.charAt(e - 1) == ' ') e -= 1
+        if (e > b) {
+          nLines += 1L
+          if (isBullet(str.charAt(b))) nBullet += 1L
+          if ((e - b >= 1 && str.charAt(e - 1) == '…') ||
+            (e - b >= 3 && str.charAt(e - 1) == '.' &&
+              str.charAt(e - 2) == '.' && str.charAt(e - 3) == '.'))
+            nEllipsis += 1L
+        }
+        segStart = p + 1
+      }
+      p += 1
+    }
+    new GenericInternalRow(Array[Any](nWords, nChars, nSym, nLines,
+      nBullet, nEllipsis, nAlpha, nReq))
+  }
+}
+
 object PolyHash {
   val Mod = 1000000007L
 

@@ -34,6 +34,12 @@ object VectorFunctions {
   /** Squared L2 distance (for IVF centroid assignment). */
   def l2sq(a: Column, b: Column): Column = binary(L2SqF64.apply)(a, b)
 
+  /** Argmin-L2² over a cid-ascending `array<struct<cid, cv>>` candidate
+    * column — the zero-shuffle centroid-assignment projection
+    * ([[ArgMinL2]]); null for an empty candidate list. */
+  def argMinL2(vec: Column, cands: Column): Column =
+    binary(ArgMinL2.apply)(vec, cands)
+
   private def unary(f: Expression => Expression)(a: Column): Column =
     ColumnBridge.column(f(ColumnBridge.expression(a)))
 

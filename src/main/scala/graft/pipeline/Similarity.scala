@@ -36,20 +36,29 @@ object Similarity {
   /** Assign every vector to its nearest centroid (L2). `centroids` is
     * broadcast; assignment is a single pass, no shuffle. Deterministic
     * given deterministic centroids (e.g. the first nCentroids vectors —
-    * a stand-in for a k-means fit, which would need sampled init). */
+    * a stand-in for a k-means fit, which would need sampled init).
+    *
+    * Shape (r16 optimization): the centroids collapse into ONE
+    * cid-sorted array row (a k-row aggregate), cross-join-broadcast to
+    * every vector, and the winner comes from the fused
+    * [[graft.functions.ArgMinL2]] projection — zero exchanges over the
+    * corpus. The previous formulation joined vectors × centroids (a
+    * corpus×k row blow-up) and ranked with a `Window(partitionBy id,
+    * orderBy dist, cid)`, i.e. a full shuffle + sort of the blown-up
+    * table PER Lloyd round; winner semantics (sequential-f64 L2², ties
+    * and NULLS FIRST ordering, empty-centroids row drop) are replicated
+    * exactly — see the ArgMinL2 scaladoc — and re-gated by p37/p89. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val c = centroids.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
-    val v = vectors.select(col(idCol), col(vecCol))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist").asc, col("c_id").asc)
-    v.join(broadcast(c))
-      .select(col(idCol), col(vecCol), col("c_id"),
-        l2sq(col(vecCol), col("cv")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("c_id").as("cluster"))
+    val cands = centroids.agg(
+      sort_array(collect_list(struct(col(idCol).as("cid"),
+        col(vecCol).as("cv")))).as("__cands"))
+    vectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cands))
+      .select(col(idCol), col(vecCol),
+        argMinL2(col(vecCol), col("__cands")).as("cluster"))
+      .filter(col("cluster").isNotNull)
   }
 
   /** Deterministic Lloyd refinement for IVF centroids: init = the k
@@ -212,18 +221,22 @@ object Similarity {
     cents
   }
 
-  /** Nearest-codebook-entry assignment at (id, subspace) grain:
-    * broadcast codebook join + argmin-L2² window (lowest `cid` ties).
-    * Output `(vec_id, s, code)`. */
+  /** Nearest-codebook-entry assignment at (id, subspace) grain: the
+    * codebook collapses to one cid-sorted candidate array per subspace
+    * (m rows — broadcast), and the winner is the fused
+    * [[graft.functions.ArgMinL2]] projection. Output
+    * `(vec_id, s, code)`. Same winner as the former join + argmin-L2²
+    * window (lowest-`cid` ties, NULLS FIRST — the ivfAssign rewrite,
+    * re-gated by p146/p148), without the (id, s)×k row blow-up and its
+    * per-round Exchange + sort. */
   private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "s")
-      .orderBy(col("dist").asc, col("cid").asc)
-    sub.join(broadcast(codebook), Seq("s"))
-      .select(col("vec_id"), col("s"), col("cid"),
-        l2sq(col("sv"), col("cv")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("cid").as("code"))
+    val cands = codebook.groupBy("s").agg(
+      sort_array(collect_list(struct(col("cid"), col("cv"))))
+        .as("__cands"))
+    sub.join(broadcast(cands), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        argMinL2(col("sv"), col("__cands")).as("code"))
+      .filter(col("code").isNotNull)
   }
 
   /** PQ encoding: every vector reduced to `m` small codes — the

@@ -281,6 +281,51 @@ object TextAnalysis {
     val reqLower = requiredWords
       .map(_.toLowerCase(java.util.Locale.ROOT))
     val raw = coalesce(col(textCol), lit(""))
+    // all eight integer signals in ONE fused native pass
+    // ([[graft.functions.GopherStats]] — r16 optimization): the
+    // per-column HOF/regex formulation re-derived the token and line
+    // arrays up to eight times per row on the interpreted
+    // CodegenFallback path. Signal semantics are bit-identical —
+    // property-tested against [[gopherSignalsBuiltin]] and re-gated by
+    // the unchanged p121/p122 oracles. The struct lands as ONE column
+    // first (GopherStats is not collapse-cheap, so CollapseProject
+    // keeps a single evaluation — the GramTopStats pattern).
+    val st = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.GopherStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(raw),
+        reqLower))
+    val base = df.select(col(idCol), st.as("__gs"))
+      .select(Seq(col(idCol)) ++ GopherSignalCols.map(c =>
+        col("__gs")(c).as(c)): _*)
+    base.withColumn("gopher_pass", gopherPass)
+  }
+
+  private val GopherSignalCols = Seq("n_words", "n_chars", "n_sym",
+    "n_lines", "n_bullet", "n_ellipsis", "n_alpha_words", "n_required")
+
+  /** The paper's thresholds in cross-multiplied integer form, applied
+    * to the signal columns (shared by the fused and built-in paths). */
+  private def gopherPass: Column =
+    (col("n_words") >= 50L && col("n_words") <= 100000L &&
+      col("n_chars") >= col("n_words") * 3L &&
+      col("n_chars") <= col("n_words") * 10L &&
+      col("n_sym") * 10L <= col("n_words") &&
+      col("n_bullet") * 10L < col("n_lines") * 9L &&
+      col("n_ellipsis") * 10L <= col("n_lines") * 3L &&
+      col("n_alpha_words") * 5L >= col("n_words") * 4L &&
+      col("n_required") >= 2L).cast("int")
+
+  /** The pre-r16 per-column HOF/regex formulation — retained as the
+    * independently-derived executable spec the fused
+    * [[graft.functions.GopherStats]] pass is property-tested against
+    * (VectorExpressionsSpec). Not on any query path. */
+  private[graft] def gopherSignalsBuiltin(df: DataFrame, idCol: String,
+      textCol: String,
+      requiredWords: Seq[String] = GopherRequiredWords): DataFrame = {
+    require(requiredWords.nonEmpty, "requiredWords must be non-empty")
+    val reqLower = requiredWords
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    val raw = coalesce(col(textCol), lit(""))
     val toks = filter(split(trim(raw), "\\s+"), t => t =!= "")
     val lines = filter(transform(split(raw, "\n"), l => trim(l)),
       l => l =!= "")
@@ -308,15 +353,7 @@ object TextAnalysis {
       size(filter(
         array(reqLower.map(lit): _*),
         w => array_contains(lowToks, w))).cast("long").as("n_required"))
-    base.withColumn("gopher_pass",
-      (col("n_words") >= 50L && col("n_words") <= 100000L &&
-        col("n_chars") >= col("n_words") * 3L &&
-        col("n_chars") <= col("n_words") * 10L &&
-        col("n_sym") * 10L <= col("n_words") &&
-        col("n_bullet") * 10L < col("n_lines") * 9L &&
-        col("n_ellipsis") * 10L <= col("n_lines") * 3L &&
-        col("n_alpha_words") * 5L >= col("n_words") * 4L &&
-        col("n_required") >= 2L).cast("int"))
+    base.withColumn("gopher_pass", gopherPass)
   }
 
   /** The C4 line-level policy phrases (Raffel et al. 2020 §2.2, as
@@ -607,16 +644,33 @@ object TextAnalysis {
     * vocabulary cut bounds output width. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String,
             vocab: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = df.count()
-    val docTerm = df.select(col(idCol).as("doc"),
-      explode(array_distinct(tokens(lower(col(textCol))))).as("term"))
-    val dfreq = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
-    val top = topTerms(df, textCol, vocab).select("term")
+    // ONE corpus pass (r16 optimization): the (doc, term, tf) table is
+    // the only occurrence-grain aggregate, and every other relation the
+    // operator needs derives from it at (doc, term)-or-smaller grain —
+    //   df   = count of (doc, term) rows per term (≡ the former
+    //          distinct-token explode: distinct (doc, term) pairs),
+    //   rank = row_number over total occurrences Σtf (≡ topTerms'
+    //          occurrence count — same ties, term ascending).
+    // The former shape exploded the corpus THREE times (docTerm
+    // distinct, topTerms, tf), paying three occurrence-grain shuffles;
+    // the tf subtree below appears twice in the final plan and
+    // Catalyst's ReuseExchange computes it once (verified in the
+    // committed plan: the second occurrence is a ReusedExchange node).
+    // Values are bit-identical: same counts, same rank order, same
+    // `tf · ln(n/df)` doubles (p51/p52 re-gated).
     val tf = df.select(col(idCol).as("doc"),
       explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val termStats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cnt"))
+    val top = termStats
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term").asc)))
+      .filter(col("rank") <= vocab)
+      .select("term", "df")
     tf.join(broadcast(top), "term")
-      .join(broadcast(dfreq.join(top, "term")), "term")
       .select(col("doc"), col("term"), col("tf"), col("df"),
         (col("tf").cast("double") *
           log(lit(n.toDouble) / col("df").cast("double"))).as("tfidf"))
@@ -664,11 +718,23 @@ object TextAnalysis {
     val pairs = base.select(col("__id"), explode(col("__bs")).as("__b"))
       .select(col("__id"), col("__b")("w1").as("__w1"),
         col("__b")("bg").as("__bg"))
-    val c2 = pairs.groupBy("__bg").agg(count(lit(1)).as("__c2"))
+    // r16 optimization: the occurrence table probes ONE combined
+    // (bg → c2, c1) table instead of joining c2 (by bigram) and then
+    // c1 (by prefix) separately — the prefix is functionally determined
+    // by the bigram (min is a tie-break only a 64-bit bigram-hash
+    // collision could exercise, the same merge-only collision class the
+    // hashed-bigram shuffle already accepts), so c1 attaches at
+    // BIGRAM-COUNT grain (vocabulary-sized) rather than occurrence
+    // grain. At scale this removes one occurrence-grain shuffle join;
+    // the gated integer skeleton is unchanged (p91 re-gated).
+    val c2 = pairs.groupBy("__bg")
+      .agg(count(lit(1)).as("__c2"), min(col("__w1")).as("__w1"))
     val c1 = pairs.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val cTab = c2.join(c1, Seq("__w1"))
+      .select(col("__bg"), col("__c2"), col("__c1"))
     val vocab = base.select(explode(col("__th")).as("__t"))
       .agg(countDistinct(col("__t")).as("__v"))
-    pairs.join(c2, Seq("__bg")).join(c1, Seq("__w1"))
+    pairs.join(cTab, Seq("__bg"))
       .join(broadcast(vocab))
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),

@@ -90,6 +90,141 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(mismatch.eval(null) === null)
   }
 
+  test("ArgMinL2 matches the join+window argmin formulation " +
+      "(ties, null distances, empty candidates)") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random vectors, plus crafted edges: an exact
+    // duplicate centroid pair (distance tie -> lowest cid), a
+    // dimension-mismatched centroid (null distance -> NULLS FIRST wins
+    // over every finite distance), and a null vector row
+    def vec(seed: Long, d: Int): Seq[java.lang.Float] =
+      (0 until d).map(i =>
+        java.lang.Float.valueOf(((seed * 31 + i * 17) % 13).toFloat))
+    val vschema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = spark.createDataFrame(
+      java.util.List.of(
+        (0L until 20L).map(i => Row(i, vec(i, 4))) :+
+          Row(20L, null): _*),
+      vschema)
+    val cents = spark.createDataFrame(
+      java.util.List.of(
+        Row(0L, vec(100, 4)), Row(1L, vec(101, 4)),
+        Row(2L, vec(100, 4)), // duplicate of cid 0 -> tie
+        Row(3L, vec(102, 3))), // wrong dims -> null distance
+      vschema)
+    // the former formulation, verbatim
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("c_id").asc)
+    val legacy = vecs.join(broadcast(cents
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))))
+      .select(col("vec_id"), col("c_id"),
+        VectorFunctions.l2sq(col("embedding"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cands = cents.agg(sort_array(collect_list(
+      struct(col("vec_id").as("cid"), col("embedding").as("cv"))))
+      .as("__cands"))
+    val fused = vecs.crossJoin(broadcast(cands))
+      .select(col("vec_id"),
+        VectorFunctions.argMinL2(col("embedding"), col("__cands"))
+          .as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === legacy)
+    // the mismatched-dims centroid (cid 3, null distance) must win
+    // every real-vector row per NULLS FIRST — pin it so the edge is
+    // really hit (the null-VECTOR row 20 nulls ALL distances, so the
+    // lowest cid 0 wins there instead)
+    assert(legacy.filter(_._1 != 20L).values.toSet === Set(3L))
+    assert(legacy(20L) === 0L)
+    // without it: ties resolve to the LOWEST cid (0, never its twin 2)
+    val cents2 = cents.filter(col("vec_id") =!= 3L)
+    val cands2 = cents2.agg(sort_array(collect_list(
+      struct(col("vec_id").as("cid"), col("embedding").as("cv"))))
+      .as("__cands"))
+    val legacy2 = vecs.join(broadcast(cents2
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))))
+      .select(col("vec_id"), col("c_id"),
+        VectorFunctions.l2sq(col("embedding"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused2 = vecs.crossJoin(broadcast(cands2))
+      .select(col("vec_id"),
+        VectorFunctions.argMinL2(col("embedding"), col("__cands"))
+          .as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused2 === legacy2)
+    assert(!fused2.values.toSet.contains(2L))
+    // the null-vector row assigns (all distances null -> lowest cid),
+    // exactly like the window's NULLS FIRST
+    assert(fused2(20L) === 0L)
+    // empty candidate list -> null -> callers' isNotNull filter drops
+    val empty = cents2.filter(lit(false)).agg(sort_array(collect_list(
+      struct(col("vec_id").as("cid"), col("embedding").as("cv"))))
+      .as("__cands"))
+    assert(vecs.crossJoin(broadcast(empty))
+      .select(VectorFunctions.argMinL2(col("embedding"), col("__cands")))
+      .collect().forall(_.isNullAt(0)))
+    // interpreted eval path agrees with codegen on a tie
+    val e = graft.functions.ArgMinL2(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 2.0f), ArrayType(FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(Row(7L, Seq(1.0f, 1.0f)), Row(9L, Seq(1.0f, 1.0f))),
+        ArrayType(StructType(Seq(
+          StructField("cid", LongType),
+          StructField("cv", ArrayType(FloatType)))))))
+    assert(e.eval(null) === 7L)
+  }
+
+  test("GopherStats fused pass matches the per-column HOF formulation " +
+      "on edge corpus (CRLF, bullets, ellipses, unicode, required-word " +
+      "case/duplicates)") {
+    import spark.implicits._
+    val texts: Seq[String] = Seq(
+      "the quick brown fox jumps over the lazy dog and that is it",
+      "", " ", "\t\n \r\n", null,
+      "- bullet one\n* bullet two\n• dot\n‣ tri\n▪ sq\nplain line",
+      "ends with dots...\nends with ellipsis…\nends mid... not\n" +
+        "CRLF dots...\r\nfour dots....\n…\n...",
+      "# hash ## and … ellipsis # inside-token#x",
+      "THE BE TO OF AND THAT HAVE WITH", // uppercase required words
+      "the the the be be to", // repeats
+      "123 456 --- *** ... (no) [alpha] ZZZ aA",
+      "naïve café 中文 €∑ the\u000Bvt-separated\ftokens",
+      "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕥𝕠𝕜𝕖𝕟𝕤 the", // astral-plane codepoints
+      "   leading spaces\n trailing spaces   \n  - spaced bullet\n" +
+        "  spaced dots...  ",
+      "İstanbul THE Σ σ ς KELVINK the\nand")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // duplicate entry in the required list must count twice; mixed case
+    // must normalize (review r15)
+    val req = Seq("The", "be", "to", "of", "and", "that", "have",
+      "with", "THE")
+    val fused = graft.pipeline.TextAnalysis
+      .gopherSignals(df, "id", "text", req)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val builtin = graft.pipeline.TextAnalysis
+      .gopherSignalsBuiltin(df, "id", "text", req)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(fused.keySet === builtin.keySet)
+    fused.keySet.foreach { id =>
+      assert(fused(id) === builtin(id), s"signals diverge for id=$id")
+    }
+    // sanity: the duplicate "THE" entry makes n_required reach 9 on the
+    // all-required-words doc (id 8)
+    val row8 = graft.pipeline.TextAnalysis
+      .gopherSignals(df, "id", "text", req)
+      .filter(col("id") === 8L).head()
+    assert(row8.getAs[Long]("n_required") === 9L)
+  }
+
   test("PolyHash matches the HOF fingerprint formulation on BMP text") {
     import spark.implicits._
     val texts = Seq("The Quick Brown Fox", "", "  spaced  out  ",
