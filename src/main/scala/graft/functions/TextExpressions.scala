@@ -545,6 +545,127 @@ object GopherStats {
   }
 }
 
+/** Fused line/paragraph repetition skeleton — the eight
+  * array-expression signals of
+  * [[graft.pipeline.TextAnalysis.gopherRepetition]] in ONE native
+  * pass: `struct(n_lines, n_dup_lines, chars_lines, chars_dup_lines,
+  * n_paras, n_dup_paras, chars_paras, chars_dup_paras)`.
+  *
+  * Replaces per-column `split` + `transform(trim)` + `filter` +
+  * `array_distinct` + `array_join` chains that re-derived the line
+  * and paragraph arrays up to four times EACH per row on the
+  * interpreted CodegenFallback path. Field semantics replicate the
+  * array formulations exactly — pinned by a property test
+  * (VectorExpressionsSpec) and the unchanged p133/p134 gates:
+  *
+  *  - lines: `split(raw, "\n", -1)` segments; paragraphs:
+  *    `split(raw, "\n\n", -1)` segments (non-overlapping left-to-right
+  *    matches of the two-char pattern, trailing empties kept — Java
+  *    split with limit -1);
+  *  - each segment is trimmed of 0x20 ONLY (`trim()` semantics);
+  *    empties are dropped;
+  *  - `n_dup_*` = segments minus DISTINCT segments (exact string
+  *    equality, `array_distinct` semantics);
+  *  - `chars_*` = Σ codepoints over (all | distinct) trimmed
+  *    segments (`length(array_join(..., ""))` semantics).
+  */
+case class LineRepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LineRepStats.schema
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"LineRepStats expects a string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    LineRepStats.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} =
+         |  ${LineRepStats.getClass.getName.stripSuffix("$")}.compute($c);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object LineRepStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_dup_lines", LongType, nullable = false),
+    StructField("chars_lines", LongType, nullable = false),
+    StructField("chars_dup_lines", LongType, nullable = false),
+    StructField("n_paras", LongType, nullable = false),
+    StructField("n_dup_paras", LongType, nullable = false),
+    StructField("chars_paras", LongType, nullable = false),
+    StructField("chars_dup_paras", LongType, nullable = false)))
+
+  /** Codepoint count of a char range (UTF-16 low surrogates skipped —
+    * `length()` semantics). */
+  private def codepoints(s: String, b: Int, e: Int): Long = {
+    var n = 0L
+    var i = b
+    while (i < e) {
+      if (!Character.isLowSurrogate(s.charAt(i))) n += 1L
+      i += 1
+    }
+    n
+  }
+
+  /** Segment stats for one separator: (n, n_dup, chars, chars_dup).
+    * `sepLen` 1 = "\n", 2 = "\n\n" — both are literal all-'\n'
+    * patterns, so Java-regex split positions are the greedy
+    * left-to-right non-overlapping occurrences scanned here. */
+  private def segStats(s: String, sepLen: Int): Array[Long] = {
+    var n = 0L
+    var chars = 0L
+    var distinctChars = 0L
+    var seen: java.util.HashSet[String] = null
+    var segStart = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      val atSep = i <= len - sepLen && {
+        var k = 0
+        var all = true
+        while (all && k < sepLen) {
+          if (s.charAt(i + k) != '\n') all = false
+          k += 1
+        }
+        all
+      }
+      if (i == len || atSep) {
+        // close the segment [segStart, i): trim 0x20 both ends
+        var b = segStart
+        var e = i
+        while (b < e && s.charAt(b) == ' ') b += 1
+        while (e > b && s.charAt(e - 1) == ' ') e -= 1
+        if (e > b) {
+          n += 1L
+          val cps = codepoints(s, b, e)
+          chars += cps
+          if (seen == null) seen = new java.util.HashSet[String]()
+          if (seen.add(s.substring(b, e))) distinctChars += cps
+        }
+        if (i == len) i += 1
+        else { i += sepLen; segStart = i }
+      } else i += 1
+    }
+    val nDistinct = if (seen == null) 0L else seen.size.toLong
+    Array(n, n - nDistinct, chars, chars - distinctChars)
+  }
+
+  def compute(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val l = segStats(str, 1)
+    val p = segStats(str, 2)
+    new GenericInternalRow(Array[Any](
+      l(0), l(1), l(2), l(3), p(0), p(1), p(2), p(3)))
+  }
+}
+
 object PolyHash {
   val Mod = 1000000007L
 

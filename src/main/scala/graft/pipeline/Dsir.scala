@@ -34,18 +34,29 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** (id, feature) occurrence table: every unigram and bigram position
-    * counts once. Feature column `__f` is STRING when `buckets == 0`,
-    * LONG (hash bucket) otherwise. The array-building projection is
-    * materialized BEFORE the explode (the repo-wide Generate-collapse
-    * lesson: expressions feeding an explode run interpreted). */
-  private def feats(df: DataFrame, idCol: String, textCol: String,
-                    buckets: Int): DataFrame = {
+  /** Materialized (id, token array) base of a relation — the
+    * tokenize-once artifact [[feats]] explodes. Split out (r16
+    * optimization) so [[weights]] can SHARE one base between its
+    * scored/target/source roles when a caller passes the same frame
+    * for several of them (the common DSIR shape scores the raw corpus
+    * against itself as the source — the bench, the QL surface and
+    * p120 all do), instead of scanning + tokenizing + checkpointing
+    * the corpus once per role. */
+  private def tokBase(rel: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
     val toks = split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")
-    val base = df
-      .select(col(idCol).cast("long").as("__id"),
+    rel.select(col(idCol).cast("long").as("__id"),
         filter(toks, t => t =!= "").as("__w"))
       .transform(graft.core.Materialize(_))
+  }
+
+  /** (id, feature) occurrence table over a [[tokBase]]: every unigram
+    * and bigram position counts once. Feature column `__f` is STRING
+    * when `buckets == 0`, LONG (hash bucket) otherwise. The
+    * array-building projection is materialized BEFORE the explode (the
+    * repo-wide Generate-collapse lesson: expressions feeding an
+    * explode run interpreted). */
+  private def featsOf(base: DataFrame, buckets: Int): DataFrame = {
     val uni = base.select(col("__id"), explode(col("__w")).as("__f"))
     val bi = base.select(col("__id"), explode(
       when(size(col("__w")) >= 2,
@@ -60,10 +71,9 @@ object Dsir {
     else all
   }
 
-  private def counts(rel: DataFrame, idCol: String, textCol: String,
-                     buckets: Int, as: String): DataFrame =
-    feats(rel, idCol, textCol, buckets)
-      .groupBy("__f").agg(count(lit(1)).as(as))
+  private def feats(df: DataFrame, idCol: String, textCol: String,
+                    buckets: Int): DataFrame =
+    featsOf(tokBase(df, idCol, textCol), buckets)
 
   /** Per-document importance weights of `df` against a target/source
     * relation pair. Output: (idCol, n_feats, sum_tc, sum_sc, logw) —
@@ -78,11 +88,25 @@ object Dsir {
   def weights(df: DataFrame, target: DataFrame, source: DataFrame,
               idCol: String, textCol: String,
               buckets: Int = 0): DataFrame = {
-    val t = counts(target, idCol, textCol, buckets, "__tc")
+    // tokenize each DISTINCT input frame once: when the caller passes
+    // the same frame for several roles (reference equality — the
+    // common source-is-the-scored-corpus shape), the roles share one
+    // materialized token base instead of re-scanning the corpus per
+    // role (r16 optimization; values unchanged by construction)
+    val dfBase = tokBase(df, idCol, textCol)
+    val tgtBase =
+      if (target eq df) dfBase else tokBase(target, idCol, textCol)
+    val srcBase =
+      if (source eq df) dfBase
+      else if (source eq target) tgtBase
+      else tokBase(source, idCol, textCol)
+    val t = featsOf(tgtBase, buckets)
+      .groupBy("__f").agg(count(lit(1)).as("__tc"))
       .transform(graft.core.Materialize(_))
-    val s = counts(source, idCol, textCol, buckets, "__sc")
+    val s = featsOf(srcBase, buckets)
+      .groupBy("__f").agg(count(lit(1)).as("__sc"))
       .transform(graft.core.Materialize(_))
-    val occ = feats(df, idCol, textCol, buckets)
+    val occ = featsOf(dfBase, buckets)
       .join(t, Seq("__f"), "left")
       .join(s, Seq("__f"), "left")
       .select(col("__id"),

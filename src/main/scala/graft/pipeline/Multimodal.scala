@@ -130,30 +130,101 @@ object Multimodal {
   }
   // -------------------------------------------------------------------
 
+  /** Per-thread JPEG reader (r16 optimization): `ImageIO.read` scans
+    * the plugin registry and constructs + disposes a JPEGImageReader
+    * (native init included) PER CALL — measured as a dominant cost of
+    * Motion-JPEG frame decode, where every frame is a tiny standalone
+    * JPEG. `setInput` fully resets a reader between uses, and the
+    * instance is the exact plugin `ImageIO.read` would pick, invoked
+    * with the same `(iis, seekForwardOnly = true, ignoreMetadata =
+    * true)` + `read(0)` contract — identical pixels. Task threads are
+    * pooled, so at most one reader per executor thread ever exists;
+    * any decode failure discards the thread's instance and falls back
+    * to the stock path for that payload. */
+  @transient private lazy val jpegReaderTl
+      : ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial(() =>
+      ImageIO.getImageReadersByFormatName("jpeg").next())
+
   private def decodeImage(bytes: Array[Byte]): Option[BufferedImage] = {
     imageIoInit
+    if (sniffFormat(bytes) == "image/jpeg") {
+      try {
+        val reader = jpegReaderTl.get()
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, true, true)
+          return Option(reader.read(0))
+        } finally iis.close()
+      } catch {
+        case NonFatal(_) => jpegReaderTl.remove() // fall through
+      }
+    }
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case NonFatal(_) => None }
   }
 
   /** 8-bucket luminance histogram + integer channel means in one pixel
-    * sweep. Means use floor division — exact for solid-color fixtures. */
+    * sweep. Means use floor division — exact for solid-color fixtures.
+    *
+    * Fast path (r16 optimization): for the 3-band byte-interleaved
+    * sRGB rasters the JDK decoders produce (TYPE_3BYTE_BGR from the
+    * JPEG/BMP readers), the channel bytes are read straight from the
+    * data buffer via the sample model's own strides/offsets —
+    * `getRGB` routes every pixel through ColorModel conversion and
+    * returns exactly those bytes for this layout, so the sums are
+    * identical; anything else keeps the getRGB path. */
   private def imageStats(
       img: BufferedImage): (Array[Long], Int, Int, Int) = {
     val h = new Array[Long](8)
     var (sr, sg, sb) = (0L, 0L, 0L)
     val (w, ht) = (img.getWidth, img.getHeight)
-    var y = 0
-    while (y < ht) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
-        sr += r; sg += g; sb += b
-        h(((r + g + b) / 3) >> 5) += 1
-        x += 1
-      }
-      y += 1
+    val raster = img.getRaster
+    (raster.getSampleModel, raster.getDataBuffer) match {
+      case (sm: java.awt.image.PixelInterleavedSampleModel,
+            db: java.awt.image.DataBufferByte)
+          if sm.getNumBands == 3 && db.getNumBanks == 1 &&
+            db.getOffset == 0 && raster.getMinX == 0 &&
+            raster.getMinY == 0 &&
+            raster.getSampleModelTranslateX == 0 &&
+            raster.getSampleModelTranslateY == 0 &&
+            img.getColorModel.getColorSpace.getType ==
+              java.awt.color.ColorSpace.TYPE_RGB &&
+            !img.getColorModel.hasAlpha =>
+        val data = db.getData
+        val scan = sm.getScanlineStride
+        val pix = sm.getPixelStride
+        val off = sm.getBandOffsets // sample order: band 0=R, 1=G, 2=B
+        var y = 0
+        while (y < ht) {
+          var p = y * scan
+          var x = 0
+          while (x < w) {
+            val r = data(p + off(0)) & 0xFF
+            val g = data(p + off(1)) & 0xFF
+            val b = data(p + off(2)) & 0xFF
+            sr += r; sg += g; sb += b
+            h(((r + g + b) / 3) >> 5) += 1
+            p += pix
+            x += 1
+          }
+          y += 1
+        }
+      case _ =>
+        var y = 0
+        while (y < ht) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF
+            val b = p & 0xFF
+            sr += r; sg += g; sb += b
+            h(((r + g + b) / 3) >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
     }
     val n = w.toLong * ht
     (h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
@@ -762,19 +833,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-thread JPEG writer (r16 optimization, the [[jpegReaderTl]]
+    * twin): constructing + disposing a writer per FRAME was the
+    * dominant cost of Motion-JPEG synthesis (thousands of tiny
+    * frames). `setOutput` fully re-targets a writer between uses and
+    * the encoder is deterministic for identical input + params, so
+    * the emitted bytes are unchanged; an encode failure discards the
+    * thread's instance. */
+  @transient private lazy val jpegWriterTl
+      : ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      ImageIO.getImageWritersByFormatName("jpeg").next())
+
   /** JPEG-encode with an explicit quality (the plain `ImageIO.write`
     * has no quality control; Motion-JPEG synthesis needs q = 1.0 so
     * the DC-only quantization of solid frames stays exact). */
   private def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
-    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    imageIoInit
+    val writer = jpegWriterTl.get()
     val out = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(out)
-    writer.setOutput(ios)
-    val p = writer.getDefaultWriteParam
-    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionQuality(quality)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    ios.close(); writer.dispose()
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } catch {
+      case NonFatal(e) => jpegWriterTl.remove(); throw e
+    } finally ios.close()
     out.toByteArray
   }
 
@@ -801,16 +888,17 @@ object Multimodal {
         val w = 16 + (id % 16).toInt
         val h = 8 + (id % 8).toInt
         val n = 3 + (id % 5).toInt
+        // one image reused across the row's frames, filled through the
+        // raster's backing byte array — for a solid gray all three
+        // interleaved channels are the same byte, so a single fill
+        // replaces the per-pixel setRGB loop (identical pixel content,
+        // identical JPEG bytes; r16 optimization)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
         val jpegs = (0 until n).map { f =>
           val gray = ((id * 31 + f * 17) % 256).toInt
-          val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
-          val rgb = (gray << 16) | (gray << 8) | gray
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          java.util.Arrays.fill(data, gray.toByte)
           encodeJpeg(img, 1.0f)
         }
         val out = new ByteArrayOutputStream()

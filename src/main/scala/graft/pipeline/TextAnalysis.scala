@@ -485,16 +485,17 @@ object TextAnalysis {
   def gopherRepetition(df: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val raw = coalesce(col(textCol), lit(""))
-    def nonBlank(c: Column): Column =
-      filter(transform(c, l => trim(l)), l => l =!= "")
-    // Σ len(segment) == len(separator-less join) — one native pass
-    // instead of a per-element interpreted `aggregate` fold (the HOF
-    // runs on CodegenFallback; measured on the bench as the base
-    // projection's dominant cost)
-    def charSum(arr: Column): Column =
-      length(array_join(arr, "")).cast("long")
-    val lines = nonBlank(split(raw, "\n", -1))
-    val paras = nonBlank(split(raw, "\n\n", -1))
+    // all eight line/paragraph signals in ONE fused native pass
+    // ([[graft.functions.LineRepStats]] — r16 optimization): the
+    // per-column split + trim-transform + filter + array_distinct +
+    // array_join chains re-derived the line and paragraph arrays up
+    // to four times each per row on the interpreted CodegenFallback
+    // path. Signal semantics are bit-identical — property-tested
+    // against the array formulation in VectorExpressionsSpec and
+    // re-gated by the unchanged p133/p134 oracles.
+    val lineStats = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LineRepStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(raw)))
     val topGrams = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.GramTopStats(
         org.apache.spark.sql.graft.ColumnBridge.expression(raw),
@@ -506,19 +507,19 @@ object TextAnalysis {
     val base = df.select(
         col(idCol).as("__id"),
         length(raw).cast("long").as("n_chars"),
-        size(lines).cast("long").as("n_lines"),
-        (size(lines) - size(array_distinct(lines))).cast("long")
-          .as("n_dup_lines"),
-        charSum(lines).as("chars_lines"),
-        (charSum(lines) - charSum(array_distinct(lines)))
-          .as("chars_dup_lines"),
-        size(paras).cast("long").as("n_paras"),
-        (size(paras) - size(array_distinct(paras))).cast("long")
-          .as("n_dup_paras"),
-        charSum(paras).as("chars_paras"),
-        (charSum(paras) - charSum(array_distinct(paras)))
-          .as("chars_dup_paras"),
+        lineStats.as("__lr"),
         topGrams.as("__tg"), dupCov.as("__dc"))
+      .select(
+        col("__id"), col("n_chars"),
+        col("__lr")("n_lines").as("n_lines"),
+        col("__lr")("n_dup_lines").as("n_dup_lines"),
+        col("__lr")("chars_lines").as("chars_lines"),
+        col("__lr")("chars_dup_lines").as("chars_dup_lines"),
+        col("__lr")("n_paras").as("n_paras"),
+        col("__lr")("n_dup_paras").as("n_dup_paras"),
+        col("__lr")("chars_paras").as("chars_paras"),
+        col("__lr")("chars_dup_paras").as("chars_dup_paras"),
+        col("__tg"), col("__dc"))
     base
       .withColumn("top2_cnt", col("__tg")("top2_cnt"))
       .withColumn("top2_len", col("__tg")("top2_len"))

@@ -225,6 +225,49 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row8.getAs[Long]("n_required") === 9L)
   }
 
+  test("LineRepStats fused pass matches the array formulation " +
+      "(split/trim/distinct/charSum semantics, CRLF, astral plane)") {
+    import spark.implicits._
+    val texts: Seq[String] = Seq(
+      "a\nb\na\n\nb\n\n\na", "", " ", "\n", "\n\n", "\n\n\n",
+      "x", "x\n", "\nx", "  padded  \n  padded  \npadded",
+      "dup\ndup\ndup\n\ndup\n\ndup", "a\r\nb\r\na", // \r survives trim
+      "p1 line1\np1 line2\n\np1 line1\np1 line2\n\nother",
+      "𝔘𝔫𝔦 code\n𝔘𝔫𝔦 code\n\n𝔘𝔫𝔦 code", null,
+      "tab\ttab\n \n  \nvt")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val raw = coalesce(col("text"), lit(""))
+    def nonBlank(c: org.apache.spark.sql.Column) =
+      filter(transform(c, l => trim(l)), l => l =!= "")
+    def charSum(arr: org.apache.spark.sql.Column) =
+      length(array_join(arr, "")).cast("long")
+    val lines = nonBlank(split(raw, "\n", -1))
+    val paras = nonBlank(split(raw, "\n\n", -1))
+    val legacy = df.select(col("id"),
+      size(lines).cast("long"),
+      (size(lines) - size(array_distinct(lines))).cast("long"),
+      charSum(lines), charSum(lines) - charSum(array_distinct(lines)),
+      size(paras).cast("long"),
+      (size(paras) - size(array_distinct(paras))).cast("long"),
+      charSum(paras), charSum(paras) - charSum(array_distinct(paras)))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val st = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LineRepStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(raw)))
+    val fused = df.select(col("id"), st.as("__lr"))
+      .select(col("id"),
+        col("__lr")("n_lines"), col("__lr")("n_dup_lines"),
+        col("__lr")("chars_lines"), col("__lr")("chars_dup_lines"),
+        col("__lr")("n_paras"), col("__lr")("n_dup_paras"),
+        col("__lr")("chars_paras"), col("__lr")("chars_dup_paras"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(fused.keySet === legacy.keySet)
+    fused.keySet.foreach { id =>
+      assert(fused(id) === legacy(id), s"line stats diverge for id=$id")
+    }
+  }
+
   test("PolyHash matches the HOF fingerprint formulation on BMP text") {
     import spark.implicits._
     val texts = Seq("The Quick Brown Fox", "", "  spaced  out  ",
