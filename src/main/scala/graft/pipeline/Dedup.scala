@@ -832,17 +832,28 @@ object Dedup {
       maxBucketSize: Int = 200): DataFrame = {
     val pairs = minhashLsh(df, idCol, textCol, numHashes, bands,
       shingleK, threshold, maxBucketSize)
-    val ord = df.select(col(idCol).as("__pid"),
-      col(orderCol).as("__pord"))
-    val withOrd = pairs
-      .join(ord.select(col("__pid").as("id_a"),
-        col("__pord").as("__ord_a")), "id_a")
-      .join(ord.select(col("__pid").as("id_b"),
-        col("__pord").as("__ord_b")), "id_b")
-    val losers = withOrd.select(
-      when(struct(col("__ord_a"), col("id_a")) <
-        struct(col("__ord_b"), col("id_b")), col("id_b"))
-        .otherwise(col("id_a")).as("__loser")).distinct()
+    // When the arrival order IS the id (the common ingest contract —
+    // every gated call and the QL surface pass orderCol = idCol), the
+    // later side of a pair is id_b by minhashLsh's own construction
+    // (id_a < id_b), so the order-attach joins — TWO corpus-wide
+    // (id, ord) scans probed by the pair table — vanish outright
+    // (r16 optimization; bit-identical by construction).
+    val losers =
+      if (orderCol == idCol)
+        pairs.select(col("id_b").as("__loser")).distinct()
+      else {
+        val ord = df.select(col(idCol).as("__pid"),
+          col(orderCol).as("__pord"))
+        pairs
+          .join(ord.select(col("__pid").as("id_a"),
+            col("__pord").as("__ord_a")), "id_a")
+          .join(ord.select(col("__pid").as("id_b"),
+            col("__pord").as("__ord_b")), "id_b")
+          .select(
+            when(struct(col("__ord_a"), col("id_a")) <
+              struct(col("__ord_b"), col("id_b")), col("id_b"))
+              .otherwise(col("id_a")).as("__loser")).distinct()
+      }
     df.select(col(idCol))
       .join(losers, col(idCol) === col("__loser"), "left")
       .select(col(idCol),
