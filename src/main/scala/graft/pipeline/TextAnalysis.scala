@@ -655,15 +655,23 @@ object TextAnalysis {
     //   rank = row_number over total occurrences Σtf (≡ topTerms'
     //          occurrence count — same ties, term ascending).
     // The former shape exploded the corpus THREE times (docTerm
-    // distinct, topTerms, tf), paying three occurrence-grain shuffles;
-    // the tf subtree below appears twice in the final plan and
-    // Catalyst's ReuseExchange computes it once (verified in the
-    // committed plan: the second occurrence is a ReusedExchange node).
-    // Values are bit-identical: same counts, same rank order, same
-    // `tf · ln(n/df)` doubles (p51/p52 re-gated).
+    // distinct, topTerms, tf), paying three tokenize passes; the tf
+    // table here feeds two consumers (the vocabulary cut and the
+    // final join), and is MATERIALIZED because neither static
+    // ReuseExchange nor AQE stage reuse dedups the shared subtree
+    // when the source is a cached relation (measured: the executed
+    // adaptive plan carried the tf shuffle twice — a Spark 4
+    // TableCacheQueryStage canonicalization quirk; with AQE off the
+    // static rule does fire, kept as plans/r16/tfidf_after_noaqe.txt).
+    // Net: 3 corpus scans + 1 (doc,term) shuffle → 1 scan + 1 shuffle
+    // + a (doc,term)-grain checkpoint (≪ corpus text). Values are
+    // bit-identical: same counts, same rank order, same `tf·ln(n/df)`
+    // doubles (p51/p52 re-gated); 3-way interleaved A/B: old 0.463 /
+    // unmaterialized 0.501 / this 0.481 s min locally.
     val tf = df.select(col(idCol).as("doc"),
       explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .transform(graft.core.Materialize(_))
     val termStats = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cnt"))
     val top = termStats
