@@ -158,7 +158,11 @@ object Multimodal {
           return Option(reader.read(0))
         } finally iis.close()
       } catch {
-        case NonFatal(_) => jpegReaderTl.remove() // fall through
+        case NonFatal(_) =>
+          // dispose before dropping the ThreadLocal: the plugin holds
+          // native resources that would otherwise wait for GC
+          try jpegReaderTl.get().dispose() catch { case NonFatal(_) => }
+          jpegReaderTl.remove() // fall through
       }
     }
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
@@ -189,8 +193,10 @@ object Multimodal {
             raster.getMinY == 0 &&
             raster.getSampleModelTranslateX == 0 &&
             raster.getSampleModelTranslateY == 0 &&
-            img.getColorModel.getColorSpace.getType ==
-              java.awt.color.ColorSpace.TYPE_RGB &&
+            img.getColorModel.getColorSpace.isCS_sRGB &&
+            img.getColorModel.getTransferType ==
+              java.awt.image.DataBuffer.TYPE_BYTE &&
+            img.getColorModel.getComponentSize.forall(_ == 8) &&
             !img.getColorModel.hasAlpha =>
         val data = db.getData
         val scan = sm.getScanlineStride
@@ -860,7 +866,9 @@ object Multimodal {
       p.setCompressionQuality(quality)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
     } catch {
-      case NonFatal(e) => jpegWriterTl.remove(); throw e
+      case NonFatal(e) =>
+        try writer.dispose() catch { case NonFatal(_) => }
+        jpegWriterTl.remove(); throw e
     } finally ios.close()
     out.toByteArray
   }

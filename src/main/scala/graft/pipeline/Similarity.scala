@@ -51,14 +51,39 @@ object Similarity {
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
+    // ArgMinL2's candidate cid field is bigint; integral centroid ids
+    // are cast in (losslessly — the long order IS the integral order,
+    // so sort_array ranks ties identically) and the winner cast back,
+    // restoring the pre-r16 any-integral-id behavior. Non-integral ids
+    // still fail analysis loudly (the former join+window accepted any
+    // orderable type; that generality was never exercised and a silent
+    // string→long cast would reorder ties).
+    val (cidIn, restore) = cidCasts(centroids, idCol)
     val cands = centroids.agg(
-      sort_array(collect_list(struct(col(idCol).as("cid"),
+      sort_array(collect_list(struct(cidIn.as("cid"),
         col(vecCol).as("cv")))).as("__cands"))
     vectors.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cands))
       .select(col(idCol), col(vecCol),
-        argMinL2(col(vecCol), col("__cands")).as("cluster"))
+        restore(argMinL2(col(vecCol), col("__cands"))).as("cluster"))
       .filter(col("cluster").isNotNull)
+  }
+
+  /** (candidate-cid input column, winner restore fn) for an argmin
+    * assignment over `rel(idCol)`: integral ids are cast to long going
+    * in and the winner cast back; anything else passes through raw so
+    * ArgMinL2's type check still rejects it at plan time. */
+  private def cidCasts(rel: DataFrame, idCol: String)
+      : (org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.types._
+    rel.schema(idCol).dataType match {
+      case LongType => (col(idCol), identity)
+      case t @ (ByteType | ShortType | IntegerType) =>
+        (col(idCol).cast(LongType), (c: org.apache.spark.sql.Column) =>
+          c.cast(t))
+      case _ => (col(idCol), identity)
+    }
   }
 
   /** Deterministic Lloyd refinement for IVF centroids: init = the k
@@ -230,12 +255,13 @@ object Similarity {
     * re-gated by p146/p148), without the (id, s)×k row blow-up and its
     * per-round Exchange + sort. */
   private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
+    val (cidIn, restore) = cidCasts(codebook, "cid")
     val cands = codebook.groupBy("s").agg(
-      sort_array(collect_list(struct(col("cid"), col("cv"))))
+      sort_array(collect_list(struct(cidIn.as("cid"), col("cv"))))
         .as("__cands"))
     sub.join(broadcast(cands), Seq("s"))
       .select(col("vec_id"), col("s"),
-        argMinL2(col("sv"), col("__cands")).as("code"))
+        restore(argMinL2(col("sv"), col("__cands"))).as("code"))
       .filter(col("code").isNotNull)
   }
 

@@ -521,4 +521,27 @@ class VectorExpressionsSpec extends SparkSpec {
       assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)}")
     }
   }
+
+  test("ivfAssign accepts integral (non-bigint) ids and restores the " +
+      "id type on the cluster column") {
+    // the r16 ArgMinL2 rewrite pinned the candidate cid to bigint,
+    // breaking int-id callers the former join+window accepted (ADVICE
+    // r16); integral ids now cast in and the winner casts back
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(
+      StructField("vec_id", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    def mk(rows: Seq[(Int, Seq[Float])]) = spark.createDataFrame(
+      rows.map { case (i, v) =>
+        Row(i, v.map(java.lang.Float.valueOf))
+      }.asJava, sch)
+    val vecs = mk(Seq(1 -> Seq(0f, 0f), 2 -> Seq(10f, 0f),
+      3 -> Seq(0.4f, 0f), 4 -> Seq(9.6f, 0f)))
+    val cents = mk(Seq(1 -> Seq(0f, 0f), 2 -> Seq(10f, 0f)))
+    val out = graft.pipeline.Similarity
+      .ivfAssign(vecs, cents, "vec_id", "embedding")
+    assert(out.schema("cluster").dataType === IntegerType)
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(2))).sorted
+      === Array((1, 1), (2, 2), (3, 1), (4, 2)))
+  }
 }
